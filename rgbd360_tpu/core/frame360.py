@@ -1,0 +1,124 @@
+"""Frame360 — the omnidirectional RGB-D frame.
+
+Mirrors the reference public API (include/Frame360.h): loadFrame, undistort,
+stitchSphericalImage, buildSphereCloud_fromImage, getPlanes, serialize. The
+per-sensor OpenMP fan-out of the reference becomes a batch dimension of size
+8 inside single fused device kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.io.boost_archive import RawFrame360, read_frame360_bin, write_frame360_bin
+from rgbd360_tpu.io.calib import Calib360
+from rgbd360_tpu.ops.image import gray_f32
+from rgbd360_tpu.ops.sphere import sphere_cloud_from_image
+from rgbd360_tpu.ops.stitch import stitch_spherical
+from rgbd360_tpu.ops.undistort import undistort_depth
+
+
+class Frame360:
+    """One spherical capture: 8 raw RGB-D images -> panorama -> cloud/planes."""
+
+    def __init__(self, calib: Calib360, frame_id: int = 0):
+        self.calib = calib
+        self.id = frame_id
+        self.node = 0
+        self.pose = np.eye(4, dtype=np.float32)
+        self.timestamp = 0
+
+        self.rgb: Optional[jnp.ndarray] = None  # (8,H,W,3) u8 BGR
+        self.depth_raw_mm: Optional[jnp.ndarray] = None  # (8,H,W) u16
+        self.depth_undistorted_m: Optional[jnp.ndarray] = None  # (8,H,W) f32
+        self.sphere_rgb: Optional[jnp.ndarray] = None  # (320,1920,3) u8 BGR
+        self.sphere_depth_mm: Optional[jnp.ndarray] = None  # (320,1920) u16
+        self.sphere_gray: Optional[jnp.ndarray] = None  # (320,1920) f32 [0,1]
+        self.sphere_cloud = None  # (xyz, rgb) from buildSphereCloud_fromImage
+        self.planes = None  # PbMap (set by getPlanes)
+        self.local_planes = None
+
+    # -- acquisition / io ---------------------------------------------------
+    def load_frame(self, path: str) -> None:
+        """Load the 8-sensor raw capture (reference include/Frame360.h:231-266)."""
+        raw = read_frame360_bin(path)
+        self.set_raw(raw)
+
+    def set_raw(self, raw: RawFrame360) -> None:
+        self.rgb = jnp.asarray(raw.rgb)
+        self.depth_raw_mm = jnp.asarray(raw.depth)
+        # loadDepthEigen: u16 mm -> f32 metres (CloudRGBD_Ext.h:64-76)
+        self.depth_undistorted_m = self.depth_raw_mm.astype(jnp.float32) * 0.001
+        self.timestamp = raw.timestamp
+
+    def serialize(self, path: str) -> None:
+        """Write the reference-compatible .bin (include/Frame360.h:333-345)."""
+        write_frame360_bin(
+            path,
+            RawFrame360(
+                rgb=np.asarray(self.rgb),
+                depth=np.asarray(self.depth_raw_mm),
+                timestamp=self.timestamp,
+            ),
+        )
+
+    # -- device pipeline ----------------------------------------------------
+    def undistort(self) -> None:
+        """CLAMS depth undistortion of all 8 sensors in one batched kernel
+        (reference include/Frame360.h:293-310). Note: like the reference,
+        this updates only the metric depth used for point clouds — the raw
+        u16 depth consumed by the stitcher stays distorted (the eigen2cv
+        write-back at Frame360.h:302 is commented out)."""
+        mults, counts, geom = self.calib.stacked_intrinsic_arrays()
+        self.depth_undistorted_m = undistort_depth(
+            self.depth_raw_mm.astype(jnp.float32) * 0.001,
+            jnp.asarray(mults),
+            jnp.asarray(counts),
+            bin_width=geom.bin_width,
+            bin_height=geom.bin_height,
+            bin_depth=geom.bin_depth,
+        )
+
+    def stitch_spherical_image(self) -> None:
+        """Build the 1920x320 spherical RGB-D panorama
+        (reference include/Frame360.h:386-405)."""
+        self.sphere_rgb, self.sphere_depth_mm = stitch_spherical(
+            self.rgb,
+            self.depth_raw_mm,
+            jnp.asarray(self.calib.Rt_inv),
+            jnp.asarray(self.calib.camera_matrix),
+        )
+        self.sphere_gray = gray_f32(self.sphere_rgb)
+
+    def build_sphere_cloud_from_image(self):
+        """Spherical point cloud from the stitched panorama
+        (reference include/Frame360.h:555-612)."""
+        assert self.sphere_rgb is not None, "stitch_spherical_image() first"
+        depth_m = self.sphere_depth_mm.astype(jnp.float32) * 0.001
+        self.sphere_cloud = sphere_cloud_from_image(self.sphere_rgb, depth_m)
+        return self.sphere_cloud
+
+    def get_planes(self):
+        """Segment + merge the planar patches of the spherical frame
+        (reference include/Frame360.h:615-638). Implemented in core/pbmap.py;
+        bound lazily to avoid importing the plane stack for dense-only use."""
+        from rgbd360_tpu.core.plane_extraction import extract_frame_planes
+
+        self.planes, self.local_planes = extract_frame_planes(self)
+        return self.planes
+
+    def get_planar_area(self) -> float:
+        if self.planes is None:
+            return 0.0
+        return float(sum(p.area_hull for p in self.planes.planes))
+
+    # -- convenience --------------------------------------------------------
+    def build(self, path: str) -> "Frame360":
+        """load + undistort + stitch: the standard per-frame pipeline."""
+        self.load_frame(path)
+        self.undistort()
+        self.stitch_spherical_image()
+        return self

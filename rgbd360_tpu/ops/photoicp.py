@@ -1,0 +1,428 @@
+"""Dense spherical photometric + depth-ICP alignment — the hot core.
+
+TPU-first reformulation of the reference Gauss-Newton aligner
+(include/RegisterPhotoICP.h:2545-2739 errorPhotoICP_sphere,
+:2745-3228 calcHessGrad_sphere, :4519-4784 alignFrames360):
+
+  * the per-pixel scalar loops become one fused, masked tensor program per
+    pyramid level: transform (N,3)x(3,3) matmul -> spherical projection ->
+    nearest-pixel gather of 6 target images -> Huber residuals -> analytic
+    2x6 warp Jacobian -> 6x6 Hessian/gradient as a [6,N]x[N,6] matmul;
+  * the <=10-iteration Gauss-Newton loop per level is a lax.while_loop with
+    the reference's accept/reject + tolerance semantics;
+  * the 5-level coarse-to-fine pyramid is unrolled in one jit;
+  * everything is batchable over pairs with vmap (parallel/batch.py) and
+    shardable over chips with shard_map (parallel/mesh.py).
+
+Parity notes (kept bit-faithful up to f32 reduction order):
+  * theta wrap column W (atan2+pi == 2*pi) is *dropped*, not wrapped, like the
+    reference (RegisterPhotoICP.h:2684);
+  * in PHOTO_DEPTH mode a pixel whose *photo* saliency test fails contributes
+    neither photo nor depth terms (the `continue` at :2690-2692 and :3038);
+  * depth==0 target pixels are "finite" (stitched panoramas store invalid as
+    0, not NaN) and are only rejected by the depth-gradient saliency test;
+  * pose update uses the mrpt pseudo-exponential exp([v,w]) @ pose (:4697);
+  * a rejected step exits the level loop (diff_error <= tol_residual).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.ops import se3
+from rgbd360_tpu.ops.image import (
+    build_depth_pyramid,
+    build_gray_pyramid,
+    gradient_xy,
+    mask_sensor_seams,
+)
+from rgbd360_tpu.ops.sphere import sphere_project, sphere_xyz_lut
+
+PHOTO_CONSISTENCY = 0
+DEPTH_CONSISTENCY = 1
+PHOTO_DEPTH = 2
+
+# Default optimization constants (reference RegisterPhotoICP.h:201-221, 4589-4595)
+MIN_DEPTH = 0.3
+MAX_DEPTH = 6.0
+STD_DEV_PHOTO = 6.0 / 255.0
+STD_DEV_DEPTH = 0.2
+THRES_SALIENCY = 0.01
+MAX_ITERS = 10
+TOL_UPDATE = 1e-4
+TOL_RESIDUAL = 1e-3
+
+
+class LevelData(NamedTuple):
+    """Per-pyramid-level image set for one source/target pair."""
+
+    gray_src: jnp.ndarray  # (H, W) f32
+    depth_src: jnp.ndarray  # (H, W) f32 metres
+    gray_trg: jnp.ndarray
+    depth_trg: jnp.ndarray
+    gray_trg_gx: jnp.ndarray
+    gray_trg_gy: jnp.ndarray
+    depth_trg_gx: jnp.ndarray
+    depth_trg_gy: jnp.ndarray
+
+
+class AlignResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) optimal relative pose
+    hessian: jnp.ndarray  # (6, 6) at the final accepted pose
+    gradient: jnp.ndarray  # (6,)
+    error: jnp.ndarray  # final sqrt(err2/n) at the finest level
+    av_photo_residual: jnp.ndarray
+    av_depth_residual: jnp.ndarray
+    sso: jnp.ndarray  # sensed-space overlap (visible/total pixels)
+    num_iterations: jnp.ndarray  # (n_levels,) i32, coarse->fine
+    ill_posed: jnp.ndarray  # bool
+
+
+def build_pyramid_set(
+    gray: jnp.ndarray,
+    depth_m: jnp.ndarray,
+    n_levels: int,
+    *,
+    is_target: bool,
+    sphere_seam_mask: bool,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+) -> Tuple[Sequence[jnp.ndarray], ...]:
+    """Gray + depth pyramids, plus target gradient pyramids
+    (reference setSourceFrame/setTargetFrame, RegisterPhotoICP.h:480-516)."""
+    gray_pyr = build_gray_pyramid(gray, n_levels)
+    depth_pyr = build_depth_pyramid(depth_m, n_levels, min_depth, max_depth)
+    if not is_target:
+        return gray_pyr, depth_pyr
+    ggx, ggy, dgx, dgy = [], [], [], []
+    for level in range(n_levels):
+        gx, gy = gradient_xy(gray_pyr[level])
+        dx, dy = gradient_xy(depth_pyr[level])
+        if sphere_seam_mask:
+            gx, gy = mask_sensor_seams(gx), mask_sensor_seams(gy)
+            dx, dy = mask_sensor_seams(dx), mask_sensor_seams(dy)
+        ggx.append(gx)
+        ggy.append(gy)
+        dgx.append(dx)
+        dgy.append(dy)
+    return gray_pyr, depth_pyr, ggx, ggy, dgx, dgy
+
+
+def make_level_data(src_pyrs, trg_pyrs, level: int) -> LevelData:
+    gray_src_pyr, depth_src_pyr = src_pyrs
+    gray_trg_pyr, depth_trg_pyr, ggx, ggy, dgx, dgy = trg_pyrs
+    return LevelData(
+        gray_src=gray_src_pyr[level],
+        depth_src=depth_src_pyr[level],
+        gray_trg=gray_trg_pyr[level],
+        depth_trg=depth_trg_pyr[level],
+        gray_trg_gx=ggx[level],
+        gray_trg_gy=ggy[level],
+        depth_trg_gx=dgx[level],
+        depth_trg_gy=dgy[level],
+    )
+
+
+def _gather(img: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(img.reshape(-1), flat_idx, mode="clip")
+
+
+def _huber_weight(err: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
+    """weightHuber (reference RegisterPhotoICP.h:544-554)."""
+    e = jnp.abs(err)
+    big = e >= reg
+    safe_e = jnp.maximum(e, 1e-20)
+    w = jnp.sqrt(jnp.maximum(2.0 * reg * e - reg * reg, 0.0)) / safe_e
+    return jnp.where(big, w, 1.0)
+
+
+def _warp_terms(level: LevelData, xyz, valid, pose, method: int):
+    """Shared warp + residual computation for the error and H/g passes.
+
+    Returns a dict of per-pixel masked terms.
+    """
+    h, w = level.gray_src.shape
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p = xyz @ R.T + t  # (N,3) — MXU
+    dist, r_int, c_int, inb = sphere_project(p, h, w)
+    visible = valid & inb
+    flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
+
+    out = {"p": p, "dist": dist, "flat": flat, "visible": visible}
+
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        gx = _gather(level.gray_trg_gx, flat)
+        gy = _gather(level.gray_trg_gy, flat)
+        salient_photo = (jnp.abs(gx) >= THRES_SALIENCY) | (jnp.abs(gy) >= THRES_SALIENCY)
+        photo_ok = visible & salient_photo
+        pixel1 = level.gray_src.reshape(-1)
+        pixel2 = _gather(level.gray_trg, flat)
+        diff = pixel2 - pixel1
+        w_photo = _huber_weight(diff, STD_DEV_PHOTO) * (1.0 / STD_DEV_PHOTO)
+        out.update(photo_ok=photo_ok, photo_wdiff=w_photo * diff, photo_w=w_photo, photo_g=(gx, gy))
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        depth2 = _gather(level.depth_trg, flat)
+        dgx = _gather(level.depth_trg_gx, flat)
+        dgy = _gather(level.depth_trg_gy, flat)
+        salient_depth = (jnp.abs(dgx) >= THRES_SALIENCY) | (jnp.abs(dgy) >= THRES_SALIENCY)
+        finite = jnp.isfinite(depth2)
+        depth_ok = visible & finite & salient_depth
+        if method == PHOTO_DEPTH:
+            # the reference `continue` on failed photo saliency skips depth too
+            depth_ok = depth_ok & out["photo_ok"] if "photo_ok" in out else depth_ok
+        ddiff = depth2 - dist
+        reg = STD_DEV_DEPTH * jnp.maximum(depth2, 1e-20)
+        w_depth = _huber_weight(ddiff, reg) / reg
+        out.update(depth_ok=depth_ok, depth_wdiff=w_depth * ddiff, depth_w=w_depth, depth_g=(dgx, dgy))
+    return out
+
+
+def error_sphere(level: LevelData, xyz, valid, pose, method: int):
+    """errorPhotoICP_sphere (reference RegisterPhotoICP.h:2545-2739):
+    sqrt(sum of squared weighted residuals / number of contributing terms)."""
+    terms = _warp_terms(level, xyz, valid, pose, method)
+    err2 = jnp.float32(0.0)
+    n = jnp.int32(0)
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        m = terms["photo_ok"]
+        err2 += jnp.sum(jnp.where(m, terms["photo_wdiff"] ** 2, 0.0))
+        n += jnp.sum(m.astype(jnp.int32))
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        m = terms["depth_ok"]
+        err2 += jnp.sum(jnp.where(m, terms["depth_wdiff"] ** 2, 0.0))
+        n += jnp.sum(m.astype(jnp.int32))
+    return jnp.sqrt(err2 / jnp.maximum(n, 1).astype(jnp.float32))
+
+
+def _warp_jacobian(p: jnp.ndarray, dist: jnp.ndarray, angle_res_inv: float):
+    """2x6 Jacobian of the spherical warp wrt the left-multiplied twist
+    (reference RegisterPhotoICP.h:2995-3026): rows are (d col/d xi, d row/d xi)."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    dist_inv = 1.0 / jnp.maximum(dist, 1e-12)
+    z_inv = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    z_inv2 = z_inv * z_inv
+    d_atan = angle_res_inv / (1.0 + y * y * z_inv2)
+    j_theta = jnp.stack(
+        [jnp.zeros_like(x), d_atan * z_inv, -y * z_inv2 * d_atan], axis=-1
+    )  # (N,3) d(col)/d(xyz)
+    dist_inv2 = dist_inv * dist_inv
+    x_dist_inv2 = x * dist_inv2
+    d_asin = angle_res_inv / jnp.sqrt(jnp.maximum(1.0 - x * x_dist_inv2, 1e-12))
+    j_phi = jnp.stack(
+        [
+            -d_asin * dist_inv * (1.0 - x * x_dist_inv2),
+            d_asin * x_dist_inv2 * y * dist_inv,
+            d_asin * x_dist_inv2 * z * dist_inv,
+        ],
+        axis=-1,
+    )  # (N,3) d(row)/d(xyz)
+    # chain with d(xyz)/d(xi) = [I | -skew(p)]  (jacobianT36, :2995-2997)
+    def chain(j3):  # (N,3) -> (N,6)
+        jw = jnp.stack(
+            [
+                p[:, 1] * j3[:, 2] - p[:, 2] * j3[:, 1],
+                p[:, 2] * j3[:, 0] - p[:, 0] * j3[:, 2],
+                p[:, 0] * j3[:, 1] - p[:, 1] * j3[:, 0],
+            ],
+            axis=-1,
+        )  # row-vector j3 @ (-skew(p)) == p x j3
+        return jnp.concatenate([j3, jw], axis=-1)
+
+    return chain(j_theta), chain(j_phi), chain
+
+
+def hess_grad_sphere(level: LevelData, xyz, valid, pose, method: int):
+    """calcHessGrad_sphere (reference RegisterPhotoICP.h:2745-3228).
+
+    Returns (H 6x6, g 6, sso, photo_err2_sum, n_photo, depth_err2_sum, n_depth).
+    """
+    h, w = level.gray_src.shape
+    angle_res_inv = w / (2.0 * jnp.pi)
+    terms = _warp_terms(level, xyz, valid, pose, method)
+    p, dist = terms["p"], terms["dist"]
+    j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
+
+    H = jnp.zeros((6, 6), jnp.float32)
+    g = jnp.zeros((6,), jnp.float32)
+    photo_err2 = jnp.float32(0.0)
+    n_photo = jnp.int32(0)
+    depth_err2 = jnp.float32(0.0)
+    n_depth = jnp.int32(0)
+
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        gx, gy = terms["photo_g"]
+        m = terms["photo_ok"]
+        jac = terms["photo_w"][:, None] * (gx[:, None] * j_col + gy[:, None] * j_row)
+        jac = jnp.where(m[:, None], jac, 0.0)
+        res = jnp.where(m, terms["photo_wdiff"], 0.0)
+        H = H + jac.T @ jac
+        g = g + jac.T @ res
+        photo_err2 = jnp.sum(res * res)
+        n_photo = jnp.sum(m.astype(jnp.int32))
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        dgx, dgy = terms["depth_g"]
+        m = terms["depth_ok"]
+        # d(dist)/d(xyz) = p/dist, chained through [I | -skew(p)]
+        j_dist = chain(p / jnp.maximum(dist, 1e-12)[:, None])
+        jac = terms["depth_w"][:, None] * (
+            dgx[:, None] * j_col + dgy[:, None] * j_row - j_dist
+        )
+        jac = jnp.where(m[:, None], jac, 0.0)
+        res = jnp.where(m, terms["depth_wdiff"], 0.0)
+        H = H + jac.T @ jac
+        g = g + jac.T @ res
+        depth_err2 = jnp.sum(res * res)
+        n_depth = jnp.sum(m.astype(jnp.int32))
+
+    sso = jnp.sum(terms["visible"].astype(jnp.float32)) / jnp.float32(h * w)
+    return H, g, sso, photo_err2, n_photo, depth_err2, n_depth
+
+
+def _solvable(H: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Observability guard (reference :4682 rank check on H + lam*diag(H)).
+
+    Scale-normalized so the f32 determinant of a well-conditioned Hessian
+    with O(1e6) entries does not overflow."""
+    Hd = H + lam * jnp.diag(jnp.diag(H))
+    scale = jnp.max(jnp.abs(Hd))
+    Hn = Hd / jnp.maximum(scale, 1e-30)
+    det = jnp.linalg.det(Hn)
+    return (
+        jnp.all(jnp.isfinite(Hd))
+        & (scale > 0.0)
+        & jnp.isfinite(det)
+        & (jnp.abs(det) > 1e-20)
+    )
+
+
+def align_level_sphere(
+    level: LevelData,
+    pose0: jnp.ndarray,
+    method: int,
+    max_iters: int = MAX_ITERS,
+    tol_update: float = TOL_UPDATE,
+    tol_residual: float = TOL_RESIDUAL,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+):
+    """One pyramid level of alignFrames360's Gauss-Newton loop
+    (reference RegisterPhotoICP.h:4589-4772)."""
+    xyz, valid = sphere_xyz_lut(level.depth_src, min_depth, max_depth)
+    err0 = error_sphere(level, xyz, valid, pose0, method)
+
+    def cond(carry):
+        pose, error, diff_error, upd_norm, it, ill = carry
+        return (
+            (it < max_iters)
+            & (upd_norm > tol_update)
+            & (diff_error > tol_residual)
+            & jnp.logical_not(ill)
+        )
+
+    def body(carry):
+        pose, error, diff_error, upd_norm, it, ill = carry
+        H, g, _, _, _, _, _ = hess_grad_sphere(level, xyz, valid, pose, method)
+        ok = _solvable(H, jnp.float32(1.0))
+        update = -jnp.linalg.solve(H + (~ok) * jnp.eye(6, dtype=H.dtype), g)
+        new_pose = se3.exp_se3(update, pseudo=True) @ pose
+        new_error = error_sphere(level, xyz, valid, new_pose, method)
+        diff = error - new_error
+        accept = ok & (diff > tol_residual)
+        pose = jnp.where(accept, new_pose, pose)
+        error = jnp.where(accept, new_error, error)
+        it = it + accept.astype(jnp.int32)
+        upd_norm = jnp.where(ok, jnp.linalg.norm(update), 0.0)
+        return pose, error, jnp.where(ok, diff, 0.0), upd_norm, it, ill | ~ok
+
+    carry0 = (
+        pose0,
+        err0,
+        err0,  # diff_error initialized to the error (reference :4605)
+        jnp.float32(jnp.sqrt(6.0)),  # |(1,1,1,1,1,1)|
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    pose, error, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
+    # final H/g + residual stats at the accepted pose (for entropy/SSO/avResiduals)
+    H, g, sso, pe2, np_, de2, nd = hess_grad_sphere(level, xyz, valid, pose, method)
+    av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))
+    av_depth = jnp.sqrt(de2 / jnp.maximum(nd, 1).astype(jnp.float32))
+    return pose, error, H, g, sso, av_photo, av_depth, it, ill
+
+
+def align_frames360(
+    src_pyrs,
+    trg_pyrs,
+    pose_guess: jnp.ndarray,
+    method: int = PHOTO_DEPTH,
+    *,
+    max_iters: int = MAX_ITERS,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+) -> AlignResult:
+    """Coarse-to-fine spherical alignment (reference RegisterPhotoICP.h:4519).
+
+    src_pyrs/trg_pyrs come from build_pyramid_set(..., sphere_seam_mask=True).
+    The python level loop unrolls inside one jit.
+    """
+    n_levels = len(src_pyrs[0])
+    pose = pose_guess
+    iters = []
+    ill_any = jnp.bool_(False)
+    last = None
+    for level_idx in range(n_levels - 1, -1, -1):
+        level = make_level_data(src_pyrs, trg_pyrs, level_idx)
+        pose_new, error, H, g, sso, av_p, av_d, it, ill = align_level_sphere(
+            level, pose, method, max_iters=max_iters,
+            min_depth=min_depth, max_depth=max_depth,
+        )
+        # An ill-posed system aborts the whole alignment, keeping the steps
+        # accepted so far (reference :4682-4690); levels after an ill-posed
+        # one leave the pose untouched.
+        pose = jnp.where(ill_any, pose, pose_new)
+        ill_any = ill_any | ill
+        iters.append(it)
+        last = (error, H, g, sso, av_p, av_d)
+    error, H, g, sso, av_p, av_d = last
+    return AlignResult(
+        pose=pose,
+        hessian=H,
+        gradient=g,
+        error=error,
+        av_photo_residual=av_p,
+        av_depth_residual=av_d,
+        sso=sso,
+        num_iterations=jnp.stack(iters),
+        ill_posed=ill_any,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("method", "n_levels", "max_iters"))
+def align_spheres_jit(
+    gray_src,
+    depth_src_m,
+    gray_trg,
+    depth_trg_m,
+    pose_guess,
+    method: int = PHOTO_DEPTH,
+    n_levels: int = 5,
+    max_iters: int = MAX_ITERS,
+) -> AlignResult:
+    """End-to-end jit: pyramids + gradients + coarse-to-fine alignment."""
+    src_pyrs = build_pyramid_set(gray_src, depth_src_m, n_levels, is_target=False, sphere_seam_mask=True)
+    trg_pyrs = build_pyramid_set(gray_trg, depth_trg_m, n_levels, is_target=True, sphere_seam_mask=True)
+    return align_frames360(src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters)
+
+
+def calc_entropy(hessian: jnp.ndarray) -> jnp.ndarray:
+    """Differential entropy of the pose estimate (Kerl IROS13 formula,
+    reference RegisterPhotoICP.h:4789-4797)."""
+    cov = jnp.linalg.inv(hessian)
+    dof = 6.0
+    sign, logdet = jnp.linalg.slogdet(cov)
+    return 0.5 * (dof * (1.0 + jnp.log(2.0 * jnp.pi)) + logdet)
