@@ -1,0 +1,115 @@
+"""Benchmark: spherical Photo+ICP pair registrations per second on one chip.
+
+Measures the headline metric from BASELINE.json: dense photometric+depth
+coarse-to-fine registration of the two bundled sample panoramas at full
+1920x320 resolution, 5 pyramid levels, PHOTO_DEPTH. Pairs are batched with
+vmap to fill the chip (the DP unit of SURVEY.md §2.3); throughput is
+batch*iters/wall. Prints ONE json line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 50.0  # north-star target (BASELINE.md)
+REFERENCE_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first-run XLA compiles over the device tunnel
+    # are slow (tens of seconds) and occasionally much slower
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_rgbd360"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rgbd360_tpu.io.calib import Calib360
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.ops import photoicp
+    from rgbd360_tpu.parallel.batch import align_batch
+
+    calib = Calib360.load(REFERENCE_ROOT)
+    f_trg = Frame360(calib, 0).build(os.path.join(REFERENCE_ROOT, "samples/sphere_images_1.bin"))
+    f_src = Frame360(calib, 1).build(os.path.join(REFERENCE_ROOT, "samples/sphere_images_10.bin"))
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def rep(x):
+        return jnp.broadcast_to(x, (batch,) + x.shape).copy() if batch > 1 else x[None]
+
+    gray_src = rep(f_src.sphere_gray)
+    depth_src = rep(f_src.sphere_depth_mm.astype(jnp.float32) * 0.001)
+    gray_trg = rep(f_trg.sphere_gray)
+    depth_trg = rep(f_trg.sphere_depth_mm.astype(jnp.float32) * 0.001)
+    poses = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+
+    # Timing methodology: on the experimental axon platform
+    # jax.block_until_ready does not reliably synchronize, so K chained
+    # alignments run inside ONE jit (value-preserving data dependency between
+    # iterations prevents any elision) and a host transfer of the result
+    # forces completion. RPC floor is measured and subtracted.
+    from functools import partial
+
+    # The inter-iteration dependency must be non-foldable: 0*x would be
+    # constant-folded and the loop body hoisted (LICM), so perturb the pose
+    # guess translation by eps*error (~3e-7 m — workload-neutral but live).
+    eps_mask = np.zeros((4, 4), np.float32)
+    eps_mask[:3, 3] = 1e-7
+    eps_mask = jnp.asarray(eps_mask)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def bench_k(gs, ds, gt, dt, poses0, k):
+        def body(_, carry):
+            p, acc = carry
+            res = align_batch(gs, ds, gt, dt, p)
+            p = poses0 + res.error[:, None, None] * eps_mask
+            return p, acc + res.error
+        _, acc = jax.lax.fori_loop(0, k, body, (poses0, jnp.zeros(gs.shape[0])))
+        return acc
+
+    last_res = align_batch(gray_src, depth_src, gray_trg, depth_trg, poses)
+    # warmup + compile (forced by host transfer)
+    np.asarray(bench_k(gray_src, depth_src, gray_trg, depth_trg, poses, iters))
+
+    # RPC floor: trivial computation + same-size transfer (warm the op first —
+    # its initial dispatch includes a compile that would dwarf the floor)
+    np.asarray(jnp.zeros(batch) + 1.0)
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(batch) + 1.0)
+    rpc_floor = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    np.asarray(bench_k(gray_src, depth_src, gray_trg, depth_trg, poses, iters))
+    dt = max(time.perf_counter() - t0 - rpc_floor, 1e-9)
+    pairs_per_sec = batch * iters / dt
+    res = last_res
+
+    # sanity: the result must be a real registration, not a no-op
+    pose = np.asarray(res.pose[0])
+    t_norm = float(np.linalg.norm(pose[:3, 3]))
+    ill = bool(np.asarray(res.ill_posed).any())
+    ok = (0.01 < t_norm < 2.0) and not ill
+
+    print(
+        json.dumps(
+            {
+                "metric": "sphere_photoicp_pairs_per_sec",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+                "batch": batch,
+                "translation_norm_m": round(t_norm, 4),
+                "sane": ok,
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

