@@ -139,30 +139,67 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-# Packed-channel layout for the single fused gather per sweep. XLA TPU element
-# gathers cost ~15ns/index regardless of payload width (measured on v5e), so
-# one row-of-8 gather replaces six scalar gathers at ~3.5x lower cost.
-CH_GRAY, CH_DEPTH, CH_GGX, CH_GGY, CH_DGX, CH_DGY = range(6)
-NUM_CH = 8  # padded to a full 8-lane row
+# Packed-channel layout for the single fused gather per sweep. Measured on
+# v5e: gather cost is minimised at 16 bytes/index (4 f32 lanes; 8 f32 lanes
+# hit a 4x slower path), so the six target channels ride in 4 lanes — the
+# residual-critical gray/depth values in full f32, the gradient pairs as
+# packed f16 (they only scale Jacobian rows and feed threshold tests; f16's
+# 0.05% relative error keeps the accept/reject cascade on the f32 path).
+CH_GRAY, CH_DEPTH, CH_GG, CH_DG = range(4)
+NUM_CH = 4
+
+
+def _pack2_f16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    ab = jnp.stack([a.astype(jnp.float16), b.astype(jnp.float16)], axis=-1)
+    return jax.lax.bitcast_convert_type(ab, jnp.float32)
+
+
+def _unpack2_f16(x: jnp.ndarray):
+    ab = jax.lax.bitcast_convert_type(x, jnp.float16)
+    return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
 
 
 def pack_target_channels(level: LevelData) -> jnp.ndarray:
-    """(H*W, 8) f32: all per-pixel target data touched by a sweep."""
+    """(H*W, 4) f32: all per-pixel target data touched by a sweep."""
     h, w = level.gray_trg.shape
-    zeros = jnp.zeros((h, w), level.gray_trg.dtype)
     return jnp.stack(
         [
             level.gray_trg,
             level.depth_trg,
-            level.gray_trg_gx,
-            level.gray_trg_gy,
-            level.depth_trg_gx,
-            level.depth_trg_gy,
-            zeros,
-            zeros,
+            _pack2_f16(level.gray_trg_gx, level.gray_trg_gy),
+            _pack2_f16(level.depth_trg_gx, level.depth_trg_gy),
         ],
         axis=-1,
     ).reshape(h * w, NUM_CH)
+
+
+# Below this pixel count, gather rows with an exact one-hot matmul instead of
+# XLA's gather op (which carries a ~0.5 ms fixed cost per invocation on v5e —
+# dominating the small pyramid levels). One-hot selection in f32-highest is
+# bit-exact: 0/1 are exact in every precision pass and each output sums one
+# term.
+ONEHOT_MAX_N = 16384
+_ONEHOT_CHUNK = 4096
+
+
+def _gather_rows(packed: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    n, ch = packed.shape
+    m = flat_idx.shape[0]
+    if n > ONEHOT_MAX_N:
+        return jnp.take(packed, flat_idx, axis=0, mode="clip")
+    if m <= _ONEHOT_CHUNK:
+        onehot = (flat_idx[:, None] == jnp.arange(n)[None, :]).astype(packed.dtype)
+        return _mm(onehot, packed)
+    pad = (-m) % _ONEHOT_CHUNK
+    idx = jnp.pad(flat_idx, (0, pad))
+    chunks = idx.reshape(-1, _ONEHOT_CHUNK)
+
+    def take_chunk(fc):
+        onehot = (fc[:, None] == jnp.arange(n)[None, :]).astype(packed.dtype)
+        return _mm(onehot, packed)
+
+    out = jax.lax.map(take_chunk, chunks).reshape(-1, ch)
+    return out[:m]
 
 
 def _huber_weight(err: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
@@ -342,11 +379,11 @@ def fused_sweep_sphere(
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
 
-    tgt = jnp.take(target_packed, flat, axis=0, mode="clip")  # (N, 8) one gather
+    tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
     gray2 = tgt[:, CH_GRAY]
     depth2 = tgt[:, CH_DEPTH]
-    ggx, ggy = tgt[:, CH_GGX], tgt[:, CH_GGY]
-    dgx, dgy = tgt[:, CH_DGX], tgt[:, CH_DGY]
+    ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
+    dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
 
     j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
 
