@@ -1,0 +1,266 @@
+"""Plane-based map (PbMap) structures — native reimplementation of the
+mrpt::pbmap types the reference leans on (SURVEY.md §2.1 'mrpt::pbmap'):
+Plane (normal/center/d/curvature/hull/area/elongation/hue histogram/label,
+isSamePlane/mergePlane/transform), PbMap, and geometry helpers. Host-side
+NumPy — plane counts are tiny (tens); the per-pixel work that feeds them
+runs on device (ops/normals.py, ops/planes_seg.py).
+
+MRPT semantics are reconstructed from the reference's call sites and
+thresholds (include/Frame360.h:657-832 merge logic, config_files/*.ini
+matcher constraints); exactness is gated by end-pose parity, not
+structure-for-structure (SURVEY.md §7 'Hard parts').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+HIST_H_BINS = 74  # 72 hue bins + black + white/gray
+
+
+def convex_hull_2d(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain. points: (N,2). Returns hull vertex indices CCW."""
+    pts = np.asarray(points, np.float64)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+
+    def half(indices):
+        out = []
+        for i in indices:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if np.cross(a - o, pts[i] - o) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], int)
+
+
+def polygon_area_centroid(poly2d: np.ndarray):
+    """Shoelace area + centroid of a 2D polygon (CCW)."""
+    x, y = poly2d[:, 0], poly2d[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    area = 0.5 * np.sum(cross)
+    if abs(area) < 1e-12:
+        return 0.0, poly2d.mean(axis=0)
+    cx = np.sum((x + xn) * cross) / (6.0 * area)
+    cy = np.sum((y + yn) * cross) / (6.0 * area)
+    return abs(area), np.array([cx, cy])
+
+
+def dist3d_segment_segment(p1, p2, q1, q2) -> float:
+    """Squared distance between segments [p1,p2] and [q1,q2]
+    (geometry helper mirroring mrpt::pbmap::dist3D_Segment_to_Segment2,
+    used at reference include/Frame360.h:698)."""
+    u = p2 - p1
+    v = q2 - q1
+    w = p1 - q1
+    a, b, c = u @ u, u @ v, v @ v
+    d, e = u @ w, v @ w
+    D = a * c - b * b
+    sN, sD, tN, tD = 0.0, D, 0.0, D
+    if D < 1e-12:
+        sN, sD = 0.0, 1.0
+        tN, tD = e, c
+    else:
+        sN = b * e - c * d
+        tN = a * e - b * d
+        if sN < 0:
+            sN = 0.0
+            tN, tD = e, c
+        elif sN > sD:
+            sN = sD
+            tN, tD = e + b, c
+    if tN < 0:
+        tN = 0.0
+        sN = np.clip(-d, 0, a) if a > 1e-12 else 0.0
+        sD = a if a > 1e-12 else 1.0
+    elif tN > tD:
+        tN = tD
+        sN = np.clip(-d + b, 0, a) if a > 1e-12 else 0.0
+        sD = a if a > 1e-12 else 1.0
+    sc = sN / sD if abs(sD) > 1e-12 else 0.0
+    tc = tN / tD if abs(tD) > 1e-12 else 0.0
+    dP = w + sc * u - tc * v
+    return float(dP @ dP)
+
+
+def rgb_to_hue_hist(rgb: np.ndarray) -> np.ndarray:
+    """74-bin hue histogram of inlier colors (normalized to sum 1):
+    72 hue bins + bin 72 for dark (V<0.3) + bin 73 for unsaturated (S<0.2)
+    (reconstruction of mrpt::pbmap::Plane::calcPlaneHistH)."""
+    c = rgb.astype(np.float64) / 255.0
+    v = c.max(axis=-1)
+    mn = c.min(axis=-1)
+    s = np.where(v > 1e-9, (v - mn) / np.maximum(v, 1e-9), 0.0)
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    delta = np.maximum(v - mn, 1e-9)
+    h = np.where(
+        v == r,
+        (g - b) / delta % 6.0,
+        np.where(v == g, (b - r) / delta + 2.0, (r - g) / delta + 4.0),
+    ) * 60.0
+    bins = np.clip((h / 360.0 * 72).astype(int), 0, 71)
+    bins = np.where(v < 0.3, 72, np.where(s < 0.2, 73, bins))
+    hist = np.bincount(bins.reshape(-1), minlength=HIST_H_BINS).astype(np.float64)
+    n = hist.sum()
+    return hist / n if n > 0 else hist
+
+
+def bhattacharyya(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Bhattacharyya coefficient of two normalized histograms (1 = identical)."""
+    return float(np.sum(np.sqrt(h1 * h2)))
+
+
+@dataclasses.dataclass
+class Plane:
+    """A planar patch (native equivalent of mrpt::pbmap::Plane)."""
+
+    id: int = 0
+    normal: np.ndarray = None  # (3,) unit, oriented toward the sensor
+    center: np.ndarray = None  # (3,) centroid of inliers
+    d: float = 0.0  # plane offset: d = -normal . center
+    curvature: float = 0.0
+    inliers: np.ndarray = None  # flat indices into the (sphere) cloud
+    points: np.ndarray = None  # (N,3) inlier points (subsampled ok)
+    colors: Optional[np.ndarray] = None  # (N,3) uint8 RGB of inliers
+    hull: np.ndarray = None  # (K,3) convex hull polygon vertices
+    area_hull: float = 0.0
+    elongation: float = 1.0
+    ppal_dir: np.ndarray = None  # (3,) principal direction in-plane
+    hist_h: np.ndarray = None
+    main_color: Optional[np.ndarray] = None
+    label: str = ""
+
+    # -- derived geometry ----------------------------------------------------
+    def plane_basis(self):
+        n = self.normal
+        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+        u = np.cross(n, a)
+        u /= np.linalg.norm(u)
+        v = np.cross(n, u)
+        return u, v
+
+    def compute_hull_area(self, contour_points: np.ndarray) -> None:
+        """calcConvexHull + computeMassCenterAndArea + calcElongationAndPpalDir."""
+        u, v = self.plane_basis()
+        rel = contour_points - self.center
+        p2 = np.stack([rel @ u, rel @ v], axis=-1)
+        if len(p2) < 3:
+            self.hull = contour_points.copy()
+            self.area_hull = 0.0
+            return
+        hull_idx = convex_hull_2d(p2)
+        if len(hull_idx) < 3:
+            self.hull = contour_points[hull_idx]
+            self.area_hull = 0.0
+            return
+        poly = p2[hull_idx]
+        area, c2 = polygon_area_centroid(poly)
+        self.hull = contour_points[hull_idx]
+        self.area_hull = float(area)
+        self.mass_center = self.center + c2[0] * u + c2[1] * v
+        # elongation: principal second moments of the hull polygon vertices
+        m = poly - poly.mean(axis=0)
+        cov = m.T @ m / max(len(m), 1)
+        w, vec = np.linalg.eigh(cov)
+        self.elongation = float(np.sqrt(max(w[1], 1e-12) / max(w[0], 1e-12)))
+        self.ppal_dir = vec[:, 1][0] * u + vec[:, 1][1] * v
+
+    def compute_colors(self) -> None:
+        if self.colors is not None and len(self.colors):
+            self.hist_h = rgb_to_hue_hist(self.colors)
+            self.main_color = self.colors.mean(axis=0) / 255.0
+        else:
+            self.hist_h = np.zeros(HIST_H_BINS)
+            self.main_color = np.zeros(3)
+
+    def transform(self, rt: np.ndarray) -> None:
+        """Rigidly transform all geometry (mrpt::pbmap::Plane::transform)."""
+        R, t = rt[:3, :3], rt[:3, 3]
+        self.normal = R @ self.normal
+        self.center = R @ self.center + t
+        if self.ppal_dir is not None:
+            self.ppal_dir = R @ self.ppal_dir
+        self.d = float(-self.normal @ self.center)
+        if self.points is not None:
+            self.points = self.points @ R.T + t
+        if self.hull is not None:
+            self.hull = self.hull @ R.T + t
+
+    # -- predicates ----------------------------------------------------------
+    def is_plane_nearby(self, other: "Plane", dist_threshold: float) -> bool:
+        """Hull-proximity test: any vertex/edge pair within dist_threshold."""
+        h1, h2 = self.hull, other.hull
+        if h1 is None or h2 is None or len(h1) == 0 or len(h2) == 0:
+            return False
+        dd = np.linalg.norm(h1[:, None, :] - h2[None, :, :], axis=-1)
+        if dd.min() < dist_threshold:
+            return True
+        thr2 = dist_threshold * dist_threshold
+        for i in range(len(h1)):
+            for j in range(len(h2)):
+                if (
+                    dist3d_segment_segment(
+                        h1[i], h1[(i + 1) % len(h1)], h2[j], h2[(j + 1) % len(h2)]
+                    )
+                    < thr2
+                ):
+                    return True
+        return False
+
+    def is_same_plane(
+        self,
+        other: "Plane",
+        cos_angle_thr: float,
+        dist_thr: float,
+        prox_thr: float,
+    ) -> bool:
+        """mrpt::pbmap::Plane::isSamePlane(plane, cosAngle, dist, proximity)
+        as called at reference include/Frame360.h:917, 1058."""
+        if float(self.normal @ other.normal) < cos_angle_thr:
+            return False
+        if abs(float(self.normal @ (other.center - self.center))) > dist_thr:
+            return False
+        return self.is_plane_nearby(other, prox_thr)
+
+    def merge_plane(self, other: "Plane") -> None:
+        """Merge `other` into self, re-estimating parameters from the union
+        (mrpt::pbmap::Plane::mergePlane2)."""
+        pts = np.concatenate([self.points, other.points], axis=0)
+        self.inliers = np.concatenate([self.inliers, other.inliers])
+        if self.colors is not None and other.colors is not None:
+            self.colors = np.concatenate([self.colors, other.colors], axis=0)
+        center = pts.mean(axis=0)
+        cov = (pts - center).T @ (pts - center) / len(pts)
+        w, vec = np.linalg.eigh(cov)
+        normal = vec[:, 0]
+        if normal @ center > 0:
+            normal = -normal
+        self.points = pts
+        self.center = center
+        self.normal = normal
+        self.d = float(-normal @ center)
+        self.curvature = float(w[0] / max(w.sum(), 1e-12))
+        hull_pts = np.concatenate([self.hull, other.hull], axis=0)
+        self.compute_hull_area(hull_pts)
+        self.compute_colors()
+
+
+@dataclasses.dataclass
+class PbMap:
+    planes: List[Plane] = dataclasses.field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.planes)
+
+    def total_area(self) -> float:
+        return float(sum(p.area_hull for p in self.planes))

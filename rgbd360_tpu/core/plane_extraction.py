@@ -1,0 +1,236 @@
+"""Per-frame plane extraction: Frame360.getPlanes equivalent.
+
+Pipeline (reference include/Frame360.h:467-510 buildSphereCloud +
+:615-638 getPlanes + :942-1081 getPlanesSensor + :742-832 groupPlanes +
+:657-739 mergePlanes):
+
+  device (one batched program over the 8 sensors):
+      undistorted depth -> pinhole backprojection -> 2x median downsample ->
+      fast bilateral (z) -> integral-image normals -> plane label propagation
+  host (tiny combinatorial work):
+      per-component plane parameters -> area/elongation filters -> per-sensor
+      same-plane merge -> transform to rig frame -> cross-sensor groupPlanes
+      (with the 8->1 wraparound) -> global mergePlanes
+
+Constants from include/Miscellaneous.h:51-76 via config.GlobalParams.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.config import default_params
+from rgbd360_tpu.core.pbmap import PbMap, Plane
+from rgbd360_tpu.ops.bilateral import fast_bilateral_z
+from rgbd360_tpu.ops.normals import organized_normals
+from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
+from rgbd360_tpu.ops.planes_seg import MIN_INLIERS, segment_planes
+
+MAX_CURVATURE = default_params.max_curvature_plane
+MIN_AREA = default_params.min_area_plane
+MAX_ELONGATION = default_params.max_elongation_plane
+
+
+@jax.jit
+def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
+    """(8,H,W) depth + (8,H,W,3) u8 -> per-sensor organized half-res clouds,
+    normals and plane labels, all in sensor frames."""
+
+    def one(depth, rgb_s):
+        xyz = backproject_organized(depth)
+        xyz2, rgb2 = downsample_median2(xyz, rgb_s)
+        zf = fast_bilateral_z(xyz2[..., 2])
+        xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
+        normals = organized_normals(xyz2)
+        labels = segment_planes(xyz2, normals)
+        return xyz2, rgb2, normals, labels
+
+    return jax.vmap(one)(depth_undist_m, rgb)
+
+
+def _planes_from_labels(
+    xyz: np.ndarray, rgb: np.ndarray, labels: np.ndarray, sensor_id: int
+) -> List[Plane]:
+    """Component stats -> Plane objects (reference getPlanesSensor loop,
+    include/Frame360.h:979-1075), still in the sensor frame."""
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    xyzf = xyz.reshape(-1, 3)
+    rgbf = rgb.reshape(-1, 3)
+    valid = flat >= 0
+    ids, inverse, counts = np.unique(flat[valid], return_inverse=True, return_counts=True)
+    planes: List[Plane] = []
+    px_of = np.flatnonzero(valid)
+    order = np.argsort(inverse, kind="stable")
+    sorted_px = px_of[order]
+    boundaries = np.concatenate([[0], np.cumsum(counts)])
+    single_cloud_size = h * w
+
+    for k in range(len(ids)):
+        if counts[k] < MIN_INLIERS:
+            continue
+        inl = sorted_px[boundaries[k] : boundaries[k + 1]]
+        pts = xyzf[inl]
+        center = pts.mean(axis=0)
+        cov = (pts - center).T @ (pts - center) / len(pts)
+        evals, evecs = np.linalg.eigh(cov)
+        normal = evecs[:, 0]
+        if normal @ center > 0:  # flip toward the sensor (Frame360.h:988-992)
+            normal = -normal
+        curvature = float(evals[0] / max(evals.sum(), 1e-12))
+
+        plane = Plane(
+            id=len(planes),
+            normal=normal,
+            center=center,
+            curvature=curvature,
+            inliers=inl + sensor_id * single_cloud_size,
+            points=pts,
+            colors=rgbf[inl],
+        )
+        plane.compute_hull_area(pts)
+        if plane.area_hull < MIN_AREA:  # discard small planes (:1034)
+            continue
+        plane.d = float(-plane.normal @ plane.center)
+        if plane.elongation > MAX_ELONGATION:  # discard narrow planes (:1041)
+            continue
+        plane.compute_colors()
+        planes.append(plane)
+
+    # local same-plane merge (:1055-1068)
+    merged: List[Plane] = []
+    for plane in planes:
+        absorbed = False
+        if plane.curvature < MAX_CURVATURE:
+            for prev in merged:
+                if prev.curvature < MAX_CURVATURE and prev.is_same_plane(
+                    plane, 0.99, 0.05, 0.2
+                ):
+                    prev.merge_plane(plane)
+                    absorbed = True
+                    break
+        if not absorbed:
+            plane.id = len(merged)
+            merged.append(plane)
+    return merged
+
+
+def _same_surface(pj: Plane, pk: Plane, max_dist_hull: float, max_parallel: float) -> bool:
+    """The vertex/edge proximity + parallel-offset test shared by groupPlanes
+    and mergePlanes (reference include/Frame360.h:680-711, 785-811)."""
+    h1, h2 = pj.hull, pk.hull
+    if h1 is None or h2 is None or len(h1) < 2 or len(h2) < 2:
+        return False
+    diff = h1[:, None, :] - h2[None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    offset = np.abs(diff @ pj.normal)
+    if np.any((dist < max_dist_hull) & (offset < max_parallel)):
+        return True
+    # edge-to-edge distances
+    from rgbd360_tpu.core.pbmap import dist3d_segment_segment
+
+    thr2 = max_dist_hull * max_dist_hull
+    for i in range(len(h1)):
+        a0, a1 = h1[i], h1[(i + 1) % len(h1)]
+        for j in range(len(h2)):
+            b0, b1 = h2[j], h2[(j + 1) % len(h2)]
+            if dist3d_segment_segment(a0, a1, b0, b1) < thr2:
+                off = abs(float((h1[i] - h2[j]) @ pj.normal))
+                if off < max_parallel:
+                    return True
+    return False
+
+
+def group_planes(local_planes: List[List[Plane]]) -> PbMap:
+    """Cross-sensor merge incl. the sensor 7->0 wraparound
+    (reference include/Frame360.h:742-832)."""
+    max_dist_hull = 0.5
+    max_parallel = 0.09
+    planes: List[Plane] = []
+    for p in local_planes[0]:
+        p.id = len(planes)
+        planes.append(p)
+    first_ids = {p.id for p in planes}
+    prev_ids = set(first_ids)
+
+    for sensor_id in range(1, 8):
+        next_prev = set()
+        for cand in local_planes[sensor_id]:
+            target = None
+            if cand.area_hull > 0.5 or cand.curvature < MAX_CURVATURE:
+                for j in prev_ids:
+                    pj = planes[j]
+                    if pj.area_hull < 0.5 or pj.curvature > MAX_CURVATURE:
+                        continue
+                    if abs(pj.d - cand.d) >= 0.45:
+                        continue
+                    if pj.normal @ cand.normal <= 0.99:
+                        continue
+                    if _same_surface(pj, cand, max_dist_hull, max_parallel):
+                        target = j
+                        break
+            if target is not None:
+                next_prev.add(target)
+                planes[target].merge_plane(cand)
+            else:
+                cand.id = len(planes)
+                next_prev.add(cand.id)
+                planes.append(cand)
+        prev_ids = next_prev
+        if sensor_id == 6:  # let sensor 7 also merge with sensor 0's planes
+            prev_ids |= first_ids
+    return PbMap(planes=planes)
+
+
+def merge_planes(pbmap: PbMap) -> PbMap:
+    """Global merge of coplanar patches (reference include/Frame360.h:657-739)."""
+    planes = pbmap.planes
+    j = 0
+    while j < len(planes):
+        k = j + 1
+        merged_any = False
+        while k < len(planes):
+            pj, pk = planes[j], planes[k]
+            same = False
+            if pj.curvature < MAX_CURVATURE and pk.curvature < MAX_CURVATURE:
+                if pj.normal @ pk.normal > 0.99 and abs(pj.d - pk.d) < 0.45:
+                    same = _same_surface(pj, pk, 0.3, 0.06)
+            if same:
+                pj.merge_plane(pk)
+                del planes[k]
+                for h in range(k, len(planes)):
+                    planes[h].id -= 1
+                merged_any = True
+                break  # re-evaluate j against all (reference :729-731)
+            k += 1
+        if not merged_any:
+            j += 1
+    for i, p in enumerate(planes):
+        p.id = i
+    return pbmap
+
+
+def extract_frame_planes(frame) -> Tuple[PbMap, List[List[Plane]]]:
+    """Full getPlanes pipeline for a Frame360."""
+    xyz, rgb2, normals, labels = build_sensor_clouds(
+        frame.depth_undistorted_m, frame.rgb
+    )
+    xyz = np.asarray(xyz)
+    rgb2 = np.asarray(rgb2)[..., ::-1]  # stored BGR -> RGB for color stats
+    labels = np.asarray(labels)
+    rt = frame.calib.Rt
+
+    local: List[List[Plane]] = []
+    for s in range(8):
+        planes = _planes_from_labels(xyz[s], rgb2[s], labels[s], s)
+        for p in planes:
+            p.transform(rt[s].astype(np.float64))
+        local.append(planes)
+
+    pbmap = merge_planes(group_planes([list(l) for l in local]))
+    return pbmap, local

@@ -1,0 +1,97 @@
+"""RegisterPhotoICP — OO facade over the dense aligner, mirroring the
+reference public API (include/RegisterPhotoICP.h:480-4800: setSourceFrame,
+setTargetFrame, alignFrames360, getOptimalPose, getHessian, getGradient,
+calcEntropy, SSO, avPhotoResidual, avDepthResidual).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.ops import photoicp
+
+PHOTO_CONSISTENCY = photoicp.PHOTO_CONSISTENCY
+DEPTH_CONSISTENCY = photoicp.DEPTH_CONSISTENCY
+PHOTO_DEPTH = photoicp.PHOTO_DEPTH
+
+
+class RegisterPhotoICP:
+    def __init__(self, n_pyr_levels: int = 4):
+        self.n_pyr_levels = n_pyr_levels
+        self.min_depth = photoicp.MIN_DEPTH
+        self.max_depth = photoicp.MAX_DEPTH
+        self._src = None  # pyramid tuples
+        self._trg = None
+        self._result: Optional[photoicp.AlignResult] = None
+
+    # -- reference API --------------------------------------------------------
+    def set_num_pyr(self, n: int) -> None:
+        self.n_pyr_levels = n
+        self._src = self._trg = None
+
+    @staticmethod
+    def _to_gray_depth(rgb_bgr_u8, depth):
+        from rgbd360_tpu.ops.image import gray_f32
+
+        gray = gray_f32(jnp.asarray(rgb_bgr_u8))
+        depth = jnp.asarray(depth)
+        if depth.dtype == jnp.uint16:  # millimetres -> metres (buildPyramidRange)
+            depth = depth.astype(jnp.float32) * 0.001
+        return gray, depth.astype(jnp.float32)
+
+    def set_source_frame(self, rgb_bgr_u8, depth) -> None:
+        gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
+        self._src = photoicp.build_pyramid_set(
+            gray, depth_m, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
+        )
+
+    def set_target_frame(self, rgb_bgr_u8, depth) -> None:
+        gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
+        self._trg = photoicp.build_pyramid_set(
+            gray, depth_m, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
+        )
+
+    def align_frames360(
+        self, pose_guess: Optional[np.ndarray] = None, method: int = PHOTO_CONSISTENCY
+    ) -> np.ndarray:
+        assert self._src is not None and self._trg is not None, "set frames first"
+        guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
+        self._result = photoicp.align_frames360(self._src, self._trg, guess, method)
+        return self.get_optimal_pose()
+
+    # -- accessors -------------------------------------------------------------
+    @property
+    def result(self) -> photoicp.AlignResult:
+        assert self._result is not None, "align first"
+        return self._result
+
+    def get_optimal_pose(self) -> np.ndarray:
+        return np.asarray(self.result.pose)
+
+    def get_hessian(self) -> np.ndarray:
+        return np.asarray(self.result.hessian)
+
+    def get_gradient(self) -> np.ndarray:
+        return np.asarray(self.result.gradient)
+
+    def calc_entropy(self) -> float:
+        return float(photoicp.calc_entropy(self.result.hessian))
+
+    @property
+    def sso(self) -> float:
+        return float(self.result.sso)
+
+    @property
+    def av_photo_residual(self) -> float:
+        return float(self.result.av_photo_residual)
+
+    @property
+    def av_depth_residual(self) -> float:
+        return float(self.result.av_depth_residual)
+
+    @property
+    def num_iterations(self) -> np.ndarray:
+        return np.asarray(self.result.num_iterations)

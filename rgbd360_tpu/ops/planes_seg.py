@@ -1,0 +1,86 @@
+"""Organized multi-plane segmentation as iterative label propagation.
+
+Equivalent of PCL OrganizedMultiPlaneSegmentation with the reference's
+configuration (include/Frame360.h:958-977: min inliers 80, angular threshold
+0.039812 rad, distance threshold 0.02 m): two 4-connected pixels belong to
+the same planar region when their normals agree within the angular threshold
+and their plane offsets (n . p) differ by less than the distance threshold.
+Region growing — inherently sequential in PCL — becomes a fixed-point
+min-label flood fill (a lax.while_loop of vectorized 4-neighbour minima),
+converging in O(image diameter) sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+ANGULAR_THRESHOLD = 0.039812  # rad (~2.3 deg)
+DISTANCE_THRESHOLD = 0.02  # m
+MIN_INLIERS = 80
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def segment_planes(
+    xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
+    normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
+    max_sweeps: int = 512,
+):
+    """Returns labels (H, W) int32: -1 invalid, else the component id (the
+    smallest flat pixel index in the component)."""
+    h, w = xyz.shape[:2]
+    valid = jnp.all(jnp.isfinite(xyz), axis=-1) & jnp.all(jnp.isfinite(normals), axis=-1)
+    n = jnp.where(valid[..., None], normals, 0.0)
+    p = jnp.where(valid[..., None], xyz, 0.0)
+    d = jnp.sum(n * p, axis=-1)  # plane offset per pixel
+    cos_thr = jnp.cos(ANGULAR_THRESHOLD)
+
+    def connected(sl_a, sl_b):
+        """Edge predicate between two equally-shaped pixel slabs."""
+        dot = jnp.sum(sl_a[0] * sl_b[0], axis=-1)
+        return (
+            sl_a[2]
+            & sl_b[2]
+            & (dot > cos_thr)
+            & (jnp.abs(sl_a[1] - sl_b[1]) < DISTANCE_THRESHOLD)
+        )
+
+    a = (n, d, valid)
+    right = jnp.zeros((h, w), bool).at[:, :-1].set(
+        connected(tuple(x[:, :-1] for x in a), tuple(x[:, 1:] for x in a))
+    )
+    down = jnp.zeros((h, w), bool).at[:-1, :].set(
+        connected(tuple(x[:-1, :] for x in a), tuple(x[1:, :] for x in a))
+    )
+
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    BIG = h * w  # sentinel larger than any label
+    labels0 = jnp.where(valid, idx, BIG)
+
+    def sweep(lab):
+        # pull the min label across each connected edge, both directions
+        shift_l = jnp.pad(lab[:, 1:], ((0, 0), (0, 1)), constant_values=BIG)
+        shift_u = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=BIG)
+        from_right = jnp.where(right, shift_l, BIG)
+        from_down = jnp.where(down, shift_u, BIG)
+        from_left = jnp.pad(jnp.where(right, lab, BIG), ((0, 0), (1, 0)), constant_values=BIG)[:, :w]
+        from_up = jnp.pad(jnp.where(down, lab, BIG), ((1, 0), (0, 0)), constant_values=BIG)[:h, :]
+        new = jnp.minimum(
+            jnp.minimum(lab, from_right),
+            jnp.minimum(from_left, jnp.minimum(from_down, from_up)),
+        )
+        return jnp.where(valid, new, BIG)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_sweeps)
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(valid, labels, -1)

@@ -1,0 +1,190 @@
+"""Plane layer: normals, segmentation, plane params, matcher, pose-from-planes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.core.matcher import (
+    DEFAULT_6DOF,
+    PLANAR_3DOF,
+    MatcherConfig,
+    SubgraphMatcher,
+    estimate_pose_from_planes,
+)
+from rgbd360_tpu.core.pbmap import (
+    PbMap,
+    Plane,
+    bhattacharyya,
+    convex_hull_2d,
+    polygon_area_centroid,
+    rgb_to_hue_hist,
+)
+from rgbd360_tpu.ops.normals import organized_normals
+from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
+from rgbd360_tpu.ops.planes_seg import segment_planes
+
+
+def _two_plane_cloud(h=120, w=160):
+    """Organized cloud: left half a wall at z=2, right half a wall at z=3."""
+    focal = 525.0 * w / 640.0
+    ox, oy = w / 2 - 0.5, h / 2 - 0.5
+    xs = (np.arange(w) - ox) / focal
+    ys = (np.arange(h) - oy) / focal
+    z = np.where(np.arange(w)[None, :] < w // 2, 2.0, 3.0).astype(np.float32)
+    z = np.broadcast_to(z, (h, w)).copy()
+    xyz = np.stack(
+        [xs[None, :] * z, ys[:, None] * z, z], axis=-1
+    ).astype(np.float32)
+    return xyz
+
+
+def test_backproject_matches_depth():
+    depth = jnp.full((120, 160), 2.5, jnp.float32)
+    xyz = np.asarray(backproject_organized(depth))
+    assert np.allclose(xyz[..., 2], 2.5)
+    # center pixel maps close to the optical axis
+    assert abs(xyz[60, 80, 0]) < 0.02 and abs(xyz[60, 80, 1]) < 0.02
+
+
+def test_downsample_median_prefers_valid():
+    xyz = np.full((4, 4, 3), np.nan, np.float32)
+    xyz[0, 0] = [0.1, 0.2, 2.0]  # only valid point of block (0,0)
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    out, _ = downsample_median2(jnp.asarray(xyz), jnp.asarray(rgb))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0, 0], [0.1, 0.2, 2.0], atol=1e-6)
+    assert np.isnan(out[1, 1]).all()  # empty block copies (NaN) center
+
+
+def test_normals_on_flat_wall():
+    xyz = _two_plane_cloud()
+    normals = np.asarray(organized_normals(jnp.asarray(xyz)))
+    # interior of the left wall: normal is -z (toward the sensor)
+    n = normals[40:80, 20:60]
+    assert np.isfinite(n).all()
+    np.testing.assert_allclose(np.abs(n[..., 2]), 1.0, atol=1e-3)
+    assert (n[..., 2] < 0).all()
+
+
+def test_segmentation_splits_depth_step():
+    xyz = _two_plane_cloud()
+    normals = organized_normals(jnp.asarray(xyz))
+    labels = np.asarray(segment_planes(jnp.asarray(xyz), normals))
+    interior = labels[30:-30]
+    left = interior[:, 20:60]
+    right = interior[:, 100:140]
+    assert (left >= 0).all() and (right >= 0).all()
+    assert len(np.unique(left)) == 1 and len(np.unique(right)) == 1
+    assert np.unique(left)[0] != np.unique(right)[0]
+
+
+def test_hull_area():
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]])
+    hull = convex_hull_2d(square)
+    assert len(hull) == 4
+    area, c = polygon_area_centroid(square[hull])
+    assert area == pytest.approx(1.0)
+    np.testing.assert_allclose(c, [0.5, 0.5], atol=1e-9)
+
+
+def test_hue_hist_properties(rng):
+    rgb = rng.integers(0, 255, (500, 3), dtype=np.uint8)
+    h = rgb_to_hue_hist(rgb)
+    assert h.shape == (74,)
+    assert h.sum() == pytest.approx(1.0)
+    assert bhattacharyya(h, h) == pytest.approx(1.0, abs=1e-9)
+
+
+def _make_plane(normal, center, area, colors_seed=0):
+    rng = np.random.default_rng(colors_seed)
+    normal = np.asarray(normal, float)
+    normal = normal / np.linalg.norm(normal)
+    p = Plane(normal=normal, center=np.asarray(center, float), area_hull=area)
+    p.d = float(-p.normal @ p.center)
+    p.elongation = 1.5
+    p.hist_h = rgb_to_hue_hist(rng.integers(100, 130, (50, 3), dtype=np.uint8))
+    u, v = p.plane_basis()
+    half = np.sqrt(area) / 2
+    p.hull = np.stack(
+        [p.center + su * half * u + sv * half * v for su, sv in
+         [(-1, -1), (1, -1), (1, 1), (-1, 1)]]
+    )
+    p.points = p.hull.copy()
+    p.inliers = np.arange(4)
+    return p
+
+
+def _transform_plane(p, R, t):
+    q = Plane(
+        normal=R @ p.normal, center=R @ p.center + t, area_hull=p.area_hull,
+    )
+    q.d = float(-q.normal @ q.center)
+    q.elongation = p.elongation
+    q.hist_h = p.hist_h.copy()
+    q.hull = p.hull @ R.T + t
+    q.points = q.hull.copy()
+    q.inliers = p.inliers.copy()
+    return q
+
+
+def test_matcher_recovers_known_pose():
+    # a room with distinct pairwise normal angles (matching is pose-free, so
+    # a fully rectangular scene is genuinely ambiguous — also for the
+    # reference's matcher, whose constraints are the same invariants)
+    planes = [
+        _make_plane([0.05, 0.1, -1], [0, 0, 3], 4.0, 1),
+        _make_plane([0.1, -1, 0.2], [0.2, 2.5, 1], 1.5, 2),
+        _make_plane([-0.1, 1, 0.3], [-0.3, -2.0, 1.5], 2.5, 3),
+        _make_plane([-1, 0.2, 0.05], [1.4, 0.4, 1.2], 6.0, 4),
+    ]
+    theta = 0.1
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    t = np.array([0.0, 0.25, -0.15])
+    # ref plane params relate to trg by the pose (trg seen from ref):
+    Rinv, tinv = R.T, -R.T @ t
+    trg_planes = [_transform_plane(p, Rinv, tinv) for p in planes]
+    ref, trg = PbMap(list(planes)), PbMap(list(trg_planes))
+    for i, p in enumerate(ref.planes):
+        p.id = i
+    for j, p in enumerate(trg.planes):
+        p.id = j
+
+    m = SubgraphMatcher(MatcherConfig())
+    match = m.compare_subgraphs(ref, trg, [0, 1, 2, 3], [0, 1, 2, 3], DEFAULT_6DOF)
+    assert match == {0: 0, 1: 1, 2: 2, 3: 3}
+    ok, pose, info = estimate_pose_from_planes(ref, trg, match, DEFAULT_6DOF)
+    assert ok
+    np.testing.assert_allclose(pose[:3, :3], R, atol=1e-5)
+    np.testing.assert_allclose(pose[:3, 3], t, atol=1e-5)
+    assert np.all(np.linalg.eigvalsh(info.astype(np.float64)) > -1e-6)
+
+    ok, pose_p, _ = estimate_pose_from_planes(ref, trg, match, PLANAR_3DOF)
+    assert ok
+    np.testing.assert_allclose(pose_p[:3, 3], t, atol=1e-5)
+
+
+def test_matcher_rejects_underdetermined():
+    # two parallel walls only: translation along them is unobservable
+    planes = [
+        _make_plane([0, 0, -1], [0, 0, 3], 4.0, 1),
+        _make_plane([0, 0, -1], [0, 1, 5], 4.0, 2),
+        _make_plane([0, 0, -1], [1, 0, 7], 4.0, 3),
+    ]
+    for i, p in enumerate(planes):
+        p.id = i
+    ref = PbMap(list(planes))
+    ok, _, _ = estimate_pose_from_planes(ref, ref, {0: 0, 1: 1, 2: 2}, DEFAULT_6DOF)
+    assert not ok
+
+
+def test_sample_frame_planes(sample_frames):
+    f1, _ = sample_frames
+    pbmap = f1.get_planes()
+    assert len(pbmap) >= 5
+    areas = [p.area_hull for p in pbmap.planes]
+    assert max(areas) > 1.0
+    for p in pbmap.planes:
+        assert abs(np.linalg.norm(p.normal) - 1) < 1e-5
+        assert p.d == pytest.approx(-float(p.normal @ p.center), abs=1e-4)
+        assert len(p.inliers) >= 80
