@@ -16,4 +16,30 @@ Layer map (mirrors reference include/ layering, see SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compile cache: first-run compiles over the axon tunnel
+    cost 10-30 s per kernel and occasionally minutes; cache them across
+    processes. Disable with RGBD360_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("RGBD360_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "RGBD360_COMPILE_CACHE",
+                _os.path.expanduser("~/.cache/jax_rgbd360"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from rgbd360_tpu.config import GlobalParams, default_params  # noqa: F401

@@ -1,0 +1,42 @@
+"""Shared CLI plumbing for the application layer."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from rgbd360_tpu.io.calib import Calib360
+
+DEFAULT_DATA_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
+
+
+def load_calib(root: str = None) -> Calib360:
+    return Calib360.load(root or DEFAULT_DATA_ROOT)
+
+
+def default_matcher_config(root: str = None) -> str:
+    root = root or DEFAULT_DATA_ROOT
+    return os.path.join(root, "config_files", "configLocaliser_sphericalOdometry.ini")
+
+
+def rot_offset() -> np.ndarray:
+    """157.5 deg sphere-vs-cloud frame offset (OdometryRGBD360.cpp:137-139)."""
+    a = np.deg2rad(157.5)
+    m = np.eye(4, dtype=np.float64)
+    m[1, 1] = m[2, 2] = np.cos(a)
+    m[1, 2] = np.sin(a)
+    m[2, 1] = -np.sin(a)
+    return m
+
+
+def sequence_files(path: str, first: int, sample: int):
+    """Yield (frame_number, file) over sphere_images_%d.bin like the apps'
+    fexists loop (OdometryRGBD360.cpp:130-141)."""
+    n = first
+    while True:
+        f = os.path.join(path, f"sphere_images_{n}.bin")
+        if not os.path.exists(f):
+            return
+        yield n, f
+        n += sample

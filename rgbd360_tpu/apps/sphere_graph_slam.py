@@ -1,0 +1,155 @@
+"""SphereGraphSLAM — full hybrid plane/dense pose-graph SLAM
+(reference SLAM/SphereGraphSLAM.cpp:60-302 + SLAM/KFsphere_SLAM.cpp):
+PbMap tracking against up to 5 previous keyframes, dense keyframe criterion,
+topological SSO upkeep, loop-closure search, pose-graph optimization,
+spectral partitioning every 4 keyframes.
+
+Usage: python -m rgbd360_tpu.apps.sphere_graph_slam <dataset_dir>
+       [--first 1] [--sample 1] [--out DIR] [--lc-thread]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from rgbd360_tpu.apps.common import (
+    default_matcher_config,
+    load_calib,
+    rot_offset,
+    sequence_files,
+)
+from rgbd360_tpu.core.frame360 import Frame360
+from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
+from rgbd360_tpu.core.loop_closure import LoopClosure360
+from rgbd360_tpu.core.map360 import Map360
+from rgbd360_tpu.core.matcher import PLANAR_ODOMETRY_3DOF
+from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
+from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
+from rgbd360_tpu.core.topological import TopologicalMap360
+from rgbd360_tpu.utils.viz import save_trajectory
+
+TRACK_BACK_KFS = 5  # reference SphereGraphSLAM.cpp:175-180
+PARTITION_EVERY = 4  # reference KFsphere_SLAM.cpp:710
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset")
+    ap.add_argument("--first", type=int, default=1)
+    ap.add_argument("--sample", type=int, default=1)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--calib-root", default=None)
+    ap.add_argument("--lc-thread", action="store_true",
+                    help="run loop closure on a background thread (reference"
+                         " behavior); default is synchronous/deterministic")
+    args = ap.parse_args(argv)
+
+    calib = load_calib(args.calib_root)
+    cfg = default_matcher_config(args.calib_root)
+    registerer = RegisterRGBD360(cfg)
+    aligner = RegisterPhotoICP(n_pyr_levels=5)
+    off = rot_offset()
+
+    world = Map360()
+    topo = TopologicalMap360(world)
+    optimizer = GraphOptimizer()
+    loop_closer = LoopClosure360(world, optimizer, cfg)
+    if args.lc_thread:
+        loop_closer.start()
+
+    current_pose = np.eye(4, dtype=np.float64)
+    n_lc = 0
+
+    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
+        frame = Frame360(calib, frame_no).build(path)
+        frame.get_planes()
+
+        if len(world) == 0:
+            world.add_keyframe(frame, current_pose)
+            world.optimized_poses.append(current_pose.astype(np.float32))
+            topo.add_keyframe(world.current_area)
+            optimizer.add_vertex(current_pose)
+            print(f"frame {frame_no}: first keyframe")
+            continue
+
+        # track against up to 5 most recent keyframes (:175-180)
+        tracked = False
+        for back in range(1, min(TRACK_BACK_KFS, len(world)) + 1):
+            ref_id = len(world) - back
+            ok = registerer.register_pbmap(
+                world.frames[ref_id], frame, 25, PLANAR_ODOMETRY_3DOF
+            )
+            if not ok:
+                continue
+            rel_pb = registerer.get_pose().astype(np.float64)
+            # dense refinement seeded by the PbMap estimate
+            aligner.set_target_frame(
+                world.frames[ref_id].sphere_rgb, world.frames[ref_id].sphere_depth_mm
+            )
+            aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
+            guess = off @ rel_pb @ np.linalg.inv(off)
+            aligner.align_frames360(guess.astype(np.float32), PHOTO_DEPTH)
+            rel = np.linalg.inv(off) @ aligner.get_optimal_pose().astype(np.float64) @ off
+            info = aligner.get_hessian()
+            sso = registerer.get_area_matched() / max(registerer.area_source, 1e-9)
+
+            current_pose = world.trajectory_poses[ref_id].astype(np.float64) @ rel
+            kf_id = world.add_keyframe(frame, current_pose)
+            world.optimized_poses.append(current_pose.astype(np.float32))
+            topo.add_keyframe(world.current_area)
+            topo.add_connection(ref_id, kf_id, float(sso))
+            world.add_connection(ref_id, kf_id, rel, info)
+            optimizer.add_vertex(current_pose)
+            optimizer.add_edge(ref_id, kf_id, rel, info)
+            print(
+                f"frame {frame_no}: kf {kf_id} tracked vs {ref_id} "
+                f"|t|={np.linalg.norm(rel[:3,3]):.3f} avDepth={aligner.av_depth_residual:.3f}"
+            )
+            tracked = True
+            break
+        if not tracked:
+            print(f"frame {frame_no}: TRACKING LOST (no PbMap match)")
+            continue
+
+        kf_id = len(world) - 1
+        if args.lc_thread:
+            loop_closer.notify_keyframe(kf_id)
+        else:
+            new_lc = loop_closer.process_new_keyframe(kf_id)
+            if new_lc:
+                n_lc += new_lc
+                optimizer.optimize_graph()
+                with world.mutex:
+                    world.optimized_poses = [
+                        p.astype(np.float32) for p in optimizer.get_poses()
+                    ]
+                print(f"  {new_lc} loop closure(s); graph optimized")
+        # drain the LC thread's SSO handoff (reference :251-271)
+        while loop_closer.connections_lc:
+            kf1, conns = loop_closer.connections_lc.popitem()
+            for kf2, sso in conns.items():
+                topo.add_connection(kf1, kf2, float(sso))
+
+        if len(world) % PARTITION_EVERY == 0:
+            if topo.partitioner():
+                print(f"  topology re-partitioned: {len(world.areas)} areas")
+
+    if args.lc_thread:
+        loop_closer.stop()
+    print(f"map: {len(world)} keyframes, {len(world.areas)} areas, {n_lc} loop closures")
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        save_trajectory(os.path.join(args.out, "trajectory_slam.txt"), world.trajectory_poses)
+        if world.optimized_poses:
+            save_trajectory(os.path.join(args.out, "trajectory_optimized.txt"), world.optimized_poses)
+        optimizer.save_graph(os.path.join(args.out, "pose_graph.g2o"))
+        print(f"artifacts -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""LoopClosure360 — loop-closure search (reference include/LoopClosure360.h).
+
+For each new keyframe: scan candidates (same-area KFs at least 6 m of
+trajectory apart within a distance threshold, plus the selected KFs of other
+areas within 5 m), register PbMaps (PLANAR_3DoF, accept at >=5 matches and
+matched area > 15), refine with the dense spherical aligner seeded through
+the 157.5 deg rotOffset conjugation, and accept when avDepthResidual < 2.0
+— then add the graph edge, the map connection and the SSO handoff entry
+(reference :108-378).
+
+The reference runs this on a background thread synchronizing via the map
+mutex and the connectionsLC handoff; here the same search is exposed both
+synchronously (`process_new_keyframe`, deterministic, used by tests and the
+apps) and as a daemon thread (`start`/`stop`) mirroring the reference's
+threading (ctor at :83-94).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from rgbd360_tpu.core.map360 import Map360
+from rgbd360_tpu.core.matcher import PLANAR_3DOF
+from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
+from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
+
+MIN_MATCHES = 5  # reference :297
+MIN_AREA_MATCHED = 15.0  # reference :298
+MAX_DEPTH_RESIDUAL = 2.0  # reference :316
+MIN_TRAJECTORY_GAP = 6.0  # metres of trajectory between candidates (:173-179)
+MAX_CANDIDATE_DIST = 5.0  # metres (:291-294)
+ROT_OFFSET_DEG = 157.5  # sphere-vs-cloud frame offset (:125-126)
+
+
+def rot_offset() -> np.ndarray:
+    a = np.deg2rad(ROT_OFFSET_DEG)
+    m = np.eye(4, dtype=np.float32)
+    m[1, 1] = m[2, 2] = np.cos(a)
+    m[1, 2] = np.sin(a)
+    m[2, 1] = -np.sin(a)
+    return m
+
+
+class LoopClosure360:
+    def __init__(
+        self,
+        map360: Map360,
+        optimizer=None,
+        config_file: Optional[str] = None,
+        n_pyr_levels: int = 5,
+    ):
+        self.map = map360
+        self.optimizer = optimizer
+        self.registerer = RegisterRGBD360(config_file)
+        self.aligner = RegisterPhotoICP(n_pyr_levels)
+        self.rot_offset = rot_offset()
+        # kf -> {other: sso} handoff to the SLAM loop (reference connectionsLC)
+        self.connections_lc: Dict[int, Dict[int, float]] = {}
+        self._queue: "queue.Queue[int]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- candidate scan (reference :173-294) -------------------------------------
+    def _candidates(self, kf_id: int):
+        m = self.map
+        new_pose = m.trajectory_poses[kf_id]
+        area = m.frames[kf_id].node
+        cands = []
+        for other in sorted(m.areas[area], reverse=True):
+            if other == kf_id:
+                continue
+            gap = m.trajectory_increments[kf_id] - m.trajectory_increments[other]
+            if gap < MIN_TRAJECTORY_GAP:
+                continue
+            dist = float(
+                np.linalg.norm(new_pose[:3, 3] - m.trajectory_poses[other][:3, 3])
+            )
+            if dist < MAX_CANDIDATE_DIST:
+                cands.append(other)
+        for other_area, selected in enumerate(m.selected_kfs):
+            if other_area == area or other_area >= len(m.areas) or not m.areas[other_area]:
+                continue
+            if selected >= len(m.frames):
+                continue
+            dist = float(
+                np.linalg.norm(
+                    new_pose[:3, 3] - m.trajectory_poses[selected][:3, 3]
+                )
+            )
+            if dist < MAX_CANDIDATE_DIST:
+                cands.append(selected)
+        return cands
+
+    # -- one keyframe (reference run() body, :108-378) ----------------------------
+    def process_new_keyframe(self, kf_id: int) -> int:
+        """Search loop closures for kf_id. Returns the number accepted."""
+        m = self.map
+        new_kf = m.frames[kf_id]
+        accepted = 0
+        for cand in self._candidates(kf_id):
+            cand_kf = m.frames[cand]
+            ok = self.registerer.register_pbmap(cand_kf, new_kf, 25, PLANAR_3DOF)
+            if (
+                not ok
+                or len(self.registerer.get_matched_planes()) < MIN_MATCHES
+                or self.registerer.get_area_matched() <= MIN_AREA_MATCHED
+            ):
+                continue
+            rel = self.registerer.get_pose()
+            # dense refinement through the sphere-frame conjugation (:309-313)
+            self.aligner.set_source_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
+            self.aligner.set_target_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
+            guess = self.rot_offset @ rel @ np.linalg.inv(self.rot_offset)
+            self.aligner.align_frames360(guess, PHOTO_DEPTH)
+            if self.aligner.av_depth_residual >= MAX_DEPTH_RESIDUAL:
+                continue
+            rel = (
+                np.linalg.inv(self.rot_offset)
+                @ self.aligner.get_optimal_pose()
+                @ self.rot_offset
+            )
+            info = self.aligner.get_hessian()
+            if self.optimizer is not None:
+                self.optimizer.add_edge(cand, kf_id, rel, info)
+            m.add_connection(cand, kf_id, rel, info)
+            self.connections_lc.setdefault(kf_id, {})[cand] = self.aligner.sso
+            accepted += 1
+        return accepted
+
+    # -- background thread (reference ctor :83-94) ---------------------------------
+    def notify_keyframe(self, kf_id: int) -> None:
+        self._queue.put(kf_id)
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def run():
+            while not self._stop.is_set():
+                try:
+                    kf_id = self._queue.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+                try:
+                    self.process_new_keyframe(kf_id)
+                except Exception as exc:  # keep the thread alive like mrpt's
+                    print(f"LoopClosure360: error on kf {kf_id}: {exc}")
+
+        self._thread = threading.Thread(target=run, daemon=True, name="LoopClosure360")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

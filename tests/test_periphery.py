@@ -1,0 +1,158 @@
+"""ICP, cloud filters, calibrator, viz dumps, ini parser."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.core.calibrator import (
+    Calibrator,
+    PairCalibrator,
+    PlaneCorrespondences,
+    construction_specs,
+)
+from rgbd360_tpu.io.ini import parse_ini
+from rgbd360_tpu.ops import se3
+from rgbd360_tpu.ops.filter_cloud import filter_euclidean, filter_voxel
+from rgbd360_tpu.ops.icp import icp_point_to_plane_sphere
+
+
+def _box_depth(h, w, pose=np.eye(4)):
+    """Analytic spherical depth of a box scene seen from `pose` (camera pose
+    in the box frame): per ray, the closest intersection with the 6 walls."""
+    angle = 2 * np.pi / w
+    rows = (0.5 * h - 0.5 - np.arange(h))[:, None] * angle
+    cols = np.arange(w)[None, :] * angle
+    u = np.stack(
+        [
+            np.broadcast_to(np.sin(rows), (h, w)),
+            -np.cos(rows) * np.sin(cols),
+            -np.cos(rows) * np.cos(cols),
+        ],
+        axis=-1,
+    )
+    # walls n.X = d in world; camera at pose: ray X = c + s * R u
+    R, c = pose[:3, :3], pose[:3, 3]
+    u_w = u @ R.T
+    walls = [
+        (np.array([1.0, 0, 0]), 2.0), (np.array([-1.0, 0, 0]), 2.0),
+        (np.array([0, 1.0, 0]), 2.5), (np.array([0, -1.0, 0]), 2.5),
+        (np.array([0, 0, 1.0]), 3.0), (np.array([0, 0, -1.0]), 3.0),
+    ]
+    depth = np.full((h, w), np.inf)
+    for n, d in walls:
+        denom = u_w @ n
+        s = np.where(np.abs(denom) > 1e-9, (d - c @ n) / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+        s = np.where(s > 0, s, np.inf)
+        depth = np.minimum(depth, s)
+    return depth.astype(np.float32)
+
+
+def test_icp_recovers_small_pose(rng):
+    h, w = 64, 256
+    xi = np.array([0.03, -0.02, 0.04, 0.01, -0.012, 0.008], np.float32)
+    pose_true = np.asarray(se3.exp_se3(jnp.asarray(xi), pseudo=False), np.float64)
+    # target camera at origin; source camera displaced by pose_true
+    # (pose maps source-frame points into the target/world frame)
+    depth_trg = _box_depth(h, w)
+    depth_src = _box_depth(h, w, pose_true)
+
+    res = icp_point_to_plane_sphere(
+        jnp.asarray(depth_src), jnp.asarray(depth_trg), jnp.eye(4)
+    )
+    err = np.abs(np.asarray(res.pose) - pose_true).max()
+    assert int(res.num_inliers) > 5000
+    assert err < 2e-3
+    # nearest-pixel association leaves a small residual floor
+    assert float(res.fitness) < 1e-4
+
+
+def test_filter_euclidean_box():
+    xyz = np.array([[0, 0, 0], [5, 0, 0], [-1, 2, 3], [0, 5, 0], [np.nan, 0, 0]])
+    out = filter_euclidean(xyz)
+    assert len(out) == 2  # origin and (-1,2,3)
+
+
+def test_filter_voxel_merges():
+    xyz = np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [1.0, 1.0, 1.0]])
+    out = filter_voxel(xyz, leaf=0.1)
+    assert len(out) == 2
+    np.testing.assert_allclose(sorted(out[:, 0]), [0.015, 1.0], atol=1e-9)
+
+
+def _pair_correspondences(rt_true, n_planes, rng):
+    """Planes observed by sensor1 (identity) and sensor2 (rt_true^-1 view)."""
+    rows = []
+    R, t = rt_true[:3, :3], rt_true[:3, 3]
+    for _ in range(n_planes):
+        n1 = rng.normal(size=3)
+        n1 /= np.linalg.norm(n1)
+        d1 = rng.uniform(1, 4)
+        # plane in sensor2 coords: n2 = R^T n1, d2 = d1 + n1 . t
+        n2 = R.T @ n1
+        d2 = d1 + float(n1 @ t)
+        rows.append(np.concatenate([n1, [d1], n2, [d2]]))
+    return np.stack(rows)
+
+
+def test_pair_calibrator_recovers_pose(rng):
+    rt_true = np.eye(4)
+    a = 0.3
+    rt_true[:3, :3] = np.array(
+        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]]
+    )
+    rt_true[:3, 3] = [0.1, -0.05, 0.03]
+    pc = PairCalibrator()
+    pc.correspondences = _pair_correspondences(rt_true, 12, rng)
+    est = pc.calibrate_pair()
+    assert est is not None
+    np.testing.assert_allclose(est, rt_true, atol=1e-6)
+
+
+def test_pair_calibrator_rejects_degenerate(rng):
+    # all normals identical: rotation unobservable
+    pc = PairCalibrator()
+    n = np.array([1.0, 0, 0])
+    pc.correspondences = np.stack(
+        [np.concatenate([n, [1.0 + 0.1 * k], n, [1.2 + 0.1 * k]]) for k in range(5)]
+    )
+    assert pc.calibrate_rotation() is None
+
+
+def test_calibrator_chain(rng):
+    specs = construction_specs()
+    corresp = PlaneCorrespondences()
+    for s in range(1, 8):
+        rel = np.linalg.inv(specs[s - 1]) @ specs[s]
+        for row in _pair_correspondences(rel, 10, rng):
+            corresp.add(s - 1, s, row[:3], row[3], row[4:7], row[7])
+        assert corresp.conditioning(s - 1, s) < 8000
+    cal = Calibrator(corresp)
+    rt = cal.calibrate()
+    for s in range(8):
+        np.testing.assert_allclose(rt[s], specs[s], atol=1e-5)
+
+
+def test_ini_parser(reference_root):
+    sec = parse_ini(
+        os.path.join(reference_root, "config_files/configLocaliser_sphericalOdometry.ini")
+    )
+    assert float(sec["unary"]["dist_d"]) == 0.5
+    assert float(sec["binary"]["angle_threshold"]) == 10.0
+    assert float(sec["unary"]["hue_threshold"]) == 0.35
+
+
+def test_viz_dumps(tmp_path, rng):
+    from rgbd360_tpu.utils.viz import save_ply, save_pcd, save_png, save_trajectory
+
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    save_png(str(tmp_path / "t.png"), img)
+    assert (tmp_path / "t.png").stat().st_size > 0
+    xyz = rng.normal(size=(10, 3)).astype(np.float32)
+    save_ply(str(tmp_path / "t.ply"), xyz, np.full((10, 3), 128, np.uint8))
+    assert "element vertex 10" in (tmp_path / "t.ply").read_text()
+    save_pcd(str(tmp_path / "t.pcd"), xyz)
+    assert "POINTS 10" in (tmp_path / "t.pcd").read_text()
+    save_trajectory(str(tmp_path / "traj.txt"), [np.eye(4)] * 3)
+    assert len((tmp_path / "traj.txt").read_text().splitlines()) == 12
