@@ -106,6 +106,46 @@ class RegisterRGBD360:
         )
         return True
 
+    def register_dense_photoicp(
+        self,
+        frame1,
+        frame2,
+        pose_estim: Optional[np.ndarray] = None,
+        method: int = 0,
+        n_levels: int = 4,
+    ) -> bool:
+        """Dense multi-sensor registration: one robot pose optimized jointly
+        from the 8 cameras' pinhole residuals (reference
+        RegisterRGBD360.h:344-516 RegisterDensePhotoICP)."""
+        import jax.numpy as jnp
+
+        from rgbd360_tpu.ops.image import gray_f32
+        from rgbd360_tpu.ops.photoicp_pinhole import register_dense_photoicp_jit
+
+        gray_src = gray_f32(frame2.rgb)  # frame2 is the source (reference :373)
+        gray_trg = gray_f32(frame1.rgb)
+        depth_src = frame2.depth_raw_mm.astype(jnp.float32) * 0.001
+        depth_trg = frame1.depth_raw_mm.astype(jnp.float32) * 0.001
+        guess = jnp.asarray(
+            pose_estim if pose_estim is not None else np.eye(4, dtype=np.float32)
+        )
+        res = register_dense_photoicp_jit(
+            gray_src,
+            depth_src,
+            gray_trg,
+            depth_trg,
+            jnp.asarray(frame1.calib.Rt),
+            jnp.asarray(frame1.calib.camera_matrix),
+            guess,
+            method=method,
+            n_levels=n_levels,
+        )
+        self._done = True
+        self.ref360, self.trg360 = frame1, frame2
+        self.rigid_transf = np.asarray(res.pose)
+        self.information = np.asarray(res.hessian)
+        return not bool(res.ill_posed)
+
     # -- accessors ---------------------------------------------------------------
     def get_pose(self) -> np.ndarray:
         if not self._done:

@@ -1,0 +1,115 @@
+"""Pinhole + robot-frame dense alignment."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.ops import photoicp_pinhole as pp, se3
+
+
+def _k():
+    return jnp.asarray(
+        np.array([[262.5, 0, 159.5], [0, 262.5, 119.5], [0, 0, 1]], np.float32)
+    )
+
+
+def _scene(h=120, w=160, rng=None):
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (
+        0.5
+        + 0.2 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+        + 0.1 * np.sin(xx / 2.3)
+        + 0.08 * np.cos(yy / 1.9)
+    ).astype(np.float32)
+    depth = (1.8 + 0.4 * np.sin(xx / 11.0) + 0.25 * np.cos(yy / 9.0)).astype(np.float32)
+    return gray, depth
+
+
+def _warp_source(gray, depth, pose_true, k, h, w):
+    """Source image = target sampled where source pixels land under pose."""
+    xyz, valid = pp.pinhole_lut(jnp.asarray(depth), k, 0)
+    # account for the QVGA K given h,w: scale K to the image size
+    q = xyz @ pose_true[:3, :3].T + pose_true[:3, 3]
+    fx, fy, ox, oy = float(k[0, 0]), float(k[1, 1]), float(k[0, 2]), float(k[1, 2])
+    u = np.asarray(q[:, 0] * fx / q[:, 2] + ox)
+    v = np.asarray(q[:, 1] * fy / q[:, 2] + oy)
+    ci = np.round(u).astype(int)
+    ri = np.round(v).astype(int)
+    inb = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & np.asarray(valid)
+    src_gray = np.zeros(h * w, np.float32)
+    src_gray[inb] = gray[ri[inb], ci[inb]]
+    src_depth = np.where(inb, depth.reshape(-1), 0.0).astype(np.float32)
+    return src_gray.reshape(h, w), src_depth.reshape(h, w)
+
+
+def test_pinhole_align_recovers_pose(rng):
+    h, w = 240, 320
+    gray, depth = _scene(h, w, rng)
+    k = _k()
+    xi = jnp.array([0.01, -0.008, 0.012, 0.004, -0.005, 0.003], jnp.float32)
+    pose_true = se3.exp_se3(xi, pseudo=False)
+    src_gray, src_depth = _warp_source(gray, depth, np.asarray(pose_true, np.float64), k, h, w)
+    res = pp.align_frames_jit(
+        jnp.asarray(src_gray), jnp.asarray(src_depth),
+        jnp.asarray(gray), jnp.asarray(depth), k, jnp.eye(4), n_levels=3,
+    )
+    assert not bool(res.ill_posed)
+    err = np.abs(np.asarray(res.pose) - np.asarray(pose_true)).max()
+    assert err < 2e-3
+
+
+def test_robot_frame_self_alignment_is_identity(rng):
+    """8 cameras on a rig, source == target: the robot pose stays identity."""
+    h, w = 48, 64
+    grays, depths, rts = [], [], []
+    for s in range(4):  # 4 cameras suffice for the machinery
+        g, d = _scene(h, w, np.random.default_rng(s))
+        grays.append(g + 0.01 * s)
+        depths.append(d)
+        a = np.deg2rad(90.0 * s)
+        rt = np.eye(4, dtype=np.float32)
+        rt[:3, :3] = np.array(
+            [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+        )
+        rts.append(rt)
+    gs = jnp.asarray(np.stack(grays))
+    ds = jnp.asarray(np.stack(depths))
+    res = pp.register_dense_photoicp_jit(
+        gs, ds, gs, ds, jnp.asarray(np.stack(rts)), _k() * jnp.float32(w / 320.0),
+        jnp.eye(4), n_levels=2,
+    )
+    np.testing.assert_allclose(np.asarray(res.pose), np.eye(4), atol=1e-6)
+
+
+def test_robot_frame_recovers_rig_motion(rng):
+    """A rig translation seen by 2 oppositely-mounted cameras."""
+    h, w = 120, 160
+    k = _k() * jnp.float32(w / 320.0)
+    k = k.at[2, 2].set(1.0)
+    rts = []
+    for s in range(2):
+        a = np.deg2rad(180.0 * s)
+        rt = np.eye(4, dtype=np.float64)
+        rt[:3, :3] = np.array(
+            [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+        )
+        rts.append(rt)
+    pose_true = np.eye(4)
+    pose_true[:3, 3] = [0.015, -0.01, 0.02]
+
+    grays, depths, sgrays, sdepths = [], [], [], []
+    for s in range(2):
+        g, d = _scene(h, w, np.random.default_rng(10 + s))
+        rel = np.linalg.inv(rts[s]) @ pose_true @ rts[s]
+        sg, sd = _warp_source(g, d, rel, k, h, w)
+        grays.append(g)
+        depths.append(d)
+        sgrays.append(sg)
+        sdepths.append(sd)
+    res = pp.register_dense_photoicp_jit(
+        jnp.asarray(np.stack(sgrays)), jnp.asarray(np.stack(sdepths)),
+        jnp.asarray(np.stack(grays)), jnp.asarray(np.stack(depths)),
+        jnp.asarray(np.stack(rts).astype(np.float32)), k, jnp.eye(4), n_levels=2,
+    )
+    assert not bool(res.ill_posed)
+    err = np.abs(np.asarray(res.pose) - pose_true).max()
+    assert err < 2e-3
