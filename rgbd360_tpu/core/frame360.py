@@ -101,6 +101,24 @@ class Frame360:
         self.sphere_cloud = sphere_cloud_from_image(self.sphere_rgb, depth_m)
         return self.sphere_cloud
 
+    def build_sphere_cloud(self):
+        """Rig-frame point cloud from the 8 undistorted, downsampled,
+        bilateral-filtered sensor clouds (reference include/Frame360.h:467-519
+        buildSphereCloud): returns (xyz (8*19200, 3), rgb) with per-sensor
+        blocks transformed by their extrinsics and concatenated."""
+        from rgbd360_tpu.core.plane_extraction import build_sensor_clouds
+
+        xyz, rgb2, _, _ = build_sensor_clouds(self.depth_undistorted_m, self.rgb)
+        xyz = np.asarray(xyz)  # (8, h, w, 3) sensor frames
+        rgb2 = np.asarray(rgb2)
+        out = np.empty((8, xyz.shape[1] * xyz.shape[2], 3), np.float32)
+        for s in range(8):
+            rt = self.calib.Rt[s].astype(np.float64)
+            pts = xyz[s].reshape(-1, 3)
+            out[s] = (pts @ rt[:3, :3].T + rt[:3, 3]).astype(np.float32)
+        self.sphere_cloud = (out.reshape(-1, 3), rgb2[..., ::-1].reshape(-1, 3))
+        return self.sphere_cloud
+
     def get_planes(self):
         """Segment + merge the planar patches of the spherical frame
         (reference include/Frame360.h:615-638). Implemented in core/pbmap.py;

@@ -147,10 +147,10 @@ def read_frame360_bin(path: str) -> RawFrame360:
     timestamp = 0
     flat = np.ravel(ts_mat)
     if flat.size:
-        # The reference packs the uint64 into a matrix of digits/bytes
-        # (OpenNI2_Grabber/FrameRGBD/SerializeFrameRGBD.h:47-100); samples
-        # ship an empty matrix so this path is exercised only by our writer.
-        timestamp = int(np.asarray(flat, dtype=np.uint64).view(np.uint8)[:8].view(np.uint64)[0]) if flat.dtype == np.uint64 else int(flat[0])
+        # a 1 x num_digits CV_8U matrix of decimal digits, most significant
+        # first (OpenNI2_Grabber/FrameRGBD/SerializeFrameRGBD.h:46-88)
+        for digit in flat.astype(np.uint64):
+            timestamp = timestamp * 10 + int(digit)
 
     return RawFrame360(rgb=np.stack(rgbs), depth=np.stack(depths), timestamp=timestamp)
 
@@ -167,8 +167,15 @@ def write_frame360_bin(path: str, frame: RawFrame360) -> None:
     for sensor_id in range(frame.num_sensors):
         _write_mat(out, frame.rgb[sensor_id])
         _write_mat(out, frame.depth[sensor_id])
-    # Timestamp matrix: the bundled samples store an empty 0x0 matrix whose
-    # header is all zeros (elem_size=0, elem_type=0) — match it byte-for-byte.
-    out += struct.pack("<iiQQ", 0, 0, 0, 0)
+    if frame.timestamp > 0:
+        # 1 x num_digits CV_8U decimal-digit matrix (SerializeFrameRGBD.h:46-74)
+        digits = np.frombuffer(
+            str(int(frame.timestamp)).encode(), np.uint8
+        ) - ord("0")
+        _write_mat(out, digits.reshape(1, -1))
+    else:
+        # the bundled samples store an empty 0x0 matrix whose header is all
+        # zeros (elem_size=0, elem_type=0) — match it byte-for-byte
+        out += struct.pack("<iiQQ", 0, 0, 0, 0)
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -1,0 +1,95 @@
+"""Stereo variant, grabber/recorder, labelization, laser calibration,
+rig-frame sphere cloud."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rgbd360_tpu.core.calibrate_laser import CalibPairLaserKinect
+from rgbd360_tpu.core.frame360_stereo import (
+    Frame360Stereo,
+    read_stereo_depth,
+    write_stereo_depth,
+)
+from rgbd360_tpu.core.labelization import labelize_frame, propagate_labels
+from rgbd360_tpu.io.grabber import Recorder, ReplaySource, SyntheticSource
+
+
+def test_stereo_depth_roundtrip(tmp_path, rng):
+    depth = rng.uniform(0.5, 5.0, (320, 640)).astype(np.float32)
+    p = str(tmp_path / "d.bin")
+    write_stereo_depth(p, depth)
+    back = read_stereo_depth(p)
+    np.testing.assert_array_equal(back, depth)
+
+
+def test_stereo_frame_build(tmp_path, rng):
+    from PIL import Image
+
+    rgb = rng.integers(0, 255, (64, 256, 3), dtype=np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "pano.png")
+    depth = rng.uniform(0.5, 5.0, (64, 256)).astype(np.float32)
+    write_stereo_depth(str(tmp_path / "pano_d.bin"), depth)
+    f = Frame360Stereo().build_stereo(str(tmp_path / "pano.png"), str(tmp_path / "pano_d.bin"))
+    assert f.sphere_rgb.shape == (64, 256, 3)
+    assert f.sphere_gray.shape == (64, 256)
+    xyz, _ = f.build_sphere_cloud_from_image()
+    assert np.isfinite(np.asarray(xyz)).any()
+
+
+def test_grabber_record_replay(tmp_path):
+    n = Recorder(str(tmp_path)).record(SyntheticSource(3))
+    assert n == 3
+    assert os.path.exists(tmp_path / "sphere_images_1.bin")
+    frames = list(ReplaySource(str(tmp_path)))
+    assert len(frames) == 3
+    assert frames[0].rgb.shape == (8, 240, 320, 3)
+    assert frames[0].timestamp == 1
+
+
+def test_labelization(sample_frames):
+    f1, f2 = sample_frames
+    f1.get_planes()
+    f2.get_planes()
+    labels = {p.id: f"plane{p.id}" for p in f1.planes.planes}
+    assert labelize_frame(f1, labels) == len(f1.planes.planes)
+    n = propagate_labels(f1, f2)
+    assert n >= 1
+    assert any(p.label for p in f2.planes.planes)
+
+
+def test_laser_calibration_recovers_pose(rng):
+    rt_true = np.eye(4)
+    a = 0.25
+    rt_true[:3, :3] = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    rt_true[:3, 3] = [0.08, 0.02, -0.04]
+    cal = CalibPairLaserKinect()
+    R, t = rt_true[:3, :3], rt_true[:3, 3]
+    for _ in range(10):
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        d = rng.uniform(1.0, 3.0)
+        # a line on the plane, expressed in the laser frame
+        u = np.cross(n, rng.normal(size=3))
+        u /= np.linalg.norm(u)
+        p_cam = n * d + np.cross(n, u) * rng.uniform(-1, 1)
+        line_dir = R.T @ u
+        line_center = R.T @ (p_cam - t)
+        cal.add(n, d, line_dir, line_center)
+    est = cal.calibrate()
+    assert est is not None
+    np.testing.assert_allclose(est, rt_true, atol=1e-6)
+
+
+def test_build_sphere_cloud_rig_frame(sample_frames):
+    f1, _ = sample_frames
+    xyz, rgb = f1.build_sphere_cloud()
+    assert xyz.shape == (8 * 120 * 160, 3)
+    finite = np.isfinite(xyz).all(axis=1)
+    assert finite.mean() > 0.5
+    # rig-frame cloud must span the full ring (points behind and in front)
+    assert xyz[finite][:, 2].min() < -0.5 and xyz[finite][:, 2].max() > 0.5
+    assert xyz[finite][:, 1].min() < -0.5 and xyz[finite][:, 1].max() > 0.5
