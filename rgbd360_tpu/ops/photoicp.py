@@ -173,33 +173,13 @@ def pack_target_channels(level: LevelData) -> jnp.ndarray:
     ).reshape(h * w, NUM_CH)
 
 
-# Below this pixel count, gather rows with an exact one-hot matmul instead of
-# XLA's gather op (which carries a ~0.5 ms fixed cost per invocation on v5e —
-# dominating the small pyramid levels). One-hot selection in f32-highest is
-# bit-exact: 0/1 are exact in every precision pass and each output sums one
-# term.
-ONEHOT_MAX_N = 16384
-_ONEHOT_CHUNK = 4096
-
-
 def _gather_rows(packed: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
-    n, ch = packed.shape
-    m = flat_idx.shape[0]
-    if n > ONEHOT_MAX_N:
-        return jnp.take(packed, flat_idx, axis=0, mode="clip")
-    if m <= _ONEHOT_CHUNK:
-        onehot = (flat_idx[:, None] == jnp.arange(n)[None, :]).astype(packed.dtype)
-        return _mm(onehot, packed)
-    pad = (-m) % _ONEHOT_CHUNK
-    idx = jnp.pad(flat_idx, (0, pad))
-    chunks = idx.reshape(-1, _ONEHOT_CHUNK)
-
-    def take_chunk(fc):
-        onehot = (fc[:, None] == jnp.arange(n)[None, :]).astype(packed.dtype)
-        return _mm(onehot, packed)
-
-    out = jax.lax.map(take_chunk, chunks).reshape(-1, ch)
-    return out[:m]
+    """The sweep's one gather. Measured on v5e (see PERF.md): XLA's gather is
+    per-element priced (~5.3 cycles/element) for every structured form tried
+    (flat takes, slice gathers, one-hot MXU selection all converge to the
+    same cost), so a plain take of the 16-byte packed rows is optimal here;
+    a block-local Mosaic kernel is the remaining headroom."""
+    return jnp.take(packed, flat_idx, axis=0, mode="clip")
 
 
 def _huber_weight(err: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
