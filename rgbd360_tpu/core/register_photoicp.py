@@ -55,11 +55,18 @@ class RegisterPhotoICP:
         )
 
     def align_frames360(
-        self, pose_guess: Optional[np.ndarray] = None, method: int = PHOTO_CONSISTENCY
+        self,
+        pose_guess: Optional[np.ndarray] = None,
+        method: int = PHOTO_CONSISTENCY,
+        occlusion: int = 0,
     ) -> np.ndarray:
+        """occlusion: 0 plain, 1 z-buffered (Occ1), 2 +dynamic-occlusion (Occ2),
+        mirroring the reference parameter (RegisterPhotoICP.h:4519)."""
         assert self._src is not None and self._trg is not None, "set frames first"
         guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
-        self._result = photoicp.align_frames360(self._src, self._trg, guess, method)
+        self._result = photoicp.align_frames360(
+            self._src, self._trg, guess, method, occlusion=occlusion
+        )
         return self.get_optimal_pose()
 
     # -- accessors -------------------------------------------------------------

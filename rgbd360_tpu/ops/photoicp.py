@@ -342,6 +342,7 @@ def fused_sweep_sphere(
     valid: jnp.ndarray,
     pose: jnp.ndarray,
     method: int,
+    occlusion: int = 0,
 ):
     """One fused pass: error + Hessian + gradient + stats at `pose`.
 
@@ -364,6 +365,19 @@ def fused_sweep_sphere(
     depth2 = tgt[:, CH_DEPTH]
     ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
     dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
+
+    if occlusion:
+        # z-buffer: only the closest source point per target pixel survives
+        # (reference _sphereOcc1 :3300-3304; scatter-max replaces the
+        # sequential invDepthBuffer, ties all survive)
+        dist_inv = jnp.where(visible, 1.0 / jnp.maximum(dist, 1e-12), 0.0)
+        zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(dist_inv)
+        visible = visible & (dist_inv >= jnp.take(zbuf, flat))
+        if occlusion >= 2:
+            # dynamic-occlusion rejection (reference _sphereOcc2 :3720-3860,
+            # thresDepthOutliers = 0.3 set by alignFrames360 :4525)
+            dynamic = visible & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+            visible = visible & ~dynamic
 
     j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
 
@@ -415,6 +429,46 @@ def fused_sweep_sphere(
     return error, H, g, sso, photo_err2, n_photo, depth_err2, n_depth
 
 
+THRES_DEPTH_OUTLIERS = 0.3  # alignFrames360 sets this for Occ2 (:4525)
+
+
+def occlusion_mask_sphere(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    shape: Tuple[int, int],
+    target_depth_flat: jnp.ndarray = None,
+    occlusion: int = 1,
+):
+    """Visibility refinement for the occlusion-aware variants
+    (reference errorPhotoICP_sphereOcc1 :3232-3370, _sphereOcc2 :3720-3860).
+
+    Occ1: a z-buffer over target pixels — when several source points land on
+    the same target pixel only the closest survives (the reference's
+    sequential invDepthBuffer becomes a scatter-max; ties all survive, a
+    benign deviation from its order-dependent overwrite).
+    Occ2: additionally rejects dynamic/occluded points whose depth residual
+    exceeds thresDepthOutliers (0.3 m), returning that mask separately
+    (the reference's mask_dynamic_occlusion, :169).
+    """
+    h, w = shape
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p = _mm(xyz, R.T) + t
+    dist, r_int, c_int, inb = sphere_project(p, h, w)
+    visible = valid & inb
+    flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
+    dist_inv = jnp.where(visible, 1.0 / jnp.maximum(dist, 1e-12), 0.0)
+    zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(dist_inv)
+    closest = visible & (dist_inv >= jnp.take(zbuf, flat))
+    dynamic = jnp.zeros_like(closest)
+    if occlusion >= 2 and target_depth_flat is not None:
+        depth2 = jnp.take(target_depth_flat, flat, mode="clip")
+        dynamic = closest & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+        closest = closest & ~dynamic
+    return closest, dynamic
+
+
 def _solvable(H: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Observability guard (reference :4682 rank check on H + lam*diag(H)).
 
@@ -441,6 +495,7 @@ def align_level_sphere(
     tol_residual: float = TOL_RESIDUAL,
     min_depth: float = MIN_DEPTH,
     max_depth: float = MAX_DEPTH,
+    occlusion: int = 0,
 ):
     """One pyramid level of alignFrames360's Gauss-Newton loop
     (reference RegisterPhotoICP.h:4589-4772).
@@ -457,7 +512,9 @@ def align_level_sphere(
     shape = level.gray_src.shape
 
     def sweep(pose):
-        return fused_sweep_sphere(gray_src_flat, packed, shape, xyz, valid, pose, method)
+        return fused_sweep_sphere(
+            gray_src_flat, packed, shape, xyz, valid, pose, method, occlusion
+        )
 
     state0 = sweep(pose0)
 
@@ -511,8 +568,11 @@ def align_frames360(
     max_iters: int = MAX_ITERS,
     min_depth: float = MIN_DEPTH,
     max_depth: float = MAX_DEPTH,
+    occlusion: int = 0,
 ) -> AlignResult:
-    """Coarse-to-fine spherical alignment (reference RegisterPhotoICP.h:4519).
+    """Coarse-to-fine spherical alignment (reference RegisterPhotoICP.h:4519;
+    occlusion 0/1/2 selects the plain, z-buffered, or dynamic-occlusion
+    variants like the reference's `occlusion` parameter).
 
     src_pyrs/trg_pyrs come from build_pyramid_set(..., sphere_seam_mask=True).
     The python level loop unrolls inside one jit.
@@ -526,7 +586,7 @@ def align_frames360(
         level = make_level_data(src_pyrs, trg_pyrs, level_idx)
         pose_new, error, H, g, sso, av_p, av_d, it, ill = align_level_sphere(
             level, pose, method, max_iters=max_iters,
-            min_depth=min_depth, max_depth=max_depth,
+            min_depth=min_depth, max_depth=max_depth, occlusion=occlusion,
         )
         # An ill-posed system aborts the whole alignment, keeping the steps
         # accepted so far (reference :4682-4690); levels after an ill-posed
@@ -549,7 +609,7 @@ def align_frames360(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("method", "n_levels", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("method", "n_levels", "max_iters", "occlusion"))
 def align_spheres_jit(
     gray_src,
     depth_src_m,
@@ -559,11 +619,14 @@ def align_spheres_jit(
     method: int = PHOTO_DEPTH,
     n_levels: int = 5,
     max_iters: int = MAX_ITERS,
+    occlusion: int = 0,
 ) -> AlignResult:
     """End-to-end jit: pyramids + gradients + coarse-to-fine alignment."""
     src_pyrs = build_pyramid_set(gray_src, depth_src_m, n_levels, is_target=False, sphere_seam_mask=True)
     trg_pyrs = build_pyramid_set(gray_trg, depth_trg_m, n_levels, is_target=True, sphere_seam_mask=True)
-    return align_frames360(src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters)
+    return align_frames360(
+        src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters, occlusion=occlusion
+    )
 
 
 def calc_entropy(hessian: jnp.ndarray) -> jnp.ndarray:

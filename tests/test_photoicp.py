@@ -160,3 +160,48 @@ def test_batched_alignment_vmap(rng):
     res = f(jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(gray), jnp.asarray(depth))
     assert res.pose.shape == (2, 4, 4)
     np.testing.assert_allclose(np.asarray(res.pose[0]), np.eye(4), atol=1e-6)
+
+
+def test_occlusion_variants(rng):
+    """Occ1/Occ2 run and stay consistent with the plain variant on
+    occlusion-free synthetic data."""
+    h, w = 32, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (0.5 + 0.2 * np.sin(xx / 5.0) * np.cos(yy / 3.0) + 0.1 * np.sin(xx / 1.7)).astype(
+        np.float32
+    )
+    depth = (2.0 + 0.4 * np.sin(xx / 9.0)).astype(np.float32)
+    gray_j, depth_j = jnp.asarray(gray), jnp.asarray(depth)
+    for occ in (1, 2):
+        res = photoicp.align_spheres_jit(
+            gray_j, depth_j, gray_j, depth_j, jnp.eye(4),
+            method=photoicp.PHOTO_DEPTH, n_levels=2, occlusion=occ,
+        )
+        np.testing.assert_allclose(np.asarray(res.pose), np.eye(4), atol=1e-6)
+
+
+def test_occlusion_zbuffer_drops_farther_point():
+    """Two source points landing on one target pixel: only the closest
+    contributes under occlusion=1."""
+    from rgbd360_tpu.ops.photoicp import occlusion_mask_sphere
+
+    h, w = 8, 32
+    # craft two valid source points that project to the same target pixel:
+    # same direction, different radius
+    angle_res = 2 * np.pi / w
+    phi = (0.5 * h - 0.5 - 3) * angle_res
+    theta = 10 * angle_res
+    d1, d2 = 1.0, 3.0
+    xyz = np.zeros((h * w, 3), np.float32)
+    valid = np.zeros(h * w, bool)
+    for k, d in ((3 * w + 10, d1), (4 * w + 20, d2)):
+        pass
+    u = np.array([np.sin(phi), -np.cos(phi) * np.sin(theta), -np.cos(phi) * np.cos(theta)])
+    xyz[0] = d1 * u
+    xyz[1] = d2 * u
+    valid[0] = valid[1] = True
+    closest, dynamic = occlusion_mask_sphere(
+        jnp.asarray(xyz), jnp.asarray(valid), jnp.eye(4), (h, w)
+    )
+    closest = np.asarray(closest)
+    assert closest[0] and not closest[1]
