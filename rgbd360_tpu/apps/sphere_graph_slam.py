@@ -112,8 +112,21 @@ def main(argv=None) -> int:
             tracked = True
             break
         if not tracked:
-            print(f"frame {frame_no}: TRACKING LOST (no PbMap match)")
-            continue
+            # relocalize against the whole map (reference Relocalizer360.h:78,
+            # invoked from the tracking-lost path, KFsphere_SLAM.cpp:728+)
+            from rgbd360_tpu.core.relocalizer import Relocalizer360
+
+            reloc = Relocalizer360(world, cfg).relocalize(frame)
+            if reloc is None:
+                print(f"frame {frame_no}: TRACKING LOST (no PbMap match, no relocalization)")
+                continue
+            ref_id, rel_pb = reloc
+            current_pose = world.trajectory_poses[ref_id].astype(np.float64) @ rel_pb.astype(np.float64)
+            kf_id = world.add_keyframe(frame, current_pose)
+            world.optimized_poses.append(current_pose.astype(np.float32))
+            topo.add_keyframe(world.current_area)
+            optimizer.add_vertex(current_pose)
+            print(f"frame {frame_no}: RELOCALIZED against kf {ref_id}")
 
         kf_id = len(world) - 1
         if args.lc_thread:
