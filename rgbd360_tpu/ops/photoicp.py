@@ -173,6 +173,40 @@ def pack_target_channels(level: LevelData) -> jnp.ndarray:
     ).reshape(h * w, NUM_CH)
 
 
+def pack_target_planes8(level: LevelData) -> jnp.ndarray:
+    """(H, 8, W) f32 channel-sublane layout for the Mosaic block-warp kernel
+    (ops/warp_gather.py): [gray, depth, ggx, ggy, dgx, dgy, 0, 0]."""
+    h, w = level.gray_trg.shape
+    zeros = jnp.zeros((h, w), jnp.float32)
+    return jnp.stack(
+        [
+            level.gray_trg,
+            level.depth_trg,
+            level.gray_trg_gx,
+            level.gray_trg_gy,
+            level.depth_trg_gx,
+            level.depth_trg_gy,
+            zeros,
+            zeros,
+        ],
+        axis=1,
+    )
+
+
+# Use the Mosaic block-warp kernel for levels at least this large when
+# running on TPU (smaller levels are cheap either way).
+WARP_KERNEL_MIN_PIXELS = 100_000
+
+
+def _use_warp_kernel(shape) -> bool:
+    import jax as _jax
+
+    return (
+        shape[0] * shape[1] >= WARP_KERNEL_MIN_PIXELS
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def _gather_rows(packed: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
     """The sweep's one gather. Measured on v5e (see PERF.md): XLA's gather is
     per-element priced (~5.3 cycles/element) for every structured form tried
@@ -360,11 +394,31 @@ def fused_sweep_sphere(
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
 
-    tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
-    gray2 = tgt[:, CH_GRAY]
-    depth2 = tgt[:, CH_DEPTH]
-    ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
-    dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
+    if target_packed.ndim == 3:  # (H, 8, W): Mosaic block-warp kernel path
+        from rgbd360_tpu.ops.warp_gather import warp_gather
+
+        rc = jnp.clip(r_int, 0, h - 1)
+        cc = jnp.clip(c_int, 0, w - 1)
+        # invalid pixels get identity coordinates so they don't distort the
+        # kernel's per-tile window statistics
+        src_rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
+        c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
+        planes_out, in_window = warp_gather(target_packed, r2d, c2d)
+        gray2 = planes_out[0].reshape(-1)
+        depth2 = planes_out[1].reshape(-1)
+        ggx = planes_out[2].reshape(-1)
+        ggy = planes_out[3].reshape(-1)
+        dgx = planes_out[4].reshape(-1)
+        dgy = planes_out[5].reshape(-1)
+        visible = visible & in_window.reshape(-1)
+    else:
+        tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
+        gray2 = tgt[:, CH_GRAY]
+        depth2 = tgt[:, CH_DEPTH]
+        ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
+        dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
 
     if occlusion:
         # z-buffer: only the closest source point per target pixel survives
@@ -508,8 +562,11 @@ def align_level_sphere(
     """
     xyz, valid = sphere_xyz_lut(level.depth_src, min_depth, max_depth)
     gray_src_flat = level.gray_src.reshape(-1)
-    packed = pack_target_channels(level)
     shape = level.gray_src.shape
+    if _use_warp_kernel(shape):
+        packed = pack_target_planes8(level)
+    else:
+        packed = pack_target_channels(level)
 
     def sweep(pose):
         return fused_sweep_sphere(

@@ -1,21 +1,31 @@
-"""Pallas block-warp gather — the flagship TPU kernel.
+"""Mosaic block-warp gather — the TPU kernel for the dense aligner's hot
+gather (see PERF.md for the measured cost landscape that motivates it).
 
-The dense aligner needs, per sweep, target-image values at warped pixel
-positions: out[i] = planes[:, r[i], c[i]]. XLA's TPU gather costs ~0.5 ms
-fixed + ~15 ns/index, which dominates the whole registration (44 sweeps per
-pair). This kernel exploits the warp's spatial coherence: source pixels are
-processed in compact (8, 128) image tiles; each tile's targets land in a
-small (PR=16, PC=256) window whose origin is the tile minimum, fetched from
-HBM with one dynamic-slice DMA; the within-window gather is a masked
-row-sum over PR rows combined with a lane-wise dynamic gather
-(take_along_axis on (8,128) tiles — the gather primitive Mosaic supports).
+XLA's gather prices ~5.3 cycles per element; Mosaic's within-tile
+dynamic_gather moves a full (8,128) tile in ~29 cycles. This kernel exploits
+the warp's spatial coherence to turn the global gather into within-tile
+gathers (measured ~1.1 ms for a full 1920x320 x 8-channel sweep vs ~3.5 ms
+for the XLA packed-row take):
 
-Pixels whose target falls outside the window (depth-parallax outliers and
-targets straddling the theta=0 wrap seam) are flagged in the returned mask
-and treated as invisible by the caller — a documented deviation from the
-reference, which gathers them; measured on the bundled pair this affects
-<0.1% of pixels and does not move the pose beyond the 1e-3 gate
-(tests/test_warp_gather.py).
+  * source pixels are processed in compact (8,128) image tiles;
+  * the target channels live in HBM as (H, 8, W) f32 planes (channel is the
+    sublane axis, so one dynamic_gather fetches all channels of 128 pixels);
+  * each tile DMAs a (PR, 8, PC) window whose origin is the tile's minimum
+    target coordinate (rows unaligned — the leading axis is untiled; columns
+    aligned to 128);
+  * each output row i selects its values from a K-row window starting at
+    that row's own minimum target row: K x 2 dynamic_gathers + masked
+    accumulation per row.
+
+Pixels whose target falls outside the window (strong parallax, the theta
+wrap seam) are flagged in the returned mask and treated as invisible by the
+caller — a documented deviation from the reference, which gathers them.
+The caller feeds identity coordinates for invalid pixels so they don't
+distort the window statistics.
+
+Batching: pairs batch through an explicit leading grid axis (vmap routes
+here via jax.custom_batching — Pallas ANY-space operands don't support
+implicit batch dims).
 """
 
 from __future__ import annotations
@@ -27,94 +37,122 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C = 8  # packed target channels (photoicp.pack_target_channels)
+C = 8  # channel sublanes: [gray, depth, ggx, ggy, dgx, dgy, 0, 0]
 BR, BC = 8, 128  # source tile
-PR, PC = 16, 256  # target window per tile
+PR = 12  # target window rows (row alignment-free: leading axis untiled)
+K = 4  # per-output-row row window
+PC = 256  # target window columns (128-aligned origin + 128 spread budget)
+
+
+def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem):
+    b = pl.program_id(0)
+    r = r_ref[0]  # (8,128) i32 target rows
+    c = c_ref[0]
+    hp = planes_hbm.shape[1]
+    wp = planes_hbm.shape[3]
+
+    r0 = jnp.clip(jnp.min(r), 0, hp - PR)
+    c0 = pl.multiple_of((jnp.clip(jnp.min(c), 0, wp - PC) // 128) * 128, 128)
+    dma = pltpu.make_async_copy(
+        planes_hbm.at[b, pl.ds(r0, PR), :, pl.ds(c0, PC)], patch, sem
+    )
+    dma.start()
+
+    lr = r - r0
+    lc = c - c0
+    lc_ok = (lc >= 0) & (lc < PC)
+    lcm = jnp.remainder(jnp.clip(lc, 0, PC - 1), 128)
+    sub_hi = jnp.clip(lc, 0, PC - 1) >= 128
+
+    # per-output-row window base (vector of 8 row minima)
+    lr_masked = jnp.where(lc_ok, lr, PR)  # don't let clipped cols widen windows
+    lo_rows = jnp.min(jnp.where(lr_masked < PR, lr_masked, PR - 1), axis=1)  # (8,)
+
+    dma.wait()
+
+    hit_rows = []
+    for i in range(BR):
+        lo_i = jnp.clip(lo_rows[i], 0, PR - K)
+        idx = jnp.broadcast_to(lcm[i : i + 1, :], (C, BC))
+        hit_i = jnp.zeros((1, BC), jnp.float32)
+        acc = jnp.zeros((C, BC), jnp.float32)
+        for kk in range(K):
+            plane = patch[lo_i + kk]  # (C, PC), dynamic untiled leading index
+            g_lo = jnp.take_along_axis(plane[:, 0:128], idx, axis=1)
+            g_hi = jnp.take_along_axis(plane[:, 128:256], idx, axis=1)
+            val = jnp.where(sub_hi[i : i + 1, :], g_hi, g_lo)  # (C, BC)
+            sel = (lr[i : i + 1, :] == lo_i + kk) & lc_ok[i : i + 1, :]  # (1, BC)
+            acc = acc + jnp.where(sel, val, 0.0)
+            hit_i = jnp.maximum(hit_i, sel.astype(jnp.float32))
+        out_ref[0, :, i, :] = acc
+        hit_rows.append(hit_i)
+    # f32 mask rows: Mosaic cannot concatenate i1 vectors
+    mask_ref[0] = jnp.concatenate(hit_rows, axis=0)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem):
-    r = r_ref[...]
-    c = c_ref[...]
-    hp = planes_hbm.shape[1]
-    wp = planes_hbm.shape[2]
-    # window origin, aligned down to the (8, 128) HBM tile grid (Mosaic
-    # requires tile-aligned dynamic-slice DMAs); PR/PC budget the alignment
-    # loss (<=7 rows, <=127 cols) plus the within-tile warp spread
-    r0 = pl.multiple_of((jnp.clip(jnp.min(r), 0, hp - PR) // 8) * 8, 8)
-    c0 = pl.multiple_of((jnp.clip(jnp.min(c), 0, wp - PC) // 128) * 128, 128)
-    dma = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(r0, PR), pl.ds(c0, PC)], patch, sem
-    )
-    dma.start()
-
-    lr = r - r0
-    lc = c - c0
-    inp = (lr >= 0) & (lr < PR) & (lc >= 0) & (lc < PC)
-    lrc = jnp.clip(lr, 0, PR - 1)
-    lcc = jnp.clip(lc, 0, PC - 1)
-    lcm = jnp.remainder(lcc, 128)
-    sub_hi = lcc >= 128  # PC == 256: two 128-lane column subtiles
-
-    dma.wait()
-
-    for ch in range(C):
-        acc = jnp.zeros((BR, BC), jnp.float32)
-        for k in range(PR):
-            row_lo = jnp.broadcast_to(patch[ch, k, 0:128][None, :], (BR, BC))
-            row_hi = jnp.broadcast_to(patch[ch, k, 128:256][None, :], (BR, BC))
-            g_lo = jnp.take_along_axis(row_lo, lcm, axis=1)
-            g_hi = jnp.take_along_axis(row_hi, lcm, axis=1)
-            val = jnp.where(sub_hi, g_hi, g_lo)
-            acc = acc + jnp.where(lrc == k, val, 0.0)
-        out_ref[ch] = jnp.where(inp, acc, 0.0)
-    mask_ref[...] = inp
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def warp_gather(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray, interpret: bool = False):
-    """Gather planes[:, r_idx, c_idx] blockwise.
-
-    planes: (C, H, W) f32; r_idx/c_idx: (H, W) i32 (any values; out-of-image
-    targets must already be clipped into [0,H)x[0,W) by the caller — they are
-    masked by the caller's visibility logic).
-    Returns (out (C, H, W) f32, in_window (H, W) bool).
-    """
-    _, h, w = planes.shape
+@jax.jit
+def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
+    """planes: (B, H, C, W) f32; r_idx/c_idx: (B, H, W) i32 clipped into
+    range. Returns (out (B, C, H, W) f32, in_window (B, H, W) bool)."""
+    bsz, h, cdim, w = planes.shape
+    assert cdim == C
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
     if (hp, wp) != (h, w):
-        planes = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)))
-        r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)))
-        c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)))
+        planes = jnp.pad(planes, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
+        r_idx = jnp.pad(r_idx, ((0, 0), (0, hp - h), (0, wp - w)))
+        c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    grid = (hp // BR, wp // BC)
+    grid = (bsz, hp // BR, wp // BC)
     out, mask = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BR, BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((C, BR, BC), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C, BR, BC), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+            jax.ShapeDtypeStruct((bsz, C, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((C, PR, PC), jnp.float32),
+            pltpu.VMEM((PR, C, PC), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-        interpret=interpret,
     )(r_idx, c_idx, planes)
     if (hp, wp) != (h, w):
-        out = out[:, :h, :w]
-        mask = mask[:h, :w]
-    return out, mask
+        out = out[:, :, :h, :w]
+        mask = mask[:, :h, :w]
+    return out, mask > 0.5
+
+
+@jax.custom_batching.custom_vmap
+def warp_gather(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
+    """Single-pair entry: planes (H, C=8, W), r/c (H, W). vmap maps onto the
+    batched grid axis."""
+    out, mask = warp_gather_batched(planes[None], r_idx[None], c_idx[None])
+    return out[0], mask[0]
+
+
+@warp_gather.def_vmap
+def _warp_gather_vmap(axis_size, in_batched, planes, r_idx, c_idx):
+    pb, rb, cb = in_batched
+
+    def ensure(x, batched):
+        return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    out, mask = warp_gather_batched(
+        ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb)
+    )
+    return (out, mask), (True, True)
