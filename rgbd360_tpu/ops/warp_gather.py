@@ -39,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 C = 8  # channel sublanes: [gray, depth, ggx, ggy, dgx, dgy, 0, 0]
 BR, BC = 8, 128  # source tile
-PR = 12  # target window rows (row alignment-free: leading axis untiled)
-K = 4  # per-output-row row window
+PR = 14  # target window rows (row alignment-free: leading axis untiled)
+K = 6  # per-output-row row window
 PC = 256  # target window columns (128-aligned origin + 128 spread budget)
 
 
@@ -61,12 +61,17 @@ def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem):
     lr = r - r0
     lc = c - c0
     lc_ok = (lc >= 0) & (lc < PC)
-    lcm = jnp.remainder(jnp.clip(lc, 0, PC - 1), 128)
-    sub_hi = jnp.clip(lc, 0, PC - 1) >= 128
+    lcc = jnp.clip(lc, 0, PC - 1)
+    lcm = jnp.remainder(lcc, 128)
+    sub_idx = lcc // 128  # which 128-lane column subtile
 
-    # per-output-row window base (vector of 8 row minima)
-    lr_masked = jnp.where(lc_ok, lr, PR)  # don't let clipped cols widen windows
-    lo_rows = jnp.min(jnp.where(lr_masked < PR, lr_masked, PR - 1), axis=1)  # (8,)
+    # per-output-row window base, centred on the row mean (a min would let a
+    # single near pixel drag the window off the rest of the row)
+    lr_f = lr.astype(jnp.float32)
+    lc_okf = lc_ok.astype(jnp.float32)
+    row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
+    row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
+    lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)  # (8,)
 
     dma.wait()
 
@@ -78,9 +83,10 @@ def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem):
         acc = jnp.zeros((C, BC), jnp.float32)
         for kk in range(K):
             plane = patch[lo_i + kk]  # (C, PC), dynamic untiled leading index
-            g_lo = jnp.take_along_axis(plane[:, 0:128], idx, axis=1)
-            g_hi = jnp.take_along_axis(plane[:, 128:256], idx, axis=1)
-            val = jnp.where(sub_hi[i : i + 1, :], g_hi, g_lo)  # (C, BC)
+            val = jnp.zeros((C, BC), jnp.float32)
+            for sb in range(PC // 128):
+                g = jnp.take_along_axis(plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1)
+                val = jnp.where(sub_idx[i : i + 1, :] == sb, g, val)
             sel = (lr[i : i + 1, :] == lo_i + kk) & lc_ok[i : i + 1, :]  # (1, BC)
             acc = acc + jnp.where(sel, val, 0.0)
             hit_i = jnp.maximum(hit_i, sel.astype(jnp.float32))
