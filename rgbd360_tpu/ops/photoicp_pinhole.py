@@ -206,39 +206,31 @@ def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, to
     level: LevelData pytree whose leaves have a leading camera axis."""
     shape = level.gray_src.shape[-2:]
 
-    xyzs, valids, packs, grays = [], [], [], []
-    for cam in range(num_cams):
-        ld = jax.tree.map(lambda x: x[cam], level)
+    # stacked per-camera inputs; cameras run under one vmap so the HLO stays
+    # small (a python loop inlines num_cams copies of the sweep per GN
+    # iteration and crashes the XLA compiler for the 8-camera case)
+    def prep(ld):
         xyz, valid = pinhole_lut(ld.depth_src, k_full, lvl_idx)
-        xyzs.append(xyz)
-        valids.append(valid)
-        packs.append(pack_target_channels(ld))
-        grays.append(ld.gray_src.reshape(-1))
+        return ld.gray_src.reshape(-1), pack_target_channels(ld), xyz, valid
+
+    grays_s, packs_s, xyzs_s, valids_s = jax.vmap(prep)(level)
+    rts = (
+        jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (num_cams, 4, 4))
+        if cam_rts is None
+        else cam_rts
+    )
 
     def sweep(pose):
-        err2 = jnp.float32(0.0)
-        n = jnp.int32(0)
-        H = jnp.zeros((6, 6), jnp.float32)
-        g = jnp.zeros((6,), jnp.float32)
-        pe2 = jnp.float32(0.0)
-        nph = jnp.int32(0)
-        de2 = jnp.float32(0.0)
-        nd = jnp.int32(0)
-        for cam in range(num_cams):
-            cam_rt = None if cam_rts is None else cam_rts[cam]
-            e2, nt, Hc, gc, p2, np_, d2, nd_ = fused_sweep_pinhole(
-                grays[cam], packs[cam], shape, xyzs[cam], valids[cam], pose,
-                k_full, lvl_idx, method, cam_rt,
+        def one(gs, pk, xyz, valid, cam_rt):
+            return fused_sweep_pinhole(
+                gs, pk, shape, xyz, valid, pose, k_full, lvl_idx, method,
+                None if cam_rts is None else cam_rt,
             )
-            err2 += e2
-            n += nt
-            H += Hc
-            g += gc
-            pe2 += p2
-            nph += np_
-            de2 += d2
-            nd += nd_
-        return err2, n, H, g, pe2, nph, de2, nd
+
+        outs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+            grays_s, packs_s, xyzs_s, valids_s, rts
+        )
+        return jax.tree.map(lambda x: x.sum(0), outs)
 
     state0 = sweep(pose0)
 
