@@ -72,12 +72,20 @@ def organized_normals(
     sum_gy = _box_sum(gy_m, r)
     n_gx = _box_sum((gx_ok & clean).astype(jnp.float32), r)
     n_gy = _box_sum((gy_ok & clean).astype(jnp.float32), r)
-    # any discontinuity inside the window invalidates the smoothed normal
-    edges_in_win = _box_sum(edge.astype(jnp.float32), r)
 
     normal = jnp.cross(sum_gx, sum_gy)
     norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    ok = valid & (n_gx > 0) & (n_gy > 0) & (norm[..., 0] > 1e-12) & (edges_in_win == 0)
+    # PCL shrinks the smoothing area near depth discontinuities rather than
+    # rejecting; the closest cheap equivalent: the centre pixel must be clean
+    # and a supermajority of the window's gradients must be edge-free
+    # (a strict edge-free-window policy halves plane recall on real data)
+    win = float((2 * r + 1) ** 2)
+    ok = (
+        clean
+        & (n_gx > 0.6 * win)
+        & (n_gy > 0.6 * win)
+        & (norm[..., 0] > 1e-12)
+    )
     normal = normal / jnp.maximum(norm, 1e-12)
     # flip toward the viewpoint (sensor at origin): n . p < 0
     flip = jnp.sum(normal * p, axis=-1) > 0
