@@ -195,7 +195,7 @@ def pack_target_planes8(level: LevelData) -> jnp.ndarray:
 
 # Use the Mosaic block-warp kernel for levels at least this large when
 # running on TPU (smaller levels are cheap either way).
-WARP_KERNEL_MIN_PIXELS = 100_000
+WARP_KERNEL_MIN_PIXELS = 30_000
 
 
 def _use_warp_kernel(shape) -> bool:
