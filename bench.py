@@ -89,11 +89,23 @@ def main():
     pairs_per_sec = batch * iters / dt
     res = last_res
 
-    # sanity: the result must be a real registration, not a no-op
+    # sanity: the result must be a real registration, not a no-op, and must
+    # land in the golden basin (tests/golden/pair_1_10.npz free-run |t|;
+    # tolerance covers the stopping-rule spread documented in PERF.md) so a
+    # perf win can't silently buy a worse basin
     pose = np.asarray(res.pose[0])
     t_norm = float(np.linalg.norm(pose[:3, 3]))
+    err = float(np.asarray(res.error[0]))
     ill = bool(np.asarray(res.ill_posed).any())
     ok = (0.01 < t_norm < 2.0) and not ill
+    golden_path = os.path.join(os.path.dirname(__file__), "tests", "golden", "pair_1_10.npz")
+    if os.path.exists(golden_path):
+        g = np.load(golden_path)
+        t_gold = float(np.linalg.norm(g["free_pose"][:3, 3]))
+        # the exact finest-level error across known-good basins spans
+        # 2.40-3.1 (PERF.md "Accuracy note"; golden free run stops at 2.87);
+        # gate one-sided against divergence, and |t| against the golden
+        ok = ok and abs(t_norm - t_gold) < 0.1 and err < float(g["free_error"]) + 0.35
 
     print(
         json.dumps(

@@ -1,0 +1,60 @@
+"""KFsphere_SLAM — keyframe-selection SLAM over a sphere sequence
+(reference SLAM/KFsphere_SLAM.cpp:60-793): strong-PbMap frame skipping,
+dense avDepthResidual>=0.9 keyframe criterion, nearby-keyframe (<2.5 m)
+connection scan with dual dense+PbMap edges, pose-graph optimization on new
+loop closures, spectral partitioning every 4 keyframes.
+
+Usage: python -m rgbd360_tpu.apps.kf_sphere_slam <dataset_dir>
+       [--first 1] [--sample 1] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from rgbd360_tpu.apps.common import default_matcher_config, load_calib, sequence_files
+from rgbd360_tpu.core.frame360 import Frame360
+from rgbd360_tpu.core.kf_slam import KFSphereSLAM
+from rgbd360_tpu.utils.viz import save_trajectory
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset")
+    ap.add_argument("--first", type=int, default=1)
+    ap.add_argument("--sample", type=int, default=1)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--calib-root", default=None)
+    args = ap.parse_args(argv)
+
+    calib = load_calib(args.calib_root)
+    slam = KFSphereSLAM(matcher_config=default_matcher_config(args.calib_root))
+
+    n_frames = 0
+    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
+        frame = Frame360(calib, frame_no).build(path)
+        frame.get_planes()
+        status = slam.process_frame(frame)
+        n_frames += 1
+        print(f"frame {frame_no}: {status}  (kf={slam.n_keyframes_selected}, "
+              f"lc={slam.n_loop_closures}, nearest={slam.nearest_kf})")
+
+    world = slam.world
+    print(f"{n_frames} frames -> {len(world)} keyframes, {len(world.areas)} areas, "
+          f"{slam.n_loop_closures} extra connections")
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        save_trajectory(os.path.join(args.out, "trajectory_kf_slam.txt"), world.trajectory_poses)
+        if world.optimized_poses:
+            save_trajectory(os.path.join(args.out, "trajectory_optimized.txt"), world.optimized_poses)
+        slam.optimizer.save_graph(os.path.join(args.out, "pose_graph.g2o"))
+        print(f"artifacts -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,6 +197,11 @@ def pack_target_planes8(level: LevelData) -> jnp.ndarray:
 # running on TPU (smaller levels are cheap either way).
 WARP_KERNEL_MIN_PIXELS = 30_000
 
+# Test shim: apply the kernel's window mask on the XLA path too, so the CPU
+# suite can measure the pose drift the kernel's coverage deviation causes at
+# loop-closure-scale motion without TPU hardware (tests/test_warp_kernel.py).
+EMULATE_KERNEL_WINDOW_MASK = False
+
 
 def _use_warp_kernel(shape) -> bool:
     import jax as _jax
@@ -419,6 +424,15 @@ def fused_sweep_sphere(
         depth2 = tgt[:, CH_DEPTH]
         ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
         dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
+        if EMULATE_KERNEL_WINDOW_MASK:
+            from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+            src_rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            vis2d = visible.reshape(h, w)
+            r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
+            c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
+            visible = visible & window_mask_reference(r2d, c2d).reshape(-1)
 
     if occlusion:
         # z-buffer: only the closest source point per target pixel survives
@@ -523,23 +537,6 @@ def occlusion_mask_sphere(
     return closest, dynamic
 
 
-def _solvable(H: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
-    """Observability guard (reference :4682 rank check on H + lam*diag(H)).
-
-    Scale-normalized so the f32 determinant of a well-conditioned Hessian
-    with O(1e6) entries does not overflow."""
-    Hd = H + lam * jnp.diag(jnp.diag(H))
-    scale = jnp.max(jnp.abs(Hd))
-    Hn = Hd / jnp.maximum(scale, 1e-30)
-    det = jnp.linalg.det(Hn)
-    return (
-        jnp.all(jnp.isfinite(Hd))
-        & (scale > 0.0)
-        & jnp.isfinite(det)
-        & (jnp.abs(det) > 1e-20)
-    )
-
-
 def align_level_sphere(
     level: LevelData,
     pose0: jnp.ndarray,
@@ -550,6 +547,7 @@ def align_level_sphere(
     min_depth: float = MIN_DEPTH,
     max_depth: float = MAX_DEPTH,
     occlusion: int = 0,
+    exact_final: bool = False,
 ):
     """One pyramid level of alignFrames360's Gauss-Newton loop
     (reference RegisterPhotoICP.h:4589-4772).
@@ -559,6 +557,14 @@ def align_level_sphere(
     and one fused sweep at the candidate pose. The evaluation sequence and
     accept/reject decisions are identical to the reference, which evaluates
     error and H/g in separate image passes.
+
+    exact_final: when the Mosaic warp kernel drove the loop (its window
+    masking drops out-of-window pixels — a coverage deviation that grows
+    with motion, PERF.md), re-evaluate the returned stats with one exact
+    XLA-path sweep at the accepted pose so reported error / residuals /
+    Hessian / SSO match the reference semantics (the acceptance gates
+    downstream — LC's avDepthResidual<2, KF selection's >=0.9 — consume
+    these numbers).
     """
     xyz, valid = sphere_xyz_lut(level.depth_src, min_depth, max_depth)
     gray_src_flat = level.gray_src.reshape(-1)
@@ -610,6 +616,11 @@ def align_level_sphere(
         jnp.bool_(False),
     )
     pose, state, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
+    if exact_final and _use_warp_kernel(shape):
+        state = fused_sweep_sphere(
+            gray_src_flat, pack_target_channels(level), shape, xyz, valid,
+            pose, method, occlusion,
+        )
     error, H, g, sso, pe2, np_, de2, nd = state
     av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))
     av_depth = jnp.sqrt(de2 / jnp.maximum(nd, 1).astype(jnp.float32))
@@ -644,6 +655,7 @@ def align_frames360(
         pose_new, error, H, g, sso, av_p, av_d, it, ill = align_level_sphere(
             level, pose, method, max_iters=max_iters,
             min_depth=min_depth, max_depth=max_depth, occlusion=occlusion,
+            exact_final=(level_idx == 0),  # only the finest level's stats are reported
         )
         # An ill-posed system aborts the whole alignment, keeping the steps
         # accepted so far (reference :4682-4690); levels after an ill-posed

@@ -143,6 +143,43 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
     return out, mask > 0.5
 
 
+def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA emulation of the kernel's in-window mask — runs on any
+    backend, so the CPU suite can quantify the coverage deviation the kernel
+    introduces (out-of-window / wrap-seam targets are masked) without TPU
+    hardware. Mirrors _kernel's window selection exactly: per-(8,128)-tile
+    DMA window origin from the tile minimum (columns 128-aligned), then a
+    K-row window centred on each output row's mean target row.
+
+    r_idx/c_idx: (H, W) i32 target coordinates already clipped into range
+    (invalid pixels fed identity coordinates, as fused_sweep_sphere does).
+    Returns (H, W) bool.
+    """
+    h, w = r_idx.shape
+    hp = max(_round_up(h, BR), PR)
+    wp = max(_round_up(w, BC), PC)
+    if (hp, wp) != (h, w):
+        r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)))
+        c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)))
+    nr, nc = hp // BR, wp // BC
+    # (nr, nc, BR, BC) tile view
+    r_t = r_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
+    c_t = c_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
+    r0 = jnp.clip(jnp.min(r_t, axis=(2, 3)), 0, hp - PR)[:, :, None, None]
+    c0 = (jnp.clip(jnp.min(c_t, axis=(2, 3)), 0, wp - PC) // 128 * 128)[:, :, None, None]
+    lr = r_t - r0
+    lc = c_t - c0
+    lc_ok = (lc >= 0) & (lc < PC)
+    lr_f = lr.astype(jnp.float32)
+    row_n = jnp.maximum(jnp.sum(lc_ok.astype(jnp.float32), axis=3), 1.0)
+    row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=3) / row_n  # (nr, nc, BR)
+    lo = jnp.clip((row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32), 0, PR - K)
+    lo = lo[:, :, :, None]
+    in_win = lc_ok & (lr >= lo) & (lr < lo + K)
+    out = in_win.transpose(0, 2, 1, 3).reshape(hp, wp)
+    return out[:h, :w]
+
+
 @jax.custom_batching.custom_vmap
 def warp_gather(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
     """Single-pair entry: planes (H, C=8, W), r/c (H, W). vmap maps onto the

@@ -129,9 +129,85 @@ def test_calibrator_chain(rng):
             corresp.add(s - 1, s, row[:3], row[3], row[4:7], row[7])
         assert corresp.conditioning(s - 1, s) < 8000
     cal = Calibrator(corresp)
-    rt = cal.calibrate()
+    rt = cal.calibrate_chained()
     for s in range(8):
         np.testing.assert_allclose(rt[s], specs[s], atol=1e-5)
+
+
+def _rig_correspondences(rts, pairs, n_planes, rng, noise_n=0.0, noise_d=0.0):
+    """All-pair control planes from a ground-truth rig: world plane (n, d_w)
+    observed by sensor s as n_obs = R_s^T n, d_obs = d_w + n . t_s (the mrpt
+    d = -normal.center convention, see Calibrator docstring)."""
+    corresp = PlaneCorrespondences()
+    for (i, j) in pairs:
+        for _ in range(n_planes):
+            n = rng.normal(size=3)
+            n /= np.linalg.norm(n)
+            d_w = rng.uniform(1.0, 4.0)
+            obs = []
+            for s in (i, j):
+                n_o = rts[s][:3, :3].T @ n
+                d_o = d_w + float(n @ rts[s][:3, 3])
+                if noise_n:
+                    n_o = n_o + rng.normal(scale=noise_n, size=3)
+                    n_o /= np.linalg.norm(n_o)
+                if noise_d:
+                    d_o = d_o + rng.normal(scale=noise_d)
+                obs.append((n_o, d_o))
+            corresp.add(i, j, obs[0][0], obs[0][1], obs[1][0], obs[1][1])
+    return corresp
+
+
+RING_PAIRS = [(s, s + 1) for s in range(7)] + [(0, 7)]  # incl. the wraparound
+
+
+def _relative_pose_error(rt_est, rt_true, pairs):
+    err = 0.0
+    for (i, j) in pairs:
+        rel_e = np.linalg.inv(rt_est[i]) @ rt_est[j]
+        rel_t = np.linalg.inv(rt_true[i]) @ rt_true[j]
+        err += np.abs(rel_e - rel_t).max()
+    return err
+
+
+def test_joint_calibrator_recovers_rig(rng):
+    """The 21-DoF joint solve recovers a perturbed rig from noise-free
+    all-pair correspondences including the 7<->0 wraparound (reference
+    Calibrator.h:871-1180) up to the documented gauge (global rotation from
+    the X-axis alignment, global recentering)."""
+    specs = construction_specs()
+    truth = specs.copy()
+    for s in range(1, 8):
+        w = rng.normal(scale=np.deg2rad(1.0), size=3)
+        truth[s, :3, :3] = truth[s, :3, :3] @ _so3(w)
+        truth[s, :3, 3] += rng.normal(scale=0.005, size=3)
+    corresp = _rig_correspondences(truth, RING_PAIRS, 10, rng)
+    cal = Calibrator(corresp)
+    rt = cal.calibrate()
+    assert _relative_pose_error(rt, truth, RING_PAIRS) < 1e-4
+    assert cal.rotation_error2(rt) < 1e-10
+
+
+def test_joint_beats_chained_on_noisy_ring(rng):
+    """With observation noise, chaining adjacent pairs accumulates error
+    around the ring (it never sees the 7<->0 constraint); the joint solve
+    distributes it (VERDICT r1 missing #4 'done' criterion)."""
+    specs = construction_specs()
+    corresp = _rig_correspondences(specs, RING_PAIRS, 12, rng, noise_n=0.01, noise_d=0.003)
+    joint = Calibrator(corresp)
+    joint.calibrate()
+    chained = Calibrator(corresp)
+    chained.rt = construction_specs()
+    chained.calibrate_chained()
+    err_joint = _relative_pose_error(joint.rt, specs, RING_PAIRS)
+    err_chain = _relative_pose_error(chained.rt, specs, RING_PAIRS)
+    assert err_joint < err_chain
+
+
+def _so3(w):
+    from rgbd360_tpu.core.calibrator import _exp_so3
+
+    return _exp_so3(np.asarray(w, float))
 
 
 def test_ini_parser(reference_root):

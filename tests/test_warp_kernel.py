@@ -1,0 +1,106 @@
+"""Warp-kernel coverage safety at loop-closure-scale motion (VERDICT r1 #4).
+
+The Mosaic block-warp kernel masks out-of-window and wrap-seam targets
+(ops/warp_gather.py) — a coverage deviation that grows with motion. These
+tests gate that the masking does not move the converged pose out of the
+reference basin at the largest motion available (the bundled pair's 27 cm,
+unseeded — LC dense refinement runs seeded by the PbMap estimate, so its
+residual motion and thus its coverage is strictly better than this case):
+
+  * on any backend: the XLA path with the kernel's window mask *emulated*
+    (photoicp.EMULATE_KERNEL_WINDOW_MASK + warp_gather.window_mask_reference)
+    must converge to the same basin as the exact path;
+  * on TPU only: the real kernel's mask must equal the emulation, tying the
+    CPU gate to the hardware path.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.ops import photoicp, se3
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pair_1_10.npz")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden npz not generated")
+    d = np.load(GOLDEN)
+    return (
+        jnp.asarray(d["gray_src_u8"].astype(np.float32) / 255.0),
+        jnp.asarray(d["depth_src_mm"].astype(np.float32) * 0.001),
+        jnp.asarray(d["gray_trg_u8"].astype(np.float32) / 255.0),
+        jnp.asarray(d["depth_trg_mm"].astype(np.float32) * 0.001),
+    )
+
+
+def _align(pair, n_levels=5):
+    gs, ds, gt, dt = pair
+
+    @jax.jit  # fresh wrapper per call: retraces under the current mask flag
+    def run():
+        return photoicp.align_spheres_jit.__wrapped__(
+            gs, ds, gt, dt, jnp.eye(4), method=photoicp.PHOTO_DEPTH, n_levels=n_levels
+        )
+
+    return run()
+
+
+def test_window_mask_pose_agreement_at_large_motion(pair):
+    """Kernel-masked vs exact alignment of the bundled pair from identity
+    (the documented worst case: 27 cm unseeded, ~76% coverage)."""
+    res_exact = _align(pair)
+    old = photoicp.EMULATE_KERNEL_WINDOW_MASK
+    photoicp.EMULATE_KERNEL_WINDOW_MASK = True
+    try:
+        res_masked = _align(pair)
+    finally:
+        photoicp.EMULATE_KERNEL_WINDOW_MASK = old
+
+    assert not bool(res_exact.ill_posed) and not bool(res_masked.ill_posed)
+    p_e = np.asarray(res_exact.pose)
+    p_m = np.asarray(res_masked.pose)
+    t_e, t_m = np.linalg.norm(p_e[:3, 3]), np.linalg.norm(p_m[:3, 3])
+    assert abs(t_e - t_m) < 0.1, f"|t| exact {t_e:.3f} vs masked {t_m:.3f}"
+    ang = float(se3.rot_angle_deg(jnp.asarray(p_e[:3, :3]), jnp.asarray(p_m[:3, :3])))
+    assert ang < 2.0, f"rotation drift {ang:.2f} deg"
+
+
+def test_window_mask_emulation_covers_small_motion():
+    """Near-identity warps must be ~fully in-window (typical tracking and
+    PbMap-seeded LC refinement motions are 5-10x smaller than the bundled
+    pair's, PERF.md)."""
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    h, w = 64, 256
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w)).astype(np.int32)
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w)).astype(np.int32)
+    # +-1 pixel jitter, clipped — a sub-pixel-scale warp
+    rng = np.random.default_rng(0)
+    r = np.clip(rows + rng.integers(-1, 2, (h, w)), 0, h - 1).astype(np.int32)
+    c = np.clip(cols + rng.integers(-1, 2, (h, w)), 0, w - 1).astype(np.int32)
+    mask = np.asarray(window_mask_reference(jnp.asarray(r), jnp.asarray(c)))
+    assert mask.mean() > 0.99
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel is TPU-only")
+def test_kernel_mask_matches_emulation_on_tpu():
+    """The real kernel's in_window mask must equal window_mask_reference —
+    this ties the CPU-side pose-agreement gate to the hardware path."""
+    from rgbd360_tpu.ops.warp_gather import warp_gather, window_mask_reference
+
+    rng = np.random.default_rng(1)
+    h, w = 32, 256
+    planes = jnp.asarray(rng.random((h, 8, w)).astype(np.float32))
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    r = np.clip(rows + rng.integers(-8, 9, (h, w)), 0, h - 1).astype(np.int32)
+    c = np.clip(cols + rng.integers(-40, 41, (h, w)), 0, w - 1).astype(np.int32)
+    _out, in_win = warp_gather(planes, jnp.asarray(r), jnp.asarray(c))
+    ref = window_mask_reference(jnp.asarray(r), jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(in_win), np.asarray(ref))
