@@ -17,6 +17,7 @@ import sys
 import numpy as np
 
 from rgbd360_tpu.apps.common import load_calib, rot_offset, sequence_files
+from rgbd360_tpu.config import default_params
 from rgbd360_tpu.core.frame360 import Frame360
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.utils.viz import save_trajectory
@@ -71,8 +72,13 @@ def main(argv=None) -> int:
         current = kf_pose @ rel_cloud
         trajectory.append(current.copy())
 
-        promote = aligner.av_depth_residual >= SELECT_KF_RESIDUAL and is_continuous(
-            rel_prev, rel
+        # min_dist_keyframes: a keyframe candidate must have moved at least
+        # the minimum keyframe distance (reference include/Miscellaneous.h:66;
+        # candidate gating intent at KFsphere_SLAM.cpp:330)
+        promote = (
+            aligner.av_depth_residual >= SELECT_KF_RESIDUAL
+            and is_continuous(rel_prev, rel)
+            and np.linalg.norm(rel_cloud[:3, 3]) > default_params.min_dist_keyframes
         )
         print(
             f"frame {frame_no}: avDepth={aligner.av_depth_residual:.3f} "

@@ -29,10 +29,24 @@ def main(argv=None) -> int:
     ap.add_argument("--sample", type=int, default=1)
     ap.add_argument("--out", default=None)
     ap.add_argument("--calib-root", default=None)
+    ap.add_argument("--save-map", default=None,
+                    help="checkpoint the map (keyframes + state) to this dir")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a map saved with --save-map")
     args = ap.parse_args(argv)
 
     calib = load_calib(args.calib_root)
-    slam = KFSphereSLAM(matcher_config=default_matcher_config(args.calib_root))
+    world = optimizer = None
+    if args.resume:
+        from rgbd360_tpu.core.map_io import load_map
+
+        world, optimizer = load_map(args.resume, calib)
+        print(f"resumed map: {len(world)} keyframes from {args.resume}")
+    slam = KFSphereSLAM(
+        world=world,
+        optimizer=optimizer,
+        matcher_config=default_matcher_config(args.calib_root),
+    )
 
     n_frames = 0
     for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
@@ -53,6 +67,11 @@ def main(argv=None) -> int:
             save_trajectory(os.path.join(args.out, "trajectory_optimized.txt"), world.optimized_poses)
         slam.optimizer.save_graph(os.path.join(args.out, "pose_graph.g2o"))
         print(f"artifacts -> {args.out}")
+    if args.save_map:
+        from rgbd360_tpu.core.map_io import save_map
+
+        save_map(slam.world, args.save_map, slam.optimizer)
+        print(f"map checkpoint -> {args.save_map}")
     return 0
 
 

@@ -22,6 +22,7 @@ from rgbd360_tpu.apps.common import (
     rot_offset,
     sequence_files,
 )
+from rgbd360_tpu.config import default_params
 from rgbd360_tpu.core.frame360 import Frame360
 from rgbd360_tpu.core.matcher import PLANAR_3DOF
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
@@ -71,6 +72,16 @@ def main(argv=None) -> int:
         rel_sphere = aligner.get_optimal_pose().astype(np.float64)
         rel_cloud = np.linalg.inv(off) @ rel_sphere @ off
         rel_dense = rel_sphere  # seed for the next pair (reference :192)
+
+        # odometry motion bound: a per-pair translation beyond
+        # max_translation_odometry (reference include/Miscellaneous.h:69) is
+        # a registration failure — keep the previous pose and re-seed
+        if np.linalg.norm(rel_cloud[:3, 3]) > default_params.max_translation_odometry:
+            print(f"frame {frame_no}: REJECTED |t|={np.linalg.norm(rel_cloud[:3,3]):.2f} "
+                  f"> max_translation_odometry")
+            rel_dense = np.eye(4, dtype=np.float64)
+            prev = frame
+            continue
 
         current_pose = current_pose @ rel_cloud
         trajectory.append(current_pose.copy())

@@ -133,6 +133,66 @@ class Frame360:
             return 0.0
         return float(sum(p.area_hull for p in self.planes.planes))
 
+    # -- keyframe persistence (reference Frame360.h:213-228, 313-330) --------
+    def save_planes(self, path: str) -> None:
+        """savePlanes: persist the PbMap (reference Frame360.h:321-327)."""
+        from rgbd360_tpu.core.pbmap import save_pbmap
+
+        assert self.planes is not None, "get_planes() first"
+        save_pbmap(self.planes, path)
+
+    def save(self, path: str, frame: int) -> None:
+        """Save the keyframe as sphereCloud_%d.pcd + spherePlanes_%d.pbmap.npz
+        (reference Frame360::save, Frame360.h:313-330), plus the stitched
+        panorama (panorama_%d.npz — an extension the reference lacks; without
+        it a reloaded keyframe cannot serve dense re-registration)."""
+        import os
+
+        from rgbd360_tpu.utils.viz import save_pcd
+
+        if self.sphere_cloud is None:
+            self.build_sphere_cloud_from_image()
+        xyz, rgb = self.sphere_cloud
+        save_pcd(
+            os.path.join(path, f"sphereCloud_{frame}.pcd"),
+            np.nan_to_num(np.asarray(xyz).reshape(-1, 3)),
+            np.asarray(rgb).reshape(-1, 3),
+        )
+        self.save_planes(os.path.join(path, f"spherePlanes_{frame}.pbmap.npz"))
+        np.savez_compressed(
+            os.path.join(path, f"panorama_{frame}.npz"),
+            sphere_rgb=np.asarray(self.sphere_rgb),
+            sphere_depth_mm=np.asarray(self.sphere_depth_mm),
+            pose=self.pose,
+            node=self.node,
+            timestamp=self.timestamp,
+        )
+
+    @classmethod
+    def load_keyframe(cls, calib: Calib360, path: str, frame: int) -> "Frame360":
+        """Reload a saved keyframe (reference load_PbMap_Cloud,
+        Frame360.h:213-228, extended with the panorama so the keyframe can
+        re-enter tracking/loop-closure/relocalization after a restart)."""
+        import os
+
+        from rgbd360_tpu.core.pbmap import load_pbmap
+        from rgbd360_tpu.utils.viz import load_pcd
+
+        kf = cls(calib, frame)
+        xyz, rgb = load_pcd(os.path.join(path, f"sphereCloud_{frame}.pcd"))
+        kf.sphere_cloud = (xyz, rgb)
+        kf.planes = load_pbmap(os.path.join(path, f"spherePlanes_{frame}.pbmap.npz"))
+        pano_path = os.path.join(path, f"panorama_{frame}.npz")
+        if os.path.exists(pano_path):
+            with np.load(pano_path) as z:
+                kf.sphere_rgb = jnp.asarray(z["sphere_rgb"])
+                kf.sphere_depth_mm = jnp.asarray(z["sphere_depth_mm"])
+                kf.pose = z["pose"]
+                kf.node = int(z["node"])
+                kf.timestamp = int(z["timestamp"])
+            kf.sphere_gray = gray_f32(kf.sphere_rgb)
+        return kf
+
     # -- convenience --------------------------------------------------------
     def build(self, path: str) -> "Frame360":
         """load + undistort + stitch: the standard per-frame pipeline."""

@@ -98,13 +98,47 @@ class Edge:
 
 
 class GraphOptimizer:
-    """Same interface family as the reference GraphOptimizer (g2o/MRPT)."""
+    """Same interface family as the reference GraphOptimizer (g2o/MRPT).
 
-    def __init__(self, rigidity: int = 6):
+    rigidity=6: SE(3) (g2o types_slam3d path, GraphOptimizer.h:103-140).
+    rigidity=3: SE(2) (types_slam2d path, GraphOptimizer.h:84-140) — poses
+    are still passed as 4x4; they are projected to the planar subspace
+    (`planar_axis`: 'z' is the g2o convention; 'x' is the panorama up axis
+    the PLANAR_3DoF registration modes constrain, ops/sphere.py docstring).
+    """
+
+    def __init__(self, rigidity: int = 6, planar_axis: str = "z"):
         assert rigidity in (3, 6), "3-DoF (SE2) or 6-DoF (SE3)"
+        assert planar_axis in ("x", "z")
         self.rigidity = rigidity
+        self.planar_axis = planar_axis
         self.vertices: List[np.ndarray] = []
         self.edges: List[Edge] = []
+
+    # -- SE2 projection helpers (rigidity=3) -----------------------------------
+    def _t2v(self, T: np.ndarray) -> np.ndarray:
+        """4x4 -> (a, b, theta) in the planar subspace."""
+        if self.planar_axis == "z":
+            return np.array([T[0, 3], T[1, 3], np.arctan2(T[1, 0], T[0, 0])])
+        return np.array([T[1, 3], T[2, 3], np.arctan2(T[2, 1], T[1, 1])])
+
+    def _v2t(self, v: np.ndarray) -> np.ndarray:
+        a, b, th = v
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4)
+        if self.planar_axis == "z":
+            T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+            T[0, 3], T[1, 3] = a, b
+        else:
+            T[1, 1], T[1, 2], T[2, 1], T[2, 2] = c, -s, s, c
+            T[1, 3], T[2, 3] = a, b
+        return T
+
+    def _info3(self, info6: np.ndarray) -> np.ndarray:
+        """3x3 planar information from a 6x6 twist-information matrix
+        (twist order [v, w]): (t_a, t_b, omega_axis)."""
+        idx = [0, 1, 5] if self.planar_axis == "z" else [1, 2, 3]
+        return info6[np.ix_(idx, idx)]
 
     # -- construction ----------------------------------------------------------
     def add_vertex(self, pose: np.ndarray) -> int:
@@ -127,6 +161,8 @@ class GraphOptimizer:
         n = len(self.vertices)
         if n < 2 or not self.edges:
             return 0.0
+        if self.rigidity == 3:
+            return self._optimize_se2(iterations, lam)
         X = [v.copy() for v in self.vertices]
 
         def chi2(Xs):
@@ -172,6 +208,83 @@ class GraphOptimizer:
         self.vertices = X
         return current
 
+    def _optimize_se2(self, iterations: int, lam: float) -> float:
+        """Planar (SE2) Gauss-Newton/LM, the rigidity=3 path (reference
+        GraphOptimizer.h:84-208 with g2o types_slam2d). Standard pose-graph
+        linearization: e = t2v(Z^-1 Xi^-1 Xj) with the analytic A/B blocks."""
+        n = len(self.vertices)
+        V = [self._t2v(v) for v in self.vertices]
+        Z = [(e.i, e.j, self._t2v(e.z), self._info3(e.info)) for e in self.edges]
+
+        def rot2(th):
+            c, s = np.cos(th), np.sin(th)
+            return np.array([[c, -s], [s, c]])
+
+        def wrap(a):
+            return (a + np.pi) % (2 * np.pi) - np.pi
+
+        def err(Vs, i, j, zv):
+            Ri = rot2(Vs[i][2])
+            dt = Vs[j][:2] - Vs[i][:2]
+            e_t = rot2(zv[2]).T @ (Ri.T @ dt - zv[:2])
+            e_th = wrap(Vs[j][2] - Vs[i][2] - zv[2])
+            return np.array([e_t[0], e_t[1], e_th])
+
+        def chi2(Vs):
+            return float(sum(err(Vs, i, j, zv) @ info @ err(Vs, i, j, zv) for i, j, zv, info in Z))
+
+        current = chi2(V)
+        for _ in range(iterations):
+            H = np.zeros((3 * n, 3 * n))
+            b = np.zeros(3 * n)
+            for i, j, zv, info in Z:
+                Ri = rot2(V[i][2])
+                Rz = rot2(zv[2])
+                dt = V[j][:2] - V[i][:2]
+                dRiT = np.array(
+                    [[-np.sin(V[i][2]), np.cos(V[i][2])],
+                     [-np.cos(V[i][2]), -np.sin(V[i][2])]]
+                )  # d(Ri^T)/dtheta
+                A = np.zeros((3, 3))
+                A[:2, :2] = -Rz.T @ Ri.T
+                A[:2, 2] = Rz.T @ dRiT @ dt
+                A[2, 2] = -1.0
+                B = np.zeros((3, 3))
+                B[:2, :2] = Rz.T @ Ri.T
+                B[2, 2] = 1.0
+                e = err(V, i, j, zv)
+                for (a_, Ja) in ((i, A), (j, B)):
+                    for (c_, Jc) in ((i, A), (j, B)):
+                        H[3 * a_ : 3 * a_ + 3, 3 * c_ : 3 * c_ + 3] += Ja.T @ info @ Jc
+                    b[3 * a_ : 3 * a_ + 3] += Ja.T @ info @ e
+            Hf = H[3:, 3:] + lam * np.diag(np.diag(H[3:, 3:]) + 1e-12)
+            try:
+                delta = np.linalg.solve(Hf, -b[3:])
+            except np.linalg.LinAlgError:
+                break
+            Vnew = [V[0]] + [
+                np.array(
+                    [
+                        V[k][0] + delta[3 * (k - 1)],
+                        V[k][1] + delta[3 * (k - 1) + 1],
+                        wrap(V[k][2] + delta[3 * (k - 1) + 2]),
+                    ]
+                )
+                for k in range(1, n)
+            ]
+            new = chi2(Vnew)
+            if new <= current:
+                V = Vnew
+                if current - new < 1e-14:
+                    current = new
+                    break
+                current = new
+                lam = max(lam / 10, 1e-12)
+            else:
+                lam *= 10
+        self.vertices = [self._v2t(v) for v in V]
+        return current
+
     # -- accessors -----------------------------------------------------------------
     def get_poses(self) -> List[np.ndarray]:
         return [v.copy() for v in self.vertices]
@@ -200,6 +313,20 @@ class GraphOptimizer:
             q[3] = (R[k, j] - R[j, k]) / s
             return q
 
+        if self.rigidity == 3:
+            with open(path, "w") as f:
+                for vid, v in enumerate(self.vertices):
+                    a, b, th = self._t2v(v)
+                    f.write(f"VERTEX_SE2 {vid} {a} {b} {th}\n")
+                for e in self.edges:
+                    a, b, th = self._t2v(e.z)
+                    info3 = self._info3(e.info)
+                    upper = info3[np.triu_indices(3)]
+                    f.write(
+                        f"EDGE_SE2 {e.i} {e.j} {a} {b} {th} "
+                        + " ".join(map(str, upper)) + "\n"
+                    )
+            return
         with open(path, "w") as f:
             for vid, v in enumerate(self.vertices):
                 q = quat(v[:3, :3])

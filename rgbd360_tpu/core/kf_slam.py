@@ -99,10 +99,11 @@ class KFSphereSLAM:
         n_pyr_levels: int = 5,
         registerer: Optional[RegisterRGBD360] = None,
         aligner: Optional[RegisterPhotoICP] = None,
+        optimizer: Optional[GraphOptimizer] = None,
     ):
         self.world = world if world is not None else Map360()
         self.topo = TopologicalMap360(self.world)
-        self.optimizer = GraphOptimizer()
+        self.optimizer = optimizer if optimizer is not None else GraphOptimizer()
         self.registerer = registerer if registerer is not None else RegisterRGBD360(matcher_config)
         self.aligner = aligner if aligner is not None else RegisterPhotoICP(n_pyr_levels=n_pyr_levels)
         self.off = _rot_offset()
@@ -112,6 +113,10 @@ class KFSphereSLAM:
         self.seed_ref = np.eye(4, dtype=np.float64)  # rigidTransf_dense_ref
         self.n_keyframes_selected = 0
         self.n_loop_closures = 0
+        if len(self.world):  # resuming from a loaded map (core/map_io.py)
+            self.nearest_kf = len(self.world) - 1
+            self.current_pose = self.world.trajectory_poses[-1].astype(np.float64)
+            self.n_keyframes_selected = len(self.world)
 
     # ------------------------------------------------------------------ dense
     def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray):

@@ -97,11 +97,32 @@ class LoopClosure360:
 
     # -- one keyframe (reference run() body, :108-378) ----------------------------
     def process_new_keyframe(self, kf_id: int) -> int:
-        """Search loop closures for kf_id. Returns the number accepted."""
+        """Search loop closures for kf_id. Returns the number accepted.
+
+        Candidate PbMaps are screened by one batched device compatibility
+        evaluation (core/batch_match.py, a strict relaxation of the exact
+        matcher) before the per-candidate registration — SURVEY §2.3's
+        batched LC-candidate search."""
         m = self.map
         new_kf = m.frames[kf_id]
         accepted = 0
-        for cand in self._candidates(kf_id):
+        cands = self._candidates(kf_id)
+        if len(cands) > 1 and new_kf.planes is not None and all(
+            m.frames[c].planes is not None for c in cands
+        ):
+            from rgbd360_tpu.core.batch_match import prefilter_candidates
+
+            counts, areas = prefilter_candidates(
+                new_kf.planes,
+                [m.frames[c].planes for c in cands],
+                self.registerer.matcher.config,
+                PLANAR_3DOF,
+            )
+            cands = [
+                c for k, c in enumerate(cands)
+                if counts[k] >= MIN_MATCHES and areas[k] > MIN_AREA_MATCHED
+            ]
+        for cand in cands:
             cand_kf = m.frames[cand]
             ok = self.registerer.register_pbmap(cand_kf, new_kf, 25, PLANAR_3DOF)
             if (

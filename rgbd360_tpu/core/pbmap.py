@@ -31,7 +31,10 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
         for i in indices:
             while len(out) >= 2:
                 o, a = pts[out[-2]], pts[out[-1]]
-                if np.cross(a - o, pts[i] - o) <= 0:
+                # 2-D cross product z-component (np.cross on 2-vectors is
+                # removed in NumPy 2.x)
+                u, v = a - o, pts[i] - o
+                if u[0] * v[1] - u[1] * v[0] <= 0:
                     out.pop()
                 else:
                     break
@@ -264,3 +267,70 @@ class PbMap:
 
     def total_area(self) -> float:
         return float(sum(p.area_hull for p in self.planes))
+
+
+# -- (de)serialization ---------------------------------------------------------
+
+
+def save_pbmap(pbmap: PbMap, path: str) -> None:
+    """Persist a PbMap (reference Frame360::savePlanes, Frame360.h:321-330,
+    streams mrpt pbmap through a gzip stream; here the plane set is stored as
+    a compressed npz of fixed arrays + ragged hull/point buffers)."""
+    n = len(pbmap.planes)
+    hulls = [p.hull if p.hull is not None else np.zeros((0, 3)) for p in pbmap.planes]
+    points = [p.points if p.points is not None else np.zeros((0, 3)) for p in pbmap.planes]
+    np.savez_compressed(
+        path,
+        n=n,
+        ids=np.array([p.id for p in pbmap.planes], np.int64),
+        normals=np.stack([p.normal for p in pbmap.planes]) if n else np.zeros((0, 3)),
+        centers=np.stack([p.center for p in pbmap.planes]) if n else np.zeros((0, 3)),
+        d=np.array([p.d for p in pbmap.planes]),
+        curvature=np.array([p.curvature for p in pbmap.planes]),
+        area_hull=np.array([p.area_hull for p in pbmap.planes]),
+        elongation=np.array([p.elongation for p in pbmap.planes]),
+        ppal_dir=np.stack(
+            [p.ppal_dir if p.ppal_dir is not None else np.zeros(3) for p in pbmap.planes]
+        ) if n else np.zeros((0, 3)),
+        hist_h=np.stack(
+            [p.hist_h if p.hist_h is not None else np.zeros(HIST_H_BINS) for p in pbmap.planes]
+        ) if n else np.zeros((0, HIST_H_BINS)),
+        main_color=np.stack(
+            [p.main_color if p.main_color is not None else np.zeros(3) for p in pbmap.planes]
+        ) if n else np.zeros((0, 3)),
+        labels=np.array([p.label for p in pbmap.planes], dtype=object),
+        hull_data=np.concatenate(hulls, axis=0) if n else np.zeros((0, 3)),
+        hull_offsets=np.cumsum([0] + [len(h) for h in hulls]),
+        point_data=np.concatenate(points, axis=0) if n else np.zeros((0, 3)),
+        point_offsets=np.cumsum([0] + [len(pt) for pt in points]),
+        allow_pickle=True,
+    )
+
+
+def load_pbmap(path: str) -> PbMap:
+    """Inverse of save_pbmap (reference Frame360::loadPbMap, Frame360.h:197-209)."""
+    with np.load(path, allow_pickle=True) as z:
+        n = int(z["n"])
+        planes = []
+        for i in range(n):
+            h0, h1 = z["hull_offsets"][i], z["hull_offsets"][i + 1]
+            p0, p1 = z["point_offsets"][i], z["point_offsets"][i + 1]
+            pts = z["point_data"][p0:p1]
+            planes.append(
+                Plane(
+                    id=int(z["ids"][i]),
+                    normal=z["normals"][i],
+                    center=z["centers"][i],
+                    d=float(z["d"][i]),
+                    curvature=float(z["curvature"][i]),
+                    area_hull=float(z["area_hull"][i]),
+                    elongation=float(z["elongation"][i]),
+                    ppal_dir=z["ppal_dir"][i],
+                    hist_h=z["hist_h"][i],
+                    main_color=z["main_color"][i],
+                    label=str(z["labels"][i]),
+                    hull=z["hull_data"][h0:h1],
+                    points=pts if len(pts) else None,
+                )
+            )
+    return PbMap(planes)

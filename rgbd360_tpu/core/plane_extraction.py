@@ -29,7 +29,7 @@ from rgbd360_tpu.core.pbmap import PbMap, Plane
 from rgbd360_tpu.ops.bilateral import fast_bilateral_z
 from rgbd360_tpu.ops.normals import organized_normals
 from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
-from rgbd360_tpu.ops.planes_seg import MIN_INLIERS, segment_planes
+from rgbd360_tpu.ops.planes_seg import MIN_INLIERS, refine_plane_labels, segment_planes
 
 MAX_CURVATURE = default_params.max_curvature_plane
 MIN_AREA = default_params.min_area_plane
@@ -48,6 +48,8 @@ def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
         xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
         normals = organized_normals(xyz2)
         labels = segment_planes(xyz2, normals)
+        # PCL segmentAndRefine's boundary refinement (Frame360.h:977)
+        labels = refine_plane_labels(labels, xyz2, normals)
         return xyz2, rgb2, normals, labels
 
     return jax.vmap(one)(depth_undist_m, rgb)

@@ -35,6 +35,28 @@ def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
     return a - b - c + d
 
 
+def _box_sum_var(img: jnp.ndarray, r_px: jnp.ndarray) -> jnp.ndarray:
+    """Sum over a per-pixel (2*r_px+1)^2 window: one integral image + four
+    gathers at per-pixel corner offsets (PCL's variable smoothing window)."""
+    h, w = img.shape[:2]
+    ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    ii = jnp.pad(ii, [(1, 0), (1, 0)] + [(0, 0)] * (img.ndim - 2))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    y0 = jnp.clip(rows - r_px, 0, h)
+    y1 = jnp.clip(rows + r_px + 1, 0, h)
+    x0 = jnp.clip(cols - r_px, 0, w)
+    x1 = jnp.clip(cols + r_px + 1, 0, w)
+    flat = ii.reshape(-1, *ii.shape[2:])
+
+    def take(y, x):
+        return jnp.take(flat, (y * (w + 1) + x).reshape(-1), axis=0).reshape(
+            (h, w) + ii.shape[2:]
+        )
+
+    return take(y1, x1) - take(y1, x0) - take(y0, x1) + take(y0, x0)
+
+
 @functools.partial(jax.jit, static_argnames=("smoothing",))
 def organized_normals(
     xyz: jnp.ndarray,  # (H, W, 3) with NaN invalid
@@ -68,24 +90,59 @@ def organized_normals(
     r = smoothing // 2
     gx_m = jnp.where((gx_ok & clean)[..., None], gx, 0.0)
     gy_m = jnp.where((gy_ok & clean)[..., None], gy, 0.0)
+    cnt_x = (gx_ok & clean).astype(jnp.float32)
+    cnt_y = (gy_ok & clean).astype(jnp.float32)
+
+    # Primary path: full fixed window of masked gradients, accepted when a
+    # supermajority of the window is edge-free (the smoothest estimate a
+    # window not dominated by discontinuities can give; measured on the
+    # bundled pair this beats pure window-shrinking, which fragments regions
+    # near edges — see tests/test_planes.py::test_normals_edge_fillin).
     sum_gx = _box_sum(gx_m, r)
     sum_gy = _box_sum(gy_m, r)
-    n_gx = _box_sum((gx_ok & clean).astype(jnp.float32), r)
-    n_gy = _box_sum((gy_ok & clean).astype(jnp.float32), r)
-
+    n_gx = _box_sum(cnt_x, r)
+    n_gy = _box_sum(cnt_y, r)
+    win = float((2 * r + 1) ** 2)
     normal = jnp.cross(sum_gx, sum_gy)
     norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    # PCL shrinks the smoothing area near depth discontinuities rather than
-    # rejecting; the closest cheap equivalent: the centre pixel must be clean
-    # and a supermajority of the window's gradients must be edge-free
-    # (a strict edge-free-window policy halves plane recall on real data)
-    win = float((2 * r + 1) ** 2)
     ok = (
         clean
         & (n_gx > 0.6 * win)
         & (n_gy > 0.6 * win)
         & (norm[..., 0] > 1e-12)
     )
+
+    # Fill-in path: where the full window is edge-dominated, PCL's shrinking
+    # window (IntegralImageNormalEstimation's distance map caps the smoothing
+    # radius at the chessboard distance to the nearest depth discontinuity)
+    # still yields a normal instead of a rejection. The distance transform is
+    # r sweeps of 3x3 min+1 — exact up to r, all the cap can use.
+    dist = jnp.where(edge, 0.0, float(r + 1))
+
+    def min3x3(img):
+        pd = jnp.pad(img, 1, constant_values=float(r + 1))
+        return functools.reduce(
+            jnp.minimum,
+            [pd[1 + dy : 1 + dy + img.shape[0], 1 + dx : 1 + dx + img.shape[1]]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        )
+
+    for _ in range(r):
+        dist = jnp.minimum(dist, min3x3(dist) + 1.0)
+    r_px = jnp.clip(dist - 1.0, 1.0, float(r)).astype(jnp.int32)  # per-pixel radius
+    sum_gx_s = _box_sum_var(gx_m, r_px)
+    sum_gy_s = _box_sum_var(gy_m, r_px)
+    n_gx_s = _box_sum_var(cnt_x, r_px)
+    n_gy_s = _box_sum_var(cnt_y, r_px)
+    normal_s = jnp.cross(sum_gx_s, sum_gy_s)
+    norm_s = jnp.linalg.norm(normal_s, axis=-1, keepdims=True)
+    ok_s = clean & (n_gx_s >= 2.0) & (n_gy_s >= 2.0) & (norm_s[..., 0] > 1e-12)
+
+    use_fill = ~ok & ok_s
+    normal = jnp.where(use_fill[..., None], normal_s, normal)
+    norm = jnp.where(use_fill[..., None], norm_s, norm)
+    ok = ok | ok_s
+
     normal = normal / jnp.maximum(norm, 1e-12)
     # flip toward the viewpoint (sensor at origin): n . p < 0
     flip = jnp.sum(normal * p, axis=-1) > 0

@@ -84,3 +84,57 @@ def segment_planes(
 
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
     return jnp.where(valid, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def refine_plane_labels(
+    labels: jnp.ndarray,  # (H, W) i32 from segment_planes (-1 unlabeled)
+    xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
+    normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
+    sweeps: int = 8,
+):
+    """Boundary refinement after the flood fill — the 'refine' half of PCL's
+    segmentAndRefine (reference include/Frame360.h:977): valid pixels left
+    unlabeled (their normal was rejected near a depth edge) are absorbed by
+    an adjacent region when their point fits that region's plane model within
+    DISTANCE_THRESHOLD. Fixed number of one-pixel dilation sweeps, each one
+    fully vectorized.
+    """
+    h, w = labels.shape
+    hw = h * w
+    valid_xyz = jnp.all(jnp.isfinite(xyz), axis=-1)
+    p = jnp.where(valid_xyz[..., None], xyz, 0.0)
+
+    # per-region plane model (mean normal + centroid) via one scatter-add
+    labf = labels.reshape(-1)
+    bin_ = jnp.where(labf >= 0, labf, hw)
+    nrm = jnp.where(jnp.isfinite(normals), normals, 0.0).reshape(-1, 3)
+    feat = jnp.concatenate(
+        [nrm, p.reshape(-1, 3), jnp.ones((hw, 1), jnp.float32)], axis=-1
+    )
+    sums = jnp.zeros((hw + 1, 7), jnp.float32).at[bin_].add(feat)
+    cnt = jnp.maximum(sums[:, 6:7], 1.0)
+    n_mean = sums[:, :3] / cnt
+    n_mean = n_mean / jnp.maximum(jnp.linalg.norm(n_mean, axis=-1, keepdims=True), 1e-12)
+    centroid = sums[:, 3:6] / cnt
+    d_mean = jnp.sum(n_mean * centroid, axis=-1)  # plane offset n . p
+
+    NOLAB = jnp.int32(-1)
+
+    def neighbor_max(lab):
+        up = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=NOLAB)
+        down = jnp.pad(lab[:-1, :], ((1, 0), (0, 0)), constant_values=NOLAB)
+        left = jnp.pad(lab[:, 1:], ((0, 0), (0, 1)), constant_values=NOLAB)
+        right = jnp.pad(lab[:, :-1], ((0, 0), (1, 0)), constant_values=NOLAB)
+        return jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+
+    lab = labels
+    for _ in range(sweeps):
+        cand = neighbor_max(lab)
+        safe = jnp.clip(cand, 0, hw - 1)
+        n_c = jnp.take(n_mean, safe.reshape(-1), axis=0).reshape(h, w, 3)
+        d_c = jnp.take(d_mean, safe.reshape(-1), axis=0).reshape(h, w)
+        fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < DISTANCE_THRESHOLD
+        grow = (lab < 0) & valid_xyz & (cand >= 0) & fit
+        lab = jnp.where(grow, cand, lab)
+    return lab

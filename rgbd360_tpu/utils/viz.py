@@ -92,3 +92,30 @@ def save_trajectory(path: str, poses) -> None:
         for pose in poses:
             for row in np.asarray(pose):
                 f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+
+def load_pcd(path: str):
+    """Read the ASCII PCD written by save_pcd (x y z [packed rgb]).
+    Returns (xyz (N,3) f32, rgb (N,3) u8 or None)."""
+    with open(path) as f:
+        fields = []
+        n = 0
+        for line in f:
+            if line.startswith("FIELDS"):
+                fields = line.split()[1:]
+            elif line.startswith("POINTS"):
+                n = int(line.split()[1])
+            elif line.startswith("DATA"):
+                if line.split()[1] != "ascii":
+                    raise ValueError("only ascii PCD supported")
+                break
+        data = np.loadtxt(f, dtype=np.float64, max_rows=n)
+    data = data.reshape(-1, len(fields))
+    xyz = data[:, :3].astype(np.float32)
+    rgb = None
+    if "rgb" in fields:
+        packed = data[:, 3].astype(np.uint32)
+        rgb = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=-1
+        ).astype(np.uint8)
+    return xyz, rgb

@@ -145,3 +145,142 @@ def test_map_and_topology_bookkeeping():
     # representative keyframes elected per area
     for area in set(nodes):
         assert m2.selected_kfs[area] in m2.areas[area]
+
+
+def test_batched_prefilter_is_a_relaxation(sample_frames):
+    """core/batch_match.py must never reject a candidate the exact matcher
+    would accept: its count/area upper bounds dominate the tree search's
+    matched count and matched (reference-side) area on the real pair."""
+    from rgbd360_tpu.core.batch_match import prefilter_candidates
+    from rgbd360_tpu.core.matcher import PLANAR_3DOF
+    from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
+
+    f1, f2 = sample_frames
+    f1.get_planes()
+    f2.get_planes()
+    reg = RegisterRGBD360()
+    ok = reg.register_pbmap(f1, f2, 25, PLANAR_3DOF)
+    assert ok
+    exact_matches = len(reg.get_matched_planes())
+    exact_area = reg.get_area_matched()
+
+    counts, areas = prefilter_candidates(
+        f2.planes, [f1.planes], reg.matcher.config, PLANAR_3DOF
+    )
+    assert counts[0] >= exact_matches
+    assert areas[0] >= exact_area - 1e-6
+
+
+def test_relocalizer_prefilter_matches_bruteforce(sample_frames):
+    """The batched relocalizer returns the same keyframe as the sequential
+    newest-first scan (reference Relocalizer360.h:78-93 semantics)."""
+    import rgbd360_tpu.core.relocalizer as reloc_mod
+    from rgbd360_tpu.core.map360 import Map360
+    from rgbd360_tpu.core.matcher import PLANAR_3DOF
+    from rgbd360_tpu.core.relocalizer import Relocalizer360
+
+    f1, f2 = sample_frames
+    f1.get_planes()
+    f2.get_planes()
+    world = Map360()
+    world.add_keyframe(f1, np.eye(4, dtype=np.float32))
+
+    old = reloc_mod.MIN_MATCHES, reloc_mod.MIN_AREA
+    reloc_mod.MIN_MATCHES, reloc_mod.MIN_AREA = 3, 3.0
+    try:
+        r = Relocalizer360(world)
+        batched = r.relocalize(f2)
+        # brute force: sequential scan without the prefilter
+        brute = None
+        for kf_id in range(len(world.frames) - 1, -1, -1):
+            ok = r.registerer.register_pbmap(world.frames[kf_id], f2, 25, PLANAR_3DOF)
+            if (
+                ok
+                and len(r.registerer.get_matched_planes()) >= reloc_mod.MIN_MATCHES
+                and r.registerer.get_area_matched() > reloc_mod.MIN_AREA
+            ):
+                brute = kf_id
+                break
+    finally:
+        reloc_mod.MIN_MATCHES, reloc_mod.MIN_AREA = old
+
+    assert batched is not None and batched[0] == brute
+
+
+def test_se2_circle_graph_closes():
+    """rigidity=3 (SE2) pose graph: a drifting 12-pose circle with a
+    loop-closure edge snaps closed (reference GraphOptimizer.h:84-208,
+    g2o types_slam2d path)."""
+    from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
+
+    rng = np.random.default_rng(3)
+    n = 12
+    step = 2 * np.pi / n
+    opt = GraphOptimizer(rigidity=3)
+
+    def v2t(a, b, th):
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4)
+        T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+        T[0, 3], T[1, 3] = a, b
+        return T
+
+    # ground truth: unit-radius circle
+    truth = [v2t(np.cos(k * step), np.sin(k * step), k * step + np.pi / 2) for k in range(n)]
+    # odometry with drift noise
+    info = np.eye(6) * 100.0
+    poses = [truth[0]]
+    for k in range(1, n):
+        rel = np.linalg.inv(truth[k - 1]) @ truth[k]
+        noisy = rel.copy()
+        noisy[0, 3] += rng.normal(scale=0.03)
+        noisy[1, 3] += rng.normal(scale=0.03)
+        poses.append(poses[-1] @ noisy)
+    for p in poses:
+        opt.add_vertex(p)
+    for k in range(1, n):
+        rel = np.linalg.inv(truth[k - 1]) @ truth[k]
+        opt.add_edge(k - 1, k, rel, info)
+    # loop closure: last -> first
+    rel_lc = np.linalg.inv(truth[n - 1]) @ truth[0]
+    opt.add_edge(n - 1, 0, rel_lc, info)
+
+    drift_before = np.linalg.norm(poses[-1][:2, 3] - truth[-1][:2, 3])
+    chi2 = opt.optimize_graph(iterations=30)
+    out = opt.get_poses()
+    drift_after = max(
+        np.linalg.norm(out[k][:2, 3] - truth[k][:2, 3]) for k in range(n)
+    )
+    assert np.isfinite(chi2)
+    assert drift_after < drift_before * 0.5
+    assert drift_after < 0.08
+    # poses remain planar 4x4 (z untouched, rotation about z)
+    for p in out:
+        assert abs(p[2, 3]) < 1e-12 and abs(p[2, 2] - 1) < 1e-12
+
+
+def test_se2_planar_axis_x():
+    """planar_axis='x' — the panorama up axis the PLANAR_3DoF modes use."""
+    from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
+
+    opt = GraphOptimizer(rigidity=3, planar_axis="x")
+
+    def v2t_x(a, b, th):
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4)
+        T[1, 1], T[1, 2], T[2, 1], T[2, 2] = c, -s, s, c
+        T[1, 3], T[2, 3] = a, b
+        return T
+
+    truth = [np.eye(4), v2t_x(1.0, 0.0, 0.4), v2t_x(1.5, 0.8, 0.9)]
+    info = np.eye(6) * 50
+    bad = truth[2].copy()
+    bad[1, 3] += 0.2
+    for p in (truth[0], truth[1], bad):
+        opt.add_vertex(p)
+    opt.add_edge(0, 1, np.linalg.inv(truth[0]) @ truth[1], info)
+    opt.add_edge(1, 2, np.linalg.inv(truth[1]) @ truth[2], info)
+    opt.add_edge(0, 2, np.linalg.inv(truth[0]) @ truth[2], info)
+    opt.optimize_graph(iterations=20)
+    out = opt.get_poses()
+    np.testing.assert_allclose(out[2], truth[2], atol=1e-6)
