@@ -93,9 +93,15 @@ def fused_sweep_pinhole(
     level: int,
     method: int,
     cam_rt: jnp.ndarray = None,  # (4,4) camera-from-robot extrinsic or None
+    occlusion: int = 0,
 ):
     """One fused pass: error + H + g at `pose`. Returns
-    (err2_sum, n_terms, H, g, photo_err2, n_photo, depth_err2, n_depth)."""
+    (err2_sum, n_terms, H, g, photo_err2, n_photo, depth_err2, n_depth).
+
+    occlusion selects the reference's pinhole variants: 1 = z-buffered
+    closest-wins (_Occ1, RegisterPhotoICP.h:1107-1546), 2 = additionally
+    reject dynamic/occluded points whose depth residual exceeds
+    thresDepthOutliers (_Occ2, :1547-2025)."""
     h, w = shape
     fx, fy, ox, oy = _k_level(k_full, level)
 
@@ -128,6 +134,21 @@ def fused_sweep_pinhole(
     depth2 = tgt[:, CH_DEPTH]
     ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
     dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
+
+    if occlusion:
+        # z-buffer: only the closest source point per target pixel survives
+        # (the reference's sequential invDepthBuffer, :1191-1209, becomes a
+        # scatter-max; ties all survive)
+        z_inv_pos = jnp.where(visible, 1.0 / jnp.maximum(z, 1e-12), 0.0)
+        zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(z_inv_pos)
+        visible = visible & (z_inv_pos >= jnp.take(zbuf, flat))
+        if occlusion >= 2:
+            # dynamic-occlusion rejection (_Occ2's mask_dynamic_occlusion,
+            # thresDepthOutliers set by alignFrames :4263)
+            from rgbd360_tpu.ops.photoicp import THRES_DEPTH_OUTLIERS
+
+            dynamic = visible & (jnp.abs(depth2 - z) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+            visible = visible & ~dynamic
 
     # pinhole projection jacobian rows (d u/d q, d v/d q), reference :5167-5177
     j_u = jnp.stack([fx * z_inv, jnp.zeros_like(z), -fx * q[:, 0] * z_inv * z_inv], -1)
@@ -201,7 +222,7 @@ class PinholeAlignResult(NamedTuple):
     ill_posed: jnp.ndarray
 
 
-def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, tol_update, tol_residual, lm_lambda0, lm_step, num_cams, cam_rts):
+def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, tol_update, tol_residual, lm_lambda0, lm_step, num_cams, cam_rts, occlusion=0):
     """Shared GN+LM level loop for the single-camera and multi-camera cases.
     level: LevelData pytree whose leaves have a leading camera axis."""
     shape = level.gray_src.shape[-2:]
@@ -224,7 +245,7 @@ def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, to
         def one(gs, pk, xyz, valid, cam_rt):
             return fused_sweep_pinhole(
                 gs, pk, shape, xyz, valid, pose, k_full, lvl_idx, method,
-                None if cam_rts is None else cam_rt,
+                None if cam_rts is None else cam_rt, occlusion,
             )
 
         outs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
@@ -280,6 +301,7 @@ def align_frames_pinhole(
     cam_rts: jnp.ndarray = None,  # (C,4,4) or None for single camera
     n_levels: int = 4,
     max_iters: int = 10,
+    occlusion: int = 0,
 ) -> PinholeAlignResult:
     """alignFrames (:4254, cam_rts None) or the RegisterDensePhotoICP level
     loop (RegisterRGBD360.h:383-506, cam_rts = 8 extrinsics). Pyramid leaves
@@ -296,7 +318,7 @@ def align_frames_pinhole(
             max_iters=max_iters, tol_update=1e-4 if cam_rts is None else 1e-6,
             tol_residual=1e-4 if cam_rts is None else 1e-1,
             lm_lambda0=0.01 if cam_rts is None else 0.001, lm_step=10.0,
-            num_cams=num_cams, cam_rts=cam_rts,
+            num_cams=num_cams, cam_rts=cam_rts, occlusion=occlusion,
         )
         pose = jnp.where(ill_any, pose, pose_new)
         ill_any = ill_any | ill
@@ -339,10 +361,10 @@ def register_dense_photoicp_jit(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("method", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("method", "n_levels", "occlusion"))
 def align_frames_jit(
     gray_src, depth_src, gray_trg, depth_trg, k_full, pose_guess,
-    method: int = PHOTO_DEPTH, n_levels: int = 4,
+    method: int = PHOTO_DEPTH, n_levels: int = 4, occlusion: int = 0,
 ) -> PinholeAlignResult:
     """Single-camera pinhole alignFrames."""
     src = jax.tree.map(
@@ -353,4 +375,4 @@ def align_frames_jit(
         lambda x: x[None],
         build_pyramid_set(gray_trg, depth_trg, n_levels, is_target=True, sphere_seam_mask=False),
     )
-    return align_frames_pinhole(src, trg, k_full, pose_guess, method, None, n_levels)
+    return align_frames_pinhole(src, trg, k_full, pose_guess, method, None, n_levels, occlusion=occlusion)

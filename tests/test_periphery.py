@@ -232,3 +232,27 @@ def test_viz_dumps(tmp_path, rng):
     assert "POINTS 10" in (tmp_path / "t.pcd").read_text()
     save_trajectory(str(tmp_path / "traj.txt"), [np.eye(4)] * 3)
     assert len((tmp_path / "traj.txt").read_text().splitlines()) == 12
+
+
+def test_laser_calibrator_app_demo(capsys):
+    from rgbd360_tpu.apps.calibrate_laser import main as laser_main
+
+    assert laser_main(["--demo"]) == 0
+    out = capsys.readouterr().out
+    assert "ground-truth error" in out
+
+
+def test_tof_calibrator_app_demo(capsys):
+    from rgbd360_tpu.apps.tof_calibrator import main as tof_main
+
+    assert tof_main(["--demo"]) == 0
+    out = capsys.readouterr().out
+    assert "tof-from-rgbd extrinsic estimate" in out
+
+
+def test_online_odometry_synthetic(tmp_path, capsys):
+    """OnlineOdometryRGBD360 equivalent on the synthetic grabber source."""
+    from rgbd360_tpu.apps.online_odometry import main as online_main
+
+    assert online_main(["--synthetic", "2", "--out", str(tmp_path)]) == 0
+    assert (tmp_path / "trajectory_online.txt").exists()

@@ -113,3 +113,72 @@ def test_robot_frame_recovers_rig_motion(rng):
     assert not bool(res.ill_posed)
     err = np.abs(np.asarray(res.pose) - pose_true).max()
     assert err < 2e-3
+
+
+def test_pinhole_occlusion_variants(rng):
+    """Occ1/Occ2 (reference RegisterPhotoICP.h:1107-2025) run and agree with
+    the plain variant on occlusion-free data (self-alignment -> identity)."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.io.calib import qvga_camera_matrix
+    from rgbd360_tpu.ops.photoicp_pinhole import align_frames_jit
+
+    h, w = 64, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (0.5 + 0.2 * np.sin(xx / 5.0) * np.cos(yy / 3.0) + 0.1 * np.sin(xx / 1.7)).astype(np.float32)
+    depth = (2.0 + 0.4 * np.sin(xx / 9.0)).astype(np.float32)
+    k = jnp.asarray(qvga_camera_matrix() * (w / 320.0))
+    for occ in (1, 2):
+        res = align_frames_jit(
+            jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(gray), jnp.asarray(depth),
+            k, jnp.eye(4), n_levels=2, occlusion=occ,
+        )
+        np.testing.assert_allclose(np.asarray(res.pose), np.eye(4), atol=1e-6)
+
+
+def test_pinhole_occ1_drops_occluded_point(rng):
+    """Two source points projecting to one target pixel: under occlusion=1
+    only the closer contributes (the farther is z-buffered out), so the
+    sweep's term counts drop relative to the plain variant."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.io.calib import qvga_camera_matrix
+    from rgbd360_tpu.ops.photoicp import pack_target_channels, LevelData, build_pyramid_set, make_level_data
+    from rgbd360_tpu.ops.photoicp_pinhole import fused_sweep_pinhole, pinhole_lut
+
+    h, w = 32, 40
+    k = jnp.asarray(qvga_camera_matrix() * (w / 320.0))
+    gray = rng.random((h, w)).astype(np.float32)
+    depth_trg = np.full((h, w), 2.0, np.float32)
+    # source: same scene but with a near blob that occludes after a small
+    # translation along z
+    depth_src = depth_trg.copy()
+    depth_src[10:20, 10:20] = 1.0
+    src = build_pyramid_set(jnp.asarray(gray), jnp.asarray(depth_src), 1, is_target=False, sphere_seam_mask=False)
+    trg = build_pyramid_set(jnp.asarray(gray), jnp.asarray(depth_trg), 1, is_target=True, sphere_seam_mask=False)
+    level = make_level_data(jax_tree_unsqueeze(src), jax_tree_unsqueeze(trg), 0)
+    level = jax_tree_squeeze(level)
+    xyz, valid = pinhole_lut(level.depth_src, k, 0)
+    packed = pack_target_channels(level)
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3] = 0.3  # shift so near blob points land on far-surface pixels
+    plain = fused_sweep_pinhole(
+        level.gray_src.reshape(-1), packed, (h, w), xyz, valid, jnp.asarray(pose), k, 0, 2
+    )
+    occ1 = fused_sweep_pinhole(
+        level.gray_src.reshape(-1), packed, (h, w), xyz, valid, jnp.asarray(pose), k, 0, 2,
+        occlusion=1,
+    )
+    assert int(occ1[1]) < int(plain[1])  # fewer surviving terms
+
+
+def jax_tree_unsqueeze(t):
+    import jax
+
+    return jax.tree.map(lambda x: x[None], t)
+
+
+def jax_tree_squeeze(t):
+    import jax
+
+    return jax.tree.map(lambda x: x[0], t)
