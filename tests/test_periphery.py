@@ -256,3 +256,32 @@ def test_online_odometry_synthetic(tmp_path, capsys):
 
     assert online_main(["--synthetic", "2", "--out", str(tmp_path)]) == 0
     assert (tmp_path / "trajectory_online.txt").exists()
+
+
+def test_register_sequence_label_on_room(tmp_path, calib):
+    """RegisterSequenceSphere_labelFast equivalent: unlabeled keyframes are
+    skipped, labeled pairs are PbMap-registered (PLANAR_3DoF) and the chained
+    pose recovers the synthetic motion."""
+    import numpy as np
+    from room_scene import room_frame
+
+    from rgbd360_tpu.apps.register_sequence_label import run
+    from rgbd360_tpu.core.labelization import labelize_frame
+
+    rel = np.eye(4)
+    rel[1, 3] = 0.25
+    rel[2, 3] = -0.1
+    f0 = room_frame(calib, np.eye(4), 0)
+    f1 = room_frame(calib, None, 1)  # stays unlabeled -> must be skipped
+    f2 = room_frame(calib, rel, 2)
+    labelize_frame(f0, {p.id: f"face{p.id}" for p in f0.planes.planes[:4]})
+    labelize_frame(f2, {p.id: f"face{p.id}" for p in f2.planes.planes[:4]})
+    for i, f in enumerate((f0, f1, f2)):
+        f.build_sphere_cloud_from_image()
+        f.save(str(tmp_path), i)
+
+    stats = run(str(tmp_path), out_dir=str(tmp_path / "out"))
+    assert stats["labelized"] == 1 and stats["unlabelized"] == 1
+    final = stats["trajectory"][-1]
+    assert abs(np.linalg.norm(final[:3, 3]) - np.linalg.norm(rel[:3, 3])) < 0.08
+    assert (tmp_path / "out" / "trajectory.txt").exists()
