@@ -48,3 +48,94 @@ def test_calib_extrinsics(calib):
         R = calib.Rt[s][:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         np.testing.assert_allclose(calib.Rt[s] @ calib.Rt_inv[s], np.eye(4), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MRPT rawlog subset (io/rawlog.py; reference Visualization/LoadRawlog.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_rawlog(path, rng, n_frames=2, h=24, w=32):
+    """Write a tiny rawlog: per frame, 4 RGBD observations + one LASER scan
+    (the observation mix LoadRawlog.cpp:199-222 expects)."""
+    from rgbd360_tpu.io.rawlog import Obs2DRangeScan, Obs3DRangeScan, write_rawlog
+
+    obs_all = []
+    for fr in range(n_frames):
+        for s in range(4):
+            pose = np.eye(4)
+            pose[0, 3] = 0.1 * s
+            obs_all.append(
+                Obs3DRangeScan(
+                    sensor_label=f"RGBD{s + 1}",
+                    timestamp=1000 * fr + s,
+                    sensor_pose=pose,
+                    range_image=rng.uniform(0.5, 5.0, (h, w)).astype(np.float32),
+                    intensity_image=rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+                )
+            )
+        obs_all.append(Obs2DRangeScan(timestamp=1000 * fr + 9, ranges=np.ones(181, np.float32)))
+    write_rawlog(str(path), obs_all)
+    return obs_all
+
+
+def test_rawlog_roundtrip(tmp_path, rng):
+    from rgbd360_tpu.io.rawlog import Obs3DRangeScan, read_rawlog
+
+    path = tmp_path / "t.rawlog"
+    written = _synthetic_rawlog(path, rng)
+    back = list(read_rawlog(str(path)))
+    assert len(back) == len(written)
+    for a, b in zip(written, back):
+        assert a.sensor_label == b.sensor_label and a.timestamp == b.timestamp
+        if isinstance(a, Obs3DRangeScan):
+            np.testing.assert_array_equal(a.range_image, b.range_image)
+            np.testing.assert_array_equal(a.intensity_image, b.intensity_image)
+            np.testing.assert_allclose(a.sensor_pose, b.sensor_pose)
+
+
+def test_rawlog_rejects_garbage(tmp_path):
+    import gzip
+
+    import pytest
+
+    from rgbd360_tpu.io.rawlog import read_rawlog
+
+    path = tmp_path / "bad.rawlog"
+    with gzip.open(path, "wb") as f:
+        f.write(b"\x07garbage\x00junkjunk")
+    with pytest.raises(ValueError):
+        list(read_rawlog(str(path)))
+
+
+def test_load_rawlog_grouping_and_ring_poses(tmp_path, rng):
+    """Observation grouping, decimation, and the hardcoded 45-degree ring
+    (LoadRawlog.cpp:77-92,199-238)."""
+    from rgbd360_tpu.apps.load_rawlog import rgbd360_frames, ring_sensor_poses
+
+    path = tmp_path / "t.rawlog"
+    _synthetic_rawlog(path, rng, n_frames=4)
+    frames = list(rgbd360_frames(str(path)))
+    assert len(frames) == 4
+    assert [o.sensor_label for o in frames[0][1]] == ["RGBD1", "RGBD2", "RGBD3", "RGBD4"]
+    assert len(list(rgbd360_frames(str(path), decimation=2))) == 2
+
+    poses = ring_sensor_poses()
+    assert len(poses) == 4
+    # each pose is a 45-degree yaw of the previous; composing 8 returns home
+    p = np.eye(4)
+    rel = poses[1] @ np.linalg.inv(poses[0])
+    for _ in range(8):
+        p = rel @ p
+    np.testing.assert_allclose(p, np.eye(4), atol=1e-12)
+
+
+def test_load_rawlog_app_end_to_end(tmp_path, rng, capsys):
+    from rgbd360_tpu.apps.load_rawlog import main as rawlog_main
+
+    path = tmp_path / "t.rawlog"
+    _synthetic_rawlog(path, rng, n_frames=2, h=240, w=320)
+    out = tmp_path / "out"
+    assert rawlog_main([str(path), "--out", str(out), "--mode", "images"]) == 0
+    assert "processed 2 omnidirectional frames" in capsys.readouterr().out
+    assert (out / "rgb_0000.png").exists() and (out / "depth_0001.png").exists()
