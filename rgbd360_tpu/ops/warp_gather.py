@@ -17,11 +17,16 @@ for the XLA packed-row take):
     that row's own minimum target row: K x 2 dynamic_gathers + masked
     accumulation per row.
 
-Pixels whose target falls outside the window (strong parallax, the theta
-wrap seam) are flagged in the returned mask and treated as invisible by the
-caller — a documented deviation from the reference, which gathers them.
-The caller feeds identity coordinates for invalid pixels so they don't
-distort the window statistics.
+The theta wrap seam (reference RegisterPhotoICP.h:2678-2687 relies on
+atan2+pi landing in range) is handled with a PC-column halo: the target
+planes are extended with a copy of their first PC columns, and a tile whose
+targets straddle the seam (spread > W/2) remaps targets c < W/2 to c + W so
+one contiguous window covers both sides. Pixels whose target still falls
+outside the window (strong parallax) are flagged in the returned mask and
+treated as invisible by the caller — a documented deviation from the
+reference that shrinks quadratically with inter-frame motion. The caller
+feeds identity coordinates for invalid pixels so they don't distort the
+window statistics.
 
 Batching: pairs batch through an explicit leading grid axis (vmap routes
 here via jax.custom_batching — Pallas ANY-space operands don't support
@@ -44,15 +49,21 @@ K = 6  # per-output-row row window
 PC = 256  # target window columns (128-aligned origin + 128 spread budget)
 
 
-def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem):
+def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem, *, w_real):
     b = pl.program_id(0)
     r = r_ref[0]  # (8,128) i32 target rows
     c = c_ref[0]
     hp = planes_hbm.shape[1]
-    wp = planes_hbm.shape[3]
+    wp_ext = planes_hbm.shape[3]  # true width + PC halo, 128-padded
+
+    # theta-wrap: targets of one coherent source tile only spread beyond
+    # W/2 when they straddle the seam; remap the low side into the halo so
+    # one contiguous window covers both sides
+    straddle = (jnp.max(c) - jnp.min(c)) > (w_real // 2)
+    c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
 
     r0 = jnp.clip(jnp.min(r), 0, hp - PR)
-    c0 = pl.multiple_of((jnp.clip(jnp.min(c), 0, wp - PC) // 128) * 128, 128)
+    c0 = pl.multiple_of((jnp.clip(jnp.min(c), 0, wp_ext - PC) // 128) * 128, 128)
     dma = pltpu.make_async_copy(
         planes_hbm.at[b, pl.ds(r0, PR), :, pl.ds(c0, PC)], patch, sem
     )
@@ -108,14 +119,22 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
     assert cdim == C
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
+    # theta-wrap halo: replicate the first PC true columns after column w so
+    # seam-straddling tiles can gather through one contiguous window
+    planes = jnp.concatenate([planes, planes[..., : min(PC, w)]], axis=3)
+    wp_ext = max(_round_up(planes.shape[3], BC), PC + BC)
+    planes = jnp.pad(
+        planes, ((0, 0), (0, hp - h), (0, 0), (0, wp_ext - planes.shape[3]))
+    )
     if (hp, wp) != (h, w):
-        planes = jnp.pad(planes, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
-        r_idx = jnp.pad(r_idx, ((0, 0), (0, hp - h), (0, wp - w)))
-        c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)))
+        # edge-replicate so padded entries can't fake a seam straddle or
+        # drag a tile's window origin away from its real targets
+        r_idx = jnp.pad(r_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
     grid = (bsz, hp // BR, wp // BC)
     out, mask = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, w_real=w),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
@@ -146,10 +165,11 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
 def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray:
     """Pure-XLA emulation of the kernel's in-window mask — runs on any
     backend, so the CPU suite can quantify the coverage deviation the kernel
-    introduces (out-of-window / wrap-seam targets are masked) without TPU
-    hardware. Mirrors _kernel's window selection exactly: per-(8,128)-tile
-    DMA window origin from the tile minimum (columns 128-aligned), then a
-    K-row window centred on each output row's mean target row.
+    introduces (out-of-window targets are masked; seam-straddling targets
+    are covered via the wrap halo) without TPU hardware. Mirrors _kernel's
+    window selection exactly: per-(8,128)-tile seam remap, DMA window origin
+    from the tile minimum (columns 128-aligned), then a K-row window centred
+    on each output row's mean target row.
 
     r_idx/c_idx: (H, W) i32 target coordinates already clipped into range
     (invalid pixels fed identity coordinates, as fused_sweep_sphere does).
@@ -158,15 +178,20 @@ def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray
     h, w = r_idx.shape
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
+    wp_ext = max(_round_up(w + min(PC, w), BC), PC + BC)
     if (hp, wp) != (h, w):
-        r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)))
-        c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)))
+        r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)), mode="edge")
     nr, nc = hp // BR, wp // BC
     # (nr, nc, BR, BC) tile view
     r_t = r_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
     c_t = c_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
+    # theta-wrap remap into the halo (mirrors _kernel)
+    spread = jnp.max(c_t, axis=(2, 3)) - jnp.min(c_t, axis=(2, 3))
+    straddle = (spread > (w // 2))[:, :, None, None]
+    c_t = jnp.where(straddle & (c_t < w // 2), c_t + w, c_t)
     r0 = jnp.clip(jnp.min(r_t, axis=(2, 3)), 0, hp - PR)[:, :, None, None]
-    c0 = (jnp.clip(jnp.min(c_t, axis=(2, 3)), 0, wp - PC) // 128 * 128)[:, :, None, None]
+    c0 = (jnp.clip(jnp.min(c_t, axis=(2, 3)), 0, wp_ext - PC) // 128 * 128)[:, :, None, None]
     lr = r_t - r0
     lc = c_t - c0
     lc_ok = (lc >= 0) & (lc < PC)

@@ -13,9 +13,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # jax is pre-imported by the environment, so JAX_PLATFORMS in os.environ is
 # not enough — force the platform through the config API before any op runs.
+# RGBD360_TEST_TPU=1 keeps the real backend so the @skipif(tpu)-gated kernel
+# tests (tests/test_warp_kernel.py) can run on hardware.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("RGBD360_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 

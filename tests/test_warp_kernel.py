@@ -104,3 +104,58 @@ def test_kernel_mask_matches_emulation_on_tpu():
     _out, in_win = warp_gather(planes, jnp.asarray(r), jnp.asarray(c))
     ref = window_mask_reference(jnp.asarray(r), jnp.asarray(c))
     np.testing.assert_array_equal(np.asarray(in_win), np.asarray(ref))
+
+
+def test_window_mask_covers_wrap_seam():
+    """A rigid yaw shifts every column by a constant offset mod W; tiles at
+    the seam straddle it. The wrap halo must keep them covered (previously
+    they were masked out — PERF.md 'Remaining levers' #2)."""
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    h, w = 64, 512
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w)).astype(np.int32)
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w)).astype(np.int32)
+    for shift in (-37, 23, 130):
+        c = ((cols + shift) % w).astype(np.int32)
+        mask = np.asarray(window_mask_reference(jnp.asarray(rows), jnp.asarray(c)))
+        assert mask.mean() > 0.995, f"shift {shift}: coverage {mask.mean():.3f}"
+
+
+def test_window_mask_covers_wrap_with_invisible_identity_pixels():
+    """Seam tiles mix wrapped visible targets with identity coordinates of
+    invisible pixels (fused_sweep_sphere feeds source coords there); the
+    straddle remap must keep the visible side covered."""
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    h, w = 32, 512
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w)).astype(np.int32)
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w)).astype(np.int32)
+    c = ((cols - 20) % w).astype(np.int32)
+    visible = np.random.default_rng(2).random((h, w)) > 0.3
+    c = np.where(visible, c, cols)  # invisible -> identity
+    mask = np.asarray(window_mask_reference(jnp.asarray(rows), jnp.asarray(c.astype(np.int32))))
+    assert mask[visible].mean() > 0.99
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel is TPU-only")
+def test_kernel_wrap_values_match_xla_gather_on_tpu():
+    """At a seam-crossing warp the kernel's gathered values must equal an
+    exact XLA gather wherever the kernel reports in-window, and the mask
+    must equal the emulation."""
+    from rgbd360_tpu.ops.warp_gather import warp_gather, window_mask_reference
+
+    rng = np.random.default_rng(3)
+    h, w = 32, 512
+    planes = jnp.asarray(rng.random((h, 8, w)).astype(np.float32))
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    r = np.clip(rows + rng.integers(-2, 3, (h, w)), 0, h - 1).astype(np.int32)
+    c = ((cols - 25 + rng.integers(-3, 4, (h, w))) % w).astype(np.int32)
+    out, in_win = warp_gather(planes, jnp.asarray(r), jnp.asarray(c))
+    ref_mask = window_mask_reference(jnp.asarray(r), jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(in_win), np.asarray(ref_mask))
+    assert np.asarray(in_win).mean() > 0.99
+    exact = np.asarray(planes).transpose(1, 0, 2)[:, r, c]  # (C, h, w)
+    got = np.asarray(out)
+    m = np.asarray(in_win)
+    np.testing.assert_allclose(got[:, m], exact[:, m], rtol=0, atol=0)
