@@ -111,6 +111,113 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Double-buffer the per-tile window DMA across grid steps (PERF.md lever #1:
+# the kernel is DMA/overhead-bound). Window origins are precomputed in XLA
+# (one fused reduction) and scalar-prefetched so grid step t can start the
+# DMA for step t+1 into the alternate buffer before computing its own tile.
+PIPELINE_KERNEL = True
+
+
+def _tile_origins(r_idx, c_idx, w_real, hp, wp_ext):
+    """Per-(8,128)-tile window origins, exactly the kernel's rule: remap
+    seam-straddling targets into the halo, clip the minimum, 128-align the
+    column origin. One fused pass over the index arrays. Returns (B, nr, nc)
+    i32 r0s/c0s."""
+    bsz, hpad, wpad = r_idx.shape
+    nr, nc = hpad // BR, wpad // BC
+    r_t = r_idx.reshape(bsz, nr, BR, nc, BC)
+    c_t = c_idx.reshape(bsz, nr, BR, nc, BC)
+    cmin = jnp.min(c_t, axis=(2, 4))
+    cmax = jnp.max(c_t, axis=(2, 4))
+    straddle = (cmax - cmin) > (w_real // 2)
+    # min over the remapped coordinates without materializing them: the low
+    # side shifts by +W, so min(c + W*[c < W/2]) is the remapped minimum
+    remapped_min = jnp.min(c_t + jnp.where(c_t < w_real // 2, w_real, 0), axis=(2, 4))
+    sel_min = jnp.where(straddle, remapped_min, cmin)
+    c0 = jnp.clip(sel_min, 0, wp_ext - PC) // 128 * 128
+    r0 = jnp.clip(jnp.min(r_t, axis=(2, 4)), 0, hp - PR)
+    return r0.astype(jnp.int32), c0.astype(jnp.int32)
+
+
+def _kernel_pipelined(
+    r0s, c0s, r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sems, *, w_real
+):
+    """Double-buffered variant of _kernel: window origins arrive via scalar
+    prefetch; each grid step starts the next step's window DMA into the
+    alternate half of `patch` ((2*PR, C, PC)) before gathering its own tile."""
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+    linear = (b * nr + i) * nc + j
+    total = nb * nr * nc
+    slot = jax.lax.rem(linear, 2)
+
+    def start_dma(lin, slot_):
+        bn = lin // (nr * nc)
+        rem = jax.lax.rem(lin, nr * nc)
+        in_, jn = rem // nc, jax.lax.rem(rem, nc)
+        r0n = r0s[bn, in_, jn]
+        c0n = pl.multiple_of(c0s[bn, in_, jn], 128)
+        pltpu.make_async_copy(
+            planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
+            patch.at[pl.ds(slot_ * PR, PR)],
+            sems.at[slot_],
+        ).start()
+
+    @pl.when(linear == 0)
+    def _():
+        start_dma(linear, slot)
+
+    @pl.when(linear + 1 < total)
+    def _():
+        start_dma(linear + 1, jax.lax.rem(linear + 1, 2))
+
+    r = r_ref[0]  # (8,128) i32 target rows
+    c = c_ref[0]
+    straddle = (jnp.max(c) - jnp.min(c)) > (w_real // 2)
+    c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
+
+    r0 = r0s[b, i, j]
+    c0 = pl.multiple_of(c0s[b, i, j], 128)
+    lr = r - r0
+    lc = c - c0
+    lc_ok = (lc >= 0) & (lc < PC)
+    lcc = jnp.clip(lc, 0, PC - 1)
+    lcm = jnp.remainder(lcc, 128)
+    sub_idx = lcc // 128
+    lr_f = lr.astype(jnp.float32)
+    lc_okf = lc_ok.astype(jnp.float32)
+    row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
+    row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
+    lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)  # (8,)
+
+    # wait for this tile's window (started at the previous grid step)
+    pltpu.make_async_copy(
+        planes_hbm.at[b, pl.ds(r0, PR), :, pl.ds(c0, PC)],
+        patch.at[pl.ds(slot * PR, PR)],
+        sems.at[slot],
+    ).wait()
+
+    base = slot * PR
+    hit_rows = []
+    for row in range(BR):
+        lo_i = jnp.clip(lo_rows[row], 0, PR - K)
+        idx = jnp.broadcast_to(lcm[row : row + 1, :], (C, BC))
+        hit_i = jnp.zeros((1, BC), jnp.float32)
+        acc = jnp.zeros((C, BC), jnp.float32)
+        for kk in range(K):
+            plane = patch[base + lo_i + kk]  # (C, PC)
+            val = jnp.zeros((C, BC), jnp.float32)
+            for sb in range(PC // 128):
+                g = jnp.take_along_axis(plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1)
+                val = jnp.where(sub_idx[row : row + 1, :] == sb, g, val)
+            sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[row : row + 1, :]
+            acc = acc + jnp.where(sel, val, 0.0)
+            hit_i = jnp.maximum(hit_i, sel.astype(jnp.float32))
+        out_ref[0, :, row, :] = acc
+        hit_rows.append(hit_i)
+    mask_ref[0] = jnp.concatenate(hit_rows, axis=0)
+
+
 @jax.jit
 def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
     """planes: (B, H, C, W) f32; r_idx/c_idx: (B, H, W) i32 clipped into
@@ -133,29 +240,55 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
         c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
     grid = (bsz, hp // BR, wp // BC)
-    out, mask = pl.pallas_call(
-        functools.partial(_kernel, w_real=w),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, C, BR, BC), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, C, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((PR, C, PC), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(r_idx, c_idx, planes)
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, C, hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+    ]
+    if PIPELINE_KERNEL:
+        r0s, c0s = _tile_origins(r_idx, c_idx, w, hp, planes.shape[3])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
+                pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, C, BR, BC), lambda b, i, j, *_: (b, 0, i, j)),
+                pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * PR, C, PC), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out, mask = pl.pallas_call(
+            functools.partial(_kernel_pipelined, w_real=w),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+        )(r0s, c0s, r_idx, c_idx, planes)
+    else:
+        out, mask = pl.pallas_call(
+            functools.partial(_kernel, w_real=w),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, C, BR, BC), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((PR, C, PC), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(r_idx, c_idx, planes)
     if (hp, wp) != (h, w):
         out = out[:, :, :h, :w]
         mask = mask[:, :h, :w]
