@@ -40,3 +40,21 @@ def sequence_files(path: str, first: int, sample: int):
             return
         yield n, f
         n += sample
+
+
+def sequence_frames(calib, path: str, first: int, sample: int):
+    """Yield (frame_number, built Frame360) over a dataset, with disk IO +
+    archive parsing of upcoming frames prefetched on native C++ threads when
+    the toolchain allows (io/native_loader.py) so it overlaps device compute;
+    falls back to the synchronous Python reader otherwise."""
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.io.native_loader import iter_frames
+
+    numbered = list(sequence_files(path, first, sample))
+    raws = iter_frames([f for _, f in numbered])
+    for (frame_no, _), raw in zip(numbered, raws):
+        frame = Frame360(calib, frame_no)
+        frame.set_raw(raw)
+        frame.undistort()
+        frame.stitch_spherical_image()
+        yield frame_no, frame

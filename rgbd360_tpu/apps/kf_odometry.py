@@ -16,9 +16,8 @@ import sys
 
 import numpy as np
 
-from rgbd360_tpu.apps.common import load_calib, rot_offset, sequence_files
+from rgbd360_tpu.apps.common import load_calib, rot_offset, sequence_frames
 from rgbd360_tpu.config import default_params
-from rgbd360_tpu.core.frame360 import Frame360
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.utils.viz import save_trajectory
 
@@ -55,8 +54,7 @@ def main(argv=None) -> int:
     trajectory = []
     kf_count = 0
 
-    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
-        frame = Frame360(calib, frame_no).build(path)
+    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         if keyframe is None:
             keyframe = frame
             trajectory.append(kf_pose.copy())

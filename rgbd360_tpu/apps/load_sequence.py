@@ -15,8 +15,7 @@ import sys
 
 import numpy as np
 
-from rgbd360_tpu.apps.common import load_calib, rot_offset, sequence_files
-from rgbd360_tpu.core.frame360 import Frame360
+from rgbd360_tpu.apps.common import load_calib, rot_offset, sequence_frames
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.ops.filter_cloud import filter_voxel
 from rgbd360_tpu.utils.viz import save_ply, save_sphere_images
@@ -42,8 +41,7 @@ def main(argv=None) -> int:
     prev = None
     clouds, colors = [], []
     count = 0
-    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
-        frame = Frame360(calib, frame_no).build(path)
+    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         save_sphere_images(frame, args.out, f"{frame_no:04d}")
         if prev is not None:
             aligner.set_target_frame(prev.sphere_rgb, prev.sphere_depth_mm)

@@ -20,10 +20,9 @@ from rgbd360_tpu.apps.common import (
     default_matcher_config,
     load_calib,
     rot_offset,
-    sequence_files,
+    sequence_frames,
 )
 from rgbd360_tpu.config import default_params
-from rgbd360_tpu.core.frame360 import Frame360
 from rgbd360_tpu.core.matcher import PLANAR_3DOF
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
@@ -51,9 +50,8 @@ def main(argv=None) -> int:
     prev = None
     rel_dense = np.eye(4, dtype=np.float64)
 
-    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
+    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         t0 = time.time()
-        frame = Frame360(calib, frame_no).build(path)
         if args.with_planes:
             frame.get_planes()
         if prev is None:

@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 C = 8  # channel sublanes: [gray, depth, ggx, ggy, dgx, dgy, 0, 0]
 BR, BC = 8, 128  # source tile
-PR = 14  # target window rows (row alignment-free: leading axis untiled)
-K = 6  # per-output-row row window
+PR = 18  # probe
+K = 8  # probe
 PC = 256  # target window columns (128-aligned origin + 128 spread budget)
 
 

@@ -139,3 +139,53 @@ def test_load_rawlog_app_end_to_end(tmp_path, rng, capsys):
     assert rawlog_main([str(path), "--out", str(out), "--mode", "images"]) == 0
     assert "processed 2 omnidirectional frames" in capsys.readouterr().out
     assert (out / "rgb_0000.png").exists() and (out / "depth_0001.png").exists()
+
+
+# ---------------------------------------------------------------------------
+# Native C++ loader (io/native/frame_loader.cpp via io/native_loader.py)
+# ---------------------------------------------------------------------------
+
+
+def test_native_loader_parity_with_python_reader(reference_root):
+    import pytest
+
+    from rgbd360_tpu.io import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("g++ toolchain unavailable")
+    src = os.path.join(reference_root, "samples/sphere_images_1.bin")
+    a = nl.parse_frame_native(src)
+    b = read_frame360_bin(src)
+    np.testing.assert_array_equal(a.rgb, b.rgb)
+    np.testing.assert_array_equal(a.depth, b.depth)
+    assert a.timestamp == b.timestamp
+
+
+def test_native_loader_rejects_garbage(tmp_path):
+    import pytest
+
+    from rgbd360_tpu.io import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("g++ toolchain unavailable")
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        nl.parse_frame_native(str(bad))
+
+
+def test_native_prefetcher_order_and_fallback(reference_root, tmp_path, rng):
+    from rgbd360_tpu.io import native_loader as nl
+
+    # distinct frames so ordering is observable
+    paths = []
+    for i in range(6):
+        rgb = np.full((8, 240, 320, 3), i, np.uint8)
+        depth = rng.integers(0, 8000, (8, 240, 320), dtype=np.uint16)
+        p = tmp_path / f"f{i}.bin"
+        write_frame360_bin(str(p), RawFrame360(rgb=rgb, depth=depth, timestamp=100 + i))
+        paths.append(str(p))
+    frames = list(nl.iter_frames(paths, threads=3, max_ahead=2))
+    assert len(frames) == 6
+    for i, fr in enumerate(frames):
+        assert fr.rgb[0, 0, 0, 0] == i and fr.timestamp == 100 + i

@@ -285,3 +285,24 @@ def test_register_sequence_label_on_room(tmp_path, calib):
     final = stats["trajectory"][-1]
     assert abs(np.linalg.norm(final[:3, 3]) - np.linalg.norm(rel[:3, 3])) < 0.08
     assert (tmp_path / "out" / "trajectory.txt").exists()
+
+
+def test_sequence_frames_prefetched(calib, reference_root):
+    """apps/common.sequence_frames: the C++-prefetched sequence iterator
+    yields built frames identical to the synchronous Frame360.build path."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.apps.common import sequence_frames
+    from rgbd360_tpu.core.frame360 import Frame360
+
+    seq = list(sequence_frames(calib, os.path.join(reference_root, "samples"), 1, 9))
+    assert [n for n, _ in seq] == [1, 10]
+    direct = Frame360(calib, 1).build(
+        os.path.join(reference_root, "samples", "sphere_images_1.bin")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seq[0][1].sphere_depth_mm), np.asarray(direct.sphere_depth_mm)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seq[0][1].sphere_rgb), np.asarray(direct.sphere_rgb)
+    )
