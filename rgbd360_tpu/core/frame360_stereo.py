@@ -59,3 +59,25 @@ class Frame360Stereo(Frame360):
         self.load_rgb(rgb_png)
         self.load_depth(depth_bin)
         return self
+
+    def build_sphere_cloud(self, start_phi: int = 166, max_depth: float = 15.0):
+        """The stereo variant's own spherical backprojection (reference
+        Frame360_stereo.h:454-517): a different convention from Frame360 —
+        phi = (row + start_phi) * step - pi/2, theta = col * step - pi,
+        x = sin(theta) cos(phi) d, y = sin(phi) d, z = cos(theta) cos(phi) d,
+        valid depth in (0, 15) m, invalid points NaN. One vectorized op."""
+        depth_m = np.asarray(self.sphere_depth_mm, np.float32) * 1e-3
+        h, w = depth_m.shape
+        step = 2.0 * np.pi / w
+        phi = (np.arange(h, dtype=np.float32) + start_phi) * step - np.pi / 2
+        theta = np.arange(w, dtype=np.float32) * step - np.pi
+        cos_phi, sin_phi = np.cos(phi)[:, None], np.sin(phi)[:, None]
+        sin_th, cos_th = np.sin(theta)[None, :], np.cos(theta)[None, :]
+        valid = (depth_m > 0.0) & (depth_m < max_depth)
+        d = np.where(valid, depth_m, np.nan)
+        xyz = np.stack(
+            [sin_th * cos_phi * d, sin_phi * d, cos_th * cos_phi * d], axis=-1
+        )
+        rgb = np.asarray(self.sphere_rgb)[..., ::-1]  # BGR -> RGB
+        self.sphere_cloud = (xyz.reshape(-1, 3), rgb.reshape(-1, 3))
+        return self.sphere_cloud

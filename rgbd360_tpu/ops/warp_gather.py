@@ -42,10 +42,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C = 8  # channel sublanes: [gray, depth, ggx, ggy, dgx, dgy, 0, 0]
+# channel sublanes: [gray, depth, ggx, ggy, dgx, dgy, reserved, 0] — the
+# caller packs zeros in channels 6-7 (pack_target_planes8); the pipelined
+# kernel returns the in-window flag in channel 6 of its output so no
+# separate full-resolution mask array has to round-trip HBM
+C = 8
 BR, BC = 8, 128  # source tile
-PR = 18  # probe
-K = 8  # probe
+PR = 14  # target window rows (row alignment-free: leading axis untiled)
+K = 6  # per-output-row row window
 PC = 256  # target window columns (128-aligned origin + 128 spread budget)
 
 
@@ -140,11 +144,13 @@ def _tile_origins(r_idx, c_idx, w_real, hp, wp_ext):
 
 
 def _kernel_pipelined(
-    r0s, c0s, r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sems, *, w_real
+    r0s, c0s, r_ref, c_ref, planes_hbm, out_ref, patch, sems, *, w_real
 ):
     """Double-buffered variant of _kernel: window origins arrive via scalar
     prefetch; each grid step starts the next step's window DMA into the
-    alternate half of `patch` ((2*PR, C, PC)) before gathering its own tile."""
+    alternate half of `patch` ((2*PR, C, PC)) before gathering its own tile.
+    The in-window flag rides in the otherwise-zero channel 6 of the output
+    (saving a separate full-resolution mask array's HBM round trip)."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
@@ -198,7 +204,6 @@ def _kernel_pipelined(
     ).wait()
 
     base = slot * PR
-    hit_rows = []
     for row in range(BR):
         lo_i = jnp.clip(lo_rows[row], 0, PR - K)
         idx = jnp.broadcast_to(lcm[row : row + 1, :], (C, BC))
@@ -213,9 +218,9 @@ def _kernel_pipelined(
             sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[row : row + 1, :]
             acc = acc + jnp.where(sel, val, 0.0)
             hit_i = jnp.maximum(hit_i, sel.astype(jnp.float32))
+        # channel 6 is zero in the packed planes: carry the hit flag there
+        acc = jnp.concatenate([acc[:6], hit_i, acc[7:]], axis=0)
         out_ref[0, :, row, :] = acc
-        hit_rows.append(hit_i)
-    mask_ref[0] = jnp.concatenate(hit_rows, axis=0)
 
 
 @jax.jit
@@ -254,20 +259,18 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
                 pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=[
-                pl.BlockSpec((1, C, BR, BC), lambda b, i, j, *_: (b, 0, i, j)),
-                pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
-            ],
+            out_specs=pl.BlockSpec((1, C, BR, BC), lambda b, i, j, *_: (b, 0, i, j)),
             scratch_shapes=[
                 pltpu.VMEM((2 * PR, C, PC), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        out, mask = pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_kernel_pipelined, w_real=w),
             grid_spec=grid_spec,
-            out_shape=out_shape,
+            out_shape=out_shape[0],
         )(r0s, c0s, r_idx, c_idx, planes)
+        mask = out[:, 6]
     else:
         out, mask = pl.pallas_call(
             functools.partial(_kernel, w_real=w),

@@ -36,6 +36,25 @@ def test_stereo_frame_build(tmp_path, rng):
     assert f.sphere_gray.shape == (64, 256)
     xyz, _ = f.build_sphere_cloud_from_image()
     assert np.isfinite(np.asarray(xyz)).any()
+    # the stereo variant's own backprojection (Frame360_stereo.h:454-517):
+    # finite exactly at valid depths, radius = depth, scalar-rule parity
+    xyz_s, _ = f.build_sphere_cloud(start_phi=166)
+    xyz_s = np.asarray(xyz_s).reshape(64, 256, 3)
+    depth_q = np.asarray(f.sphere_depth_mm, np.float32) * 1e-3  # u16-mm quantized
+    valid = (depth_q > 0) & (depth_q < 15.0)
+    assert np.isfinite(xyz_s).all(axis=-1)[valid].all()
+    assert not np.isfinite(xyz_s).any(axis=-1)[~valid].any()
+    np.testing.assert_allclose(
+        np.linalg.norm(xyz_s[valid], axis=-1), depth_q[valid], rtol=1e-5
+    )
+    step = 2 * np.pi / 256
+    r, c = 10, 17
+    phi = (r + 166) * step - np.pi / 2
+    theta = c * step - np.pi
+    expect = depth_q[r, c] * np.array(
+        [np.sin(theta) * np.cos(phi), np.sin(phi), np.cos(theta) * np.cos(phi)]
+    )
+    np.testing.assert_allclose(xyz_s[r, c], expect, rtol=1e-5)
 
 
 def test_grabber_record_replay(tmp_path):

@@ -158,4 +158,7 @@ def test_kernel_wrap_values_match_xla_gather_on_tpu():
     exact = np.asarray(planes).transpose(1, 0, 2)[:, r, c]  # (C, h, w)
     got = np.asarray(out)
     m = np.asarray(in_win)
-    np.testing.assert_allclose(got[:, m], exact[:, m], rtol=0, atol=0)
+    # channel 6 is reserved for the in-window flag on the pipelined path
+    # (zero in production packing, ops/photoicp.py pack_target_planes8)
+    data_ch = [0, 1, 2, 3, 4, 5, 7]
+    np.testing.assert_allclose(got[data_ch][:, m], exact[data_ch][:, m], rtol=0, atol=0)
