@@ -19,6 +19,7 @@ from rgbd360_tpu.ops.image import gray_f32
 from rgbd360_tpu.ops.sphere import sphere_cloud_from_image
 from rgbd360_tpu.ops.stitch import stitch_spherical
 from rgbd360_tpu.ops.undistort import undistort_depth
+from rgbd360_tpu.utils.timing import stage
 
 
 class Frame360:
@@ -44,8 +45,9 @@ class Frame360:
     # -- acquisition / io ---------------------------------------------------
     def load_frame(self, path: str) -> None:
         """Load the 8-sensor raw capture (reference include/Frame360.h:231-266)."""
-        raw = read_frame360_bin(path)
-        self.set_raw(raw)
+        with stage("Frame360.loadFrame"):
+            raw = read_frame360_bin(path)
+            self.set_raw(raw)
 
     def set_raw(self, raw: RawFrame360) -> None:
         self.rgb = jnp.asarray(raw.rgb)
@@ -72,26 +74,28 @@ class Frame360:
         this updates only the metric depth used for point clouds — the raw
         u16 depth consumed by the stitcher stays distorted (the eigen2cv
         write-back at Frame360.h:302 is commented out)."""
-        mults, counts, geom = self.calib.stacked_intrinsic_arrays()
-        self.depth_undistorted_m = undistort_depth(
-            self.depth_raw_mm.astype(jnp.float32) * 0.001,
-            jnp.asarray(mults),
-            jnp.asarray(counts),
-            bin_width=geom.bin_width,
-            bin_height=geom.bin_height,
-            bin_depth=geom.bin_depth,
-        )
+        with stage("Frame360.undistort"):
+            mults, counts, geom = self.calib.stacked_intrinsic_arrays()
+            self.depth_undistorted_m = undistort_depth(
+                self.depth_raw_mm.astype(jnp.float32) * 0.001,
+                jnp.asarray(mults),
+                jnp.asarray(counts),
+                bin_width=geom.bin_width,
+                bin_height=geom.bin_height,
+                bin_depth=geom.bin_depth,
+            )
 
     def stitch_spherical_image(self) -> None:
         """Build the 1920x320 spherical RGB-D panorama
         (reference include/Frame360.h:386-405)."""
-        self.sphere_rgb, self.sphere_depth_mm = stitch_spherical(
-            self.rgb,
-            self.depth_raw_mm,
-            jnp.asarray(self.calib.Rt_inv),
-            jnp.asarray(self.calib.camera_matrix),
-        )
-        self.sphere_gray = gray_f32(self.sphere_rgb)
+        with stage("Frame360.stitchSphericalImage"):
+            self.sphere_rgb, self.sphere_depth_mm = stitch_spherical(
+                self.rgb,
+                self.depth_raw_mm,
+                jnp.asarray(self.calib.Rt_inv),
+                jnp.asarray(self.calib.camera_matrix),
+            )
+            self.sphere_gray = gray_f32(self.sphere_rgb)
 
     def build_sphere_cloud_from_image(self):
         """Spherical point cloud from the stitched panorama
@@ -125,7 +129,8 @@ class Frame360:
         bound lazily to avoid importing the plane stack for dense-only use."""
         from rgbd360_tpu.core.plane_extraction import extract_frame_planes
 
-        self.planes, self.local_planes = extract_frame_planes(self)
+        with stage("Frame360.getPlanes (segmentation)"):
+            self.planes, self.local_planes = extract_frame_planes(self)
         return self.planes
 
     def get_planar_area(self) -> float:

@@ -64,9 +64,15 @@ class RegisterPhotoICP:
         mirroring the reference parameter (RegisterPhotoICP.h:4519)."""
         assert self._src is not None and self._trg is not None, "set frames first"
         guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
-        self._result = photoicp.align_frames360(
-            self._src, self._trg, guess, method, occlusion=occlusion
-        )
+        from rgbd360_tpu.utils.timing import stage
+
+        with stage(
+            "Dense alignment 360",
+            sync=lambda: np.asarray(self._result.pose) if self._result else None,
+        ):
+            self._result = photoicp.align_frames360(
+                self._src, self._trg, guess, method, occlusion=occlusion
+            )
         return self.get_optimal_pose()
 
     # -- accessors -------------------------------------------------------------

@@ -306,3 +306,28 @@ def test_sequence_frames_prefetched(calib, reference_root):
     np.testing.assert_array_equal(
         np.asarray(seq[0][1].sphere_rgb), np.asarray(direct.sphere_rgb)
     )
+
+
+def test_stage_timing_brackets(calib, reference_root, capsys):
+    """utils/timing: the reference's stage-timing stdout oracle (Frame360.h
+    :295-308,:403-404,:626-627) — brackets print and accumulate when enabled,
+    are silent when disabled."""
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.utils.timing import reset_timing, stage_timing, timing_summary
+
+    path = os.path.join(reference_root, "samples", "sphere_images_1.bin")
+    stage_timing(True)
+    reset_timing()
+    try:
+        Frame360(calib, 0).build(path)
+    finally:
+        stage_timing(False)
+    out = capsys.readouterr().out
+    assert "Frame360.loadFrame took" in out
+    assert "Frame360.stitchSphericalImage took" in out
+    summary = timing_summary()
+    assert summary["Frame360.undistort"][1] == 1
+    reset_timing()
+    Frame360(calib, 0).build(path)
+    assert "took" not in capsys.readouterr().out
+    assert not timing_summary()

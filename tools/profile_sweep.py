@@ -7,10 +7,12 @@ Usage: python tools/profile_sweep.py [--batch 4] [--k 200]
 
 import argparse
 import os
+import sys
 import time
-from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
