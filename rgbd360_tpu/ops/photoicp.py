@@ -193,9 +193,54 @@ def pack_target_planes8(level: LevelData) -> jnp.ndarray:
     )
 
 
+def pack_target_planes4(level: LevelData) -> jnp.ndarray:
+    """(H, 4, W) **i32** packed f16-pair layout for the Mosaic block-warp
+    kernel — half the window-DMA bandwidth of the 8xf32 layout (the kernel's
+    bound, PERF.md): ch0 = [gray | depth_lo], ch1 = [depth_hi ->
+    reserved->in-window flag], ch2 = [ggx | ggy], ch3 = [dgx | dgy] (first
+    slot = low 16 bits). Depth splits into an f16 value plus an f16
+    correction so the pair reconstructs to <1e-3 m over the 0.3-6 m range
+    (vs the source data's 1 mm quantization); gradients carry the same f16
+    precision the XLA fallback path has always used (pack_target_channels).
+
+    The array stays i32 throughout: TPU f32 data movement (concatenate,
+    stack) flushes denormals, and a packed pair whose high slot is zero IS
+    an f32 denormal — measured flush on the axon backend."""
+    h, w = level.gray_trg.shape
+    d = level.depth_trg
+    d_hi = d.astype(jnp.float16)
+    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float16)
+
+    def pk(a16, b16):
+        # f16 stack + direct bitcast to i32: the value never moves as f32
+        pair = jnp.stack([a16, b16], axis=-1)
+        return jax.lax.bitcast_convert_type(pair, jnp.int32)
+
+    zeros = jnp.zeros((h, w), jnp.float16)
+    return jnp.stack(
+        [
+            pk(level.gray_trg.astype(jnp.float16), d_lo),
+            pk(d_hi, zeros),
+            pk(level.gray_trg_gx.astype(jnp.float16), level.gray_trg_gy.astype(jnp.float16)),
+            pk(level.depth_trg_gx.astype(jnp.float16), level.depth_trg_gy.astype(jnp.float16)),
+        ],
+        axis=1,
+    )
+
+
+def _unpack2_f16_bits(x_i32: jnp.ndarray):
+    """i32 bit pattern -> (low f16, high f16) as f32 values."""
+    ab = jax.lax.bitcast_convert_type(x_i32, jnp.float16)
+    return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
+
+
 # Use the Mosaic block-warp kernel for levels at least this large when
 # running on TPU (smaller levels are cheap either way).
 WARP_KERNEL_MIN_PIXELS = 30_000
+
+# Kernel-path target layout: True = packed f16 pairs (4 channels, half the
+# window-DMA traffic), False = 8xf32 planes.
+WARP_KERNEL_PACKED16 = False
 
 # Test shim: apply the kernel's window mask on the XLA path too, so the CPU
 # suite can measure the pose drift the kernel's coverage deviation causes at
@@ -399,7 +444,7 @@ def fused_sweep_sphere(
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
 
-    if target_packed.ndim == 3:  # (H, 8, W): Mosaic block-warp kernel path
+    if target_packed.ndim == 3:  # (H, 4|8, W): Mosaic block-warp kernel path
         from rgbd360_tpu.ops.warp_gather import warp_gather
 
         rc = jnp.clip(r_int, 0, h - 1)
@@ -411,12 +456,19 @@ def fused_sweep_sphere(
         r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
         c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
         planes_out, in_window = warp_gather(target_packed, r2d, c2d)
-        gray2 = planes_out[0].reshape(-1)
-        depth2 = planes_out[1].reshape(-1)
-        ggx = planes_out[2].reshape(-1)
-        ggy = planes_out[3].reshape(-1)
-        dgx = planes_out[4].reshape(-1)
-        dgy = planes_out[5].reshape(-1)
+        if target_packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
+            gray2, d_lo = _unpack2_f16_bits(planes_out[0].reshape(-1))
+            d_hi, _ = _unpack2_f16_bits(planes_out[1].reshape(-1))
+            depth2 = d_hi + d_lo
+            ggx, ggy = _unpack2_f16_bits(planes_out[2].reshape(-1))
+            dgx, dgy = _unpack2_f16_bits(planes_out[3].reshape(-1))
+        else:
+            gray2 = planes_out[0].reshape(-1)
+            depth2 = planes_out[1].reshape(-1)
+            ggx = planes_out[2].reshape(-1)
+            ggy = planes_out[3].reshape(-1)
+            dgx = planes_out[4].reshape(-1)
+            dgy = planes_out[5].reshape(-1)
         visible = visible & in_window.reshape(-1)
     else:
         tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
@@ -570,7 +622,9 @@ def align_level_sphere(
     gray_src_flat = level.gray_src.reshape(-1)
     shape = level.gray_src.shape
     if _use_warp_kernel(shape):
-        packed = pack_target_planes8(level)
+        packed = (
+            pack_target_planes4(level) if WARP_KERNEL_PACKED16 else pack_target_planes8(level)
+        )
     else:
         packed = pack_target_channels(level)
 

@@ -148,9 +148,11 @@ def _kernel_pipelined(
 ):
     """Double-buffered variant of _kernel: window origins arrive via scalar
     prefetch; each grid step starts the next step's window DMA into the
-    alternate half of `patch` ((2*PR, C, PC)) before gathering its own tile.
-    The in-window flag rides in the otherwise-zero channel 6 of the output
-    (saving a separate full-resolution mask array's HBM round trip)."""
+    alternate half of `patch` ((2*PR, cdim, PC)) before gathering its own
+    tile. The in-window flag rides in a reserved slot of the output (saving
+    a separate full-resolution mask array's HBM round trip): channel 6 for
+    the 8-channel f32 layout, the high f16 half of channel 1 for the packed
+    4-channel layout (pack_target_planes4)."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
@@ -203,32 +205,49 @@ def _kernel_pipelined(
         sems.at[slot],
     ).wait()
 
+    # Data moves happen in i32: TPU float ops flush denormals, which would
+    # corrupt bit-packed f16 pairs (and genuine denormal f32 values) on the
+    # select-accumulate below. Integer select/add is bit-exact.
+    cdim = planes_hbm.shape[2]
     base = slot * PR
     for row in range(BR):
         lo_i = jnp.clip(lo_rows[row], 0, PR - K)
-        idx = jnp.broadcast_to(lcm[row : row + 1, :], (C, BC))
-        hit_i = jnp.zeros((1, BC), jnp.float32)
-        acc = jnp.zeros((C, BC), jnp.float32)
+        idx = jnp.broadcast_to(lcm[row : row + 1, :], (cdim, BC))
+        hit_i = jnp.zeros((1, BC), jnp.int32)
+        acc = jnp.zeros((cdim, BC), jnp.int32)
         for kk in range(K):
-            plane = patch[base + lo_i + kk]  # (C, PC)
-            val = jnp.zeros((C, BC), jnp.float32)
+            plane = patch[base + lo_i + kk]  # (cdim, PC) i32
+            val = jnp.zeros((cdim, BC), jnp.int32)
             for sb in range(PC // 128):
                 g = jnp.take_along_axis(plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1)
                 val = jnp.where(sub_idx[row : row + 1, :] == sb, g, val)
             sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[row : row + 1, :]
-            acc = acc + jnp.where(sel, val, 0.0)
-            hit_i = jnp.maximum(hit_i, sel.astype(jnp.float32))
-        # channel 6 is zero in the packed planes: carry the hit flag there
-        acc = jnp.concatenate([acc[:6], hit_i, acc[7:]], axis=0)
+            acc = acc + jnp.where(sel, val, 0)
+            hit_i = hit_i | sel.astype(jnp.int32)
+        if cdim == 8:
+            # channel 6 is zero in the packed planes: carry the hit flag
+            # there as the f32-1.0 bit pattern
+            flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
+            acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
+        else:
+            # packed f16-pair layout: channel 1 = [depth_hi | reserved]; set
+            # the reserved high half to f16 1.0 where hit
+            flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
+            acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
         out_ref[0, :, row, :] = acc
 
 
 @jax.jit
 def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
-    """planes: (B, H, C, W) f32; r_idx/c_idx: (B, H, W) i32 clipped into
-    range. Returns (out (B, C, H, W) f32, in_window (B, H, W) bool)."""
+    """planes: (B, H, C, W) — f32 for the 8-channel layout, i32 bit patterns
+    for the packed 4-channel f16-pair layout (pack_target_planes4 keeps the
+    packed array integer end-to-end because TPU f32 data movement flushes
+    denormals, and a pair with a zero high slot is one). r_idx/c_idx:
+    (B, H, W) i32 clipped into range. Returns (out (B, C, H, W) in the
+    input dtype, in_window (B, H, W) bool)."""
     bsz, h, cdim, w = planes.shape
-    assert cdim == C
+    assert cdim in (4, 8), cdim
+    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
     # theta-wrap halo: replicate the first PC true columns after column w so
@@ -246,10 +265,16 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
 
     grid = (bsz, hp // BR, wp // BC)
     out_shape = [
-        jax.ShapeDtypeStruct((bsz, C, hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, cdim, hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
     ]
     if PIPELINE_KERNEL:
+        # the pipelined kernel moves data as i32 bit patterns (see _kernel_pipelined)
+        planes_bits = (
+            planes
+            if planes.dtype == jnp.int32
+            else jax.lax.bitcast_convert_type(planes, jnp.int32)
+        )
         r0s, c0s = _tile_origins(r_idx, c_idx, w, hp, planes.shape[3])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -259,19 +284,27 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
                 pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, C, BR, BC), lambda b, i, j, *_: (b, 0, i, j)),
+            out_specs=pl.BlockSpec((1, cdim, BR, BC), lambda b, i, j, *_: (b, 0, i, j)),
             scratch_shapes=[
-                pltpu.VMEM((2 * PR, C, PC), jnp.float32),
+                pltpu.VMEM((2 * PR, cdim, PC), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        out = pl.pallas_call(
+        out_bits = pl.pallas_call(
             functools.partial(_kernel_pipelined, w_real=w),
             grid_spec=grid_spec,
-            out_shape=out_shape[0],
-        )(r0s, c0s, r_idx, c_idx, planes)
-        mask = out[:, 6]
+            out_shape=jax.ShapeDtypeStruct((bsz, cdim, hp, wp), jnp.int32),
+        )(r0s, c0s, r_idx, c_idx, planes_bits)
+        if cdim == 8:
+            out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+            mask = out[:, 6]
+        else:  # stay integer; hit flag = high f16 half of channel 1
+            out = out_bits
+            mask = (
+                (out_bits[:, 1] >> 16) & 0xFFFF == 0x3C00
+            ).astype(jnp.float32)
     else:
+        assert cdim == 8, "the single-buffer fallback kernel is 8-channel only"
         out, mask = pl.pallas_call(
             functools.partial(_kernel, w_real=w),
             grid=grid,
