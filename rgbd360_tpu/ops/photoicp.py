@@ -427,6 +427,7 @@ def fused_sweep_sphere(
     pose: jnp.ndarray,
     method: int,
     occlusion: int = 0,
+    two_pass: bool = False,
 ):
     """One fused pass: error + Hessian + gradient + stats at `pose`.
 
@@ -434,6 +435,12 @@ def fused_sweep_sphere(
     calcHessGrad_sphere at the same pose (the reference evaluates both at every
     accepted pose; fusing halves the number of image sweeps), with a single
     packed gather of the six target channels.
+
+    two_pass (kernel path only): re-gather the pixels whose targets fell
+    outside the first pass's windows with a second kernel pass whose windows
+    are placed from the missed subset — recovers nearly all of the kernel's
+    coverage deviation at a kernel pass's cost instead of a full XLA gather
+    (which is ~6x slower, PERF.md).
     """
     h, w = shape
     angle_res_inv = w / (2.0 * jnp.pi)
@@ -456,6 +463,23 @@ def fused_sweep_sphere(
         r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
         c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
         planes_out, in_window = warp_gather(target_packed, r2d, c2d)
+        if two_pass:
+            from rgbd360_tpu.ops.warp_gather import (
+                warp_gather_masked,
+                warp_gather_masked_max,
+            )
+
+            # re-gather the missed pixels with min- then max-anchored
+            # windows: the two extra passes peel the lowest and highest
+            # remaining parallax bands, recovering nearly all of the
+            # mean-centred pass's coverage deviation
+            for gather_k in (warp_gather_masked, warp_gather_masked_max):
+                miss = visible.reshape(h, w) & ~in_window
+                out_k, hit_k = gather_k(target_packed, r2d, c2d, miss)
+                # integer select is bit-exact for the packed layout; for the
+                # 8xf32 layout the values are true f32s so float select is fine
+                planes_out = jnp.where(in_window[None], planes_out, out_k)
+                in_window = in_window | hit_k
         if target_packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
             gray2, d_lo = _unpack2_f16_bits(planes_out[0].reshape(-1))
             d_hi, _ = _unpack2_f16_bits(planes_out[1].reshape(-1))
@@ -612,11 +636,14 @@ def align_level_sphere(
 
     exact_final: when the Mosaic warp kernel drove the loop (its window
     masking drops out-of-window pixels — a coverage deviation that grows
-    with motion, PERF.md), re-evaluate the returned stats with one exact
-    XLA-path sweep at the accepted pose so reported error / residuals /
-    Hessian / SSO match the reference semantics (the acceptance gates
-    downstream — LC's avDepthResidual<2, KF selection's >=0.9 — consume
-    these numbers).
+    with motion, PERF.md), re-evaluate the returned stats at the accepted
+    pose with a two-pass kernel sweep (the second pass re-gathers the
+    pixels the first pass's windows missed) so reported error / residuals
+    / Hessian / SSO follow the reference semantics to within the residual
+    double-miss fraction (the acceptance gates downstream — LC's
+    avDepthResidual<2, KF selection's >=0.9 — consume these numbers). A
+    full XLA-path sweep would be exact but costs ~6x a kernel pass; it
+    previously ate a third of end-to-end align time (PERF.md).
     """
     xyz, valid = sphere_xyz_lut(level.depth_src, min_depth, max_depth)
     gray_src_flat = level.gray_src.reshape(-1)
@@ -672,8 +699,8 @@ def align_level_sphere(
     pose, state, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
     if exact_final and _use_warp_kernel(shape):
         state = fused_sweep_sphere(
-            gray_src_flat, pack_target_channels(level), shape, xyz, valid,
-            pose, method, occlusion,
+            gray_src_flat, packed, shape, xyz, valid,
+            pose, method, occlusion, two_pass=True,
         )
     error, H, g, sso, pe2, np_, de2, nd = state
     av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))

@@ -122,29 +122,52 @@ def _round_up(x: int, m: int) -> int:
 PIPELINE_KERNEL = True
 
 
-def _tile_origins(r_idx, c_idx, w_real, hp, wp_ext):
+_BIG = 1 << 24  # sentinel for masked reductions (far above any coordinate)
+
+
+def _tile_origins(r_idx, c_idx, active, w_real, hp, wp_ext, anchor="min"):
     """Per-(8,128)-tile window origins, exactly the kernel's rule: remap
-    seam-straddling targets into the halo, clip the minimum, 128-align the
-    column origin. One fused pass over the index arrays. Returns (B, nr, nc)
-    i32 r0s/c0s."""
+    seam-straddling targets into the halo, anchor, clip, 128-align the
+    column origin; only `active` pixels participate (re-gather passes
+    restrict to pixels earlier passes missed). anchor: "min" places the
+    window at the lowest active target (row and column), "max" at the
+    highest — the two ends let repeated passes peel parallax bands that a
+    single window cannot span. One fused pass over the index arrays.
+    Returns (B, nr, nc) i32 r0s/c0s."""
     bsz, hpad, wpad = r_idx.shape
     nr, nc = hpad // BR, wpad // BC
     r_t = r_idx.reshape(bsz, nr, BR, nc, BC)
     c_t = c_idx.reshape(bsz, nr, BR, nc, BC)
-    cmin = jnp.min(c_t, axis=(2, 4))
-    cmax = jnp.max(c_t, axis=(2, 4))
+    a_t = active.reshape(bsz, nr, BR, nc, BC)
+    c_hi = jnp.where(a_t, c_t, -_BIG)
+    c_lo = jnp.where(a_t, c_t, _BIG)
+    cmin = jnp.min(c_lo, axis=(2, 4))
+    cmax = jnp.max(c_hi, axis=(2, 4))
     straddle = (cmax - cmin) > (w_real // 2)
-    # min over the remapped coordinates without materializing them: the low
-    # side shifts by +W, so min(c + W*[c < W/2]) is the remapped minimum
-    remapped_min = jnp.min(c_t + jnp.where(c_t < w_real // 2, w_real, 0), axis=(2, 4))
-    sel_min = jnp.where(straddle, remapped_min, cmin)
-    c0 = jnp.clip(sel_min, 0, wp_ext - PC) // 128 * 128
-    r0 = jnp.clip(jnp.min(r_t, axis=(2, 4)), 0, hp - PR)
+    c_remap = jnp.where(
+        a_t, c_t + jnp.where(c_t < w_real // 2, w_real, 0), _BIG
+    )
+    if anchor == "min":
+        # min over the remapped coordinates without materializing them: the
+        # low side shifts by +W, so min(c + W*[c < W/2]) is the remapped min
+        sel_c = jnp.where(straddle, jnp.min(c_remap, axis=(2, 4)), cmin)
+        c0 = jnp.clip(sel_c, 0, wp_ext - PC) // 128 * 128
+        r0 = jnp.clip(jnp.min(jnp.where(a_t, r_t, _BIG), axis=(2, 4)), 0, hp - PR)
+    else:  # "max": window END covers the highest active target
+        c_remap_hi = jnp.where(
+            a_t, c_t + jnp.where(c_t < w_real // 2, w_real, 0), -_BIG
+        )
+        sel_c = jnp.where(straddle, jnp.max(c_remap_hi, axis=(2, 4)), cmax)
+        c0 = jnp.clip(sel_c // 128 * 128 - (PC - 128), 0, wp_ext - PC)
+        r0 = jnp.clip(
+            jnp.max(jnp.where(a_t, r_t, -_BIG), axis=(2, 4)) - (PR - 1), 0, hp - PR
+        )
     return r0.astype(jnp.int32), c0.astype(jnp.int32)
 
 
 def _kernel_pipelined(
-    r0s, c0s, r_ref, c_ref, planes_hbm, out_ref, patch, sems, *, w_real
+    r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
+    *, w_real, row_policy="mean"
 ):
     """Double-buffered variant of _kernel: window origins arrive via scalar
     prefetch; each grid step starts the next step's window DMA into the
@@ -181,22 +204,36 @@ def _kernel_pipelined(
 
     r = r_ref[0]  # (8,128) i32 target rows
     c = c_ref[0]
-    straddle = (jnp.max(c) - jnp.min(c)) > (w_real // 2)
+    act = a_ref[0] != 0  # pixels participating in this pass
+    c_hi = jnp.where(act, c, -_BIG)
+    c_lo = jnp.where(act, c, _BIG)
+    straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
     c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
 
     r0 = r0s[b, i, j]
     c0 = pl.multiple_of(c0s[b, i, j], 128)
     lr = r - r0
     lc = c - c0
-    lc_ok = (lc >= 0) & (lc < PC)
+    lc_ok = (lc >= 0) & (lc < PC) & act
     lcc = jnp.clip(lc, 0, PC - 1)
     lcm = jnp.remainder(lcc, 128)
     sub_idx = lcc // 128
-    lr_f = lr.astype(jnp.float32)
-    lc_okf = lc_ok.astype(jnp.float32)
-    row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
-    row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
-    lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)  # (8,)
+    if row_policy == "mean":
+        # centre each output row's K-window on its mean target row (best
+        # single-window coverage for unimodal tiles)
+        lr_f = lr.astype(jnp.float32)
+        lc_okf = lc_ok.astype(jnp.float32)
+        row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
+        row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
+        lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)  # (8,)
+    elif row_policy == "min":
+        # start at the lowest active target row — a re-gather pass provably
+        # covers the lowest remaining parallax band
+        lo_rows = jnp.min(jnp.where(lc_ok, lr, _BIG), axis=1).astype(jnp.int32)
+    else:  # "max": end at the highest active target row (peel the top band)
+        lo_rows = (
+            jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=1) - (K - 1)
+        ).astype(jnp.int32)
 
     # wait for this tile's window (started at the previous grid step)
     pltpu.make_async_copy(
@@ -237,17 +274,29 @@ def _kernel_pipelined(
         out_ref[0, :, row, :] = acc
 
 
-@jax.jit
-def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("row_policy",))
+def warp_gather_batched(
+    planes: jnp.ndarray,
+    r_idx: jnp.ndarray,
+    c_idx: jnp.ndarray,
+    active: jnp.ndarray = None,
+    row_policy: str = "mean",
+):
     """planes: (B, H, C, W) — f32 for the 8-channel layout, i32 bit patterns
     for the packed 4-channel f16-pair layout (pack_target_planes4 keeps the
     packed array integer end-to-end because TPU f32 data movement flushes
     denormals, and a pair with a zero high slot is one). r_idx/c_idx:
-    (B, H, W) i32 clipped into range. Returns (out (B, C, H, W) in the
-    input dtype, in_window (B, H, W) bool)."""
+    (B, H, W) i32 clipped into range. active: optional (B, H, W) bool —
+    only these pixels participate in window placement and gathering (the
+    two-pass re-gather restricts pass 2 to pixels pass 1 missed). Returns
+    (out (B, C, H, W) in the input dtype, in_window (B, H, W) bool)."""
     bsz, h, cdim, w = planes.shape
     assert cdim in (4, 8), cdim
     assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
+    if active is None:
+        active = jnp.ones((bsz, h, w), jnp.int32)
+    else:
+        active = active.astype(jnp.int32)
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
     # theta-wrap halo: replicate the first PC true columns after column w so
@@ -259,9 +308,11 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
     )
     if (hp, wp) != (h, w):
         # edge-replicate so padded entries can't fake a seam straddle or
-        # drag a tile's window origin away from its real targets
+        # drag a tile's window origin away from its real targets (padding
+        # of `active` is zero: pad pixels never participate)
         r_idx = jnp.pad(r_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
         c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+        active = jnp.pad(active, ((0, 0), (0, hp - h), (0, wp - w)))
 
     grid = (bsz, hp // BR, wp // BC)
     out_shape = [
@@ -275,11 +326,15 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
             if planes.dtype == jnp.int32
             else jax.lax.bitcast_convert_type(planes, jnp.int32)
         )
-        r0s, c0s = _tile_origins(r_idx, c_idx, w, hp, planes.shape[3])
+        r0s, c0s = _tile_origins(
+            r_idx, c_idx, active != 0, w, hp, planes.shape[3],
+            anchor="max" if row_policy == "max" else "min",
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
+                pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec((1, BR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -291,10 +346,10 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
             ],
         )
         out_bits = pl.pallas_call(
-            functools.partial(_kernel_pipelined, w_real=w),
+            functools.partial(_kernel_pipelined, w_real=w, row_policy=row_policy),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bsz, cdim, hp, wp), jnp.int32),
-        )(r0s, c0s, r_idx, c_idx, planes_bits)
+        )(r0s, c0s, r_idx, c_idx, active, planes_bits)
         if cdim == 8:
             out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
             mask = out[:, 6]
@@ -305,6 +360,8 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
             ).astype(jnp.float32)
     else:
         assert cdim == 8, "the single-buffer fallback kernel is 8-channel only"
+        # (the fallback ignores `active`; it exists only for A/B debugging of
+        # the default full-frame pass)
         out, mask = pl.pallas_call(
             functools.partial(_kernel, w_real=w),
             grid=grid,
@@ -331,7 +388,12 @@ def warp_gather_batched(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndar
     return out, mask > 0.5
 
 
-def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray:
+def window_mask_reference(
+    r_idx: jnp.ndarray,
+    c_idx: jnp.ndarray,
+    active: jnp.ndarray = None,
+    row_policy: str = "mean",
+) -> jnp.ndarray:
     """Pure-XLA emulation of the kernel's in-window mask — runs on any
     backend, so the CPU suite can quantify the coverage deviation the kernel
     introduces (out-of-window targets are masked; seam-straddling targets
@@ -348,26 +410,61 @@ def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray
     hp = max(_round_up(h, BR), PR)
     wp = max(_round_up(w, BC), PC)
     wp_ext = max(_round_up(w + min(PC, w), BC), PC + BC)
+    if active is None:
+        active = jnp.ones((h, w), bool)
     if (hp, wp) != (h, w):
         r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)), mode="edge")
         c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)), mode="edge")
+        active = jnp.pad(active, ((0, hp - h), (0, wp - w)))
     nr, nc = hp // BR, wp // BC
     # (nr, nc, BR, BC) tile view
     r_t = r_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
     c_t = c_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
-    # theta-wrap remap into the halo (mirrors _kernel)
-    spread = jnp.max(c_t, axis=(2, 3)) - jnp.min(c_t, axis=(2, 3))
+    a_t = active.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
+    # theta-wrap remap into the halo (mirrors _kernel_pipelined)
+    spread = jnp.max(jnp.where(a_t, c_t, -_BIG), axis=(2, 3)) - jnp.min(
+        jnp.where(a_t, c_t, _BIG), axis=(2, 3)
+    )
     straddle = (spread > (w // 2))[:, :, None, None]
     c_t = jnp.where(straddle & (c_t < w // 2), c_t + w, c_t)
-    r0 = jnp.clip(jnp.min(r_t, axis=(2, 3)), 0, hp - PR)[:, :, None, None]
-    c0 = (jnp.clip(jnp.min(c_t, axis=(2, 3)), 0, wp_ext - PC) // 128 * 128)[:, :, None, None]
+    if row_policy == "max":  # max-anchored window (mirrors _tile_origins)
+        r0 = jnp.clip(
+            jnp.max(jnp.where(a_t, r_t, -_BIG), axis=(2, 3)) - (PR - 1), 0, hp - PR
+        )[:, :, None, None]
+        c0 = (
+            jnp.clip(
+                jnp.max(jnp.where(a_t, c_t, -_BIG), axis=(2, 3)) // 128 * 128
+                - (PC - 128),
+                0,
+                wp_ext - PC,
+            )
+        )[:, :, None, None]
+    else:
+        r0 = jnp.clip(
+            jnp.min(jnp.where(a_t, r_t, _BIG), axis=(2, 3)), 0, hp - PR
+        )[:, :, None, None]
+        c0 = (
+            jnp.clip(jnp.min(jnp.where(a_t, c_t, _BIG), axis=(2, 3)), 0, wp_ext - PC)
+            // 128 * 128
+        )[:, :, None, None]
     lr = r_t - r0
     lc = c_t - c0
-    lc_ok = (lc >= 0) & (lc < PC)
-    lr_f = lr.astype(jnp.float32)
-    row_n = jnp.maximum(jnp.sum(lc_ok.astype(jnp.float32), axis=3), 1.0)
-    row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=3) / row_n  # (nr, nc, BR)
-    lo = jnp.clip((row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32), 0, PR - K)
+    lc_ok = (lc >= 0) & (lc < PC) & a_t
+    if row_policy == "mean":
+        lr_f = lr.astype(jnp.float32)
+        row_n = jnp.maximum(jnp.sum(lc_ok.astype(jnp.float32), axis=3), 1.0)
+        row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=3) / row_n
+        lo = jnp.clip((row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32), 0, PR - K)
+    elif row_policy == "min":
+        lo = jnp.clip(
+            jnp.min(jnp.where(lc_ok, lr, _BIG), axis=3).astype(jnp.int32), 0, PR - K
+        )
+    else:
+        lo = jnp.clip(
+            (jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=3) - (K - 1)).astype(jnp.int32),
+            0,
+            PR - K,
+        )
     lo = lo[:, :, :, None]
     in_win = lc_ok & (lr >= lo) & (lr < lo + K)
     out = in_win.transpose(0, 2, 1, 3).reshape(hp, wp)
@@ -376,7 +473,7 @@ def window_mask_reference(r_idx: jnp.ndarray, c_idx: jnp.ndarray) -> jnp.ndarray
 
 @jax.custom_batching.custom_vmap
 def warp_gather(planes: jnp.ndarray, r_idx: jnp.ndarray, c_idx: jnp.ndarray):
-    """Single-pair entry: planes (H, C=8, W), r/c (H, W). vmap maps onto the
+    """Single-pair entry: planes (H, C, W), r/c (H, W). vmap maps onto the
     batched grid axis."""
     out, mask = warp_gather_batched(planes[None], r_idx[None], c_idx[None])
     return out[0], mask[0]
@@ -393,3 +490,35 @@ def _warp_gather_vmap(axis_size, in_batched, planes, r_idx, c_idx):
         ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb)
     )
     return (out, mask), (True, True)
+
+
+def _make_masked_entry(policy):
+    @jax.custom_batching.custom_vmap
+    def entry(planes, r_idx, c_idx, active):
+        out, mask = warp_gather_batched(
+            planes[None], r_idx[None], c_idx[None], active[None], row_policy=policy
+        )
+        return out[0], mask[0]
+
+    @entry.def_vmap
+    def _vmap(axis_size, in_batched, planes, r_idx, c_idx, active):
+        pb, rb, cb, ab = in_batched
+
+        def ensure(x, batched):
+            return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        out, mask = warp_gather_batched(
+            ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb),
+            ensure(active, ab), row_policy=policy,
+        )
+        return (out, mask), (True, True)
+
+    return entry
+
+
+# warp_gather restricted to `active` (H, W) bool pixels: windows are placed
+# from the active subset only, anchored at its lowest ("min") or highest
+# ("max") targets — alternating the two lets repeated re-gather passes peel
+# parallax bands a single window cannot span.
+warp_gather_masked = _make_masked_entry("min")
+warp_gather_masked_max = _make_masked_entry("max")

@@ -210,3 +210,103 @@ def test_kernel_packed16_values_and_flag_on_tpu():
     rec = np.asarray(d_hi + d_lo).reshape(h, w)
     warped_depth = depth[r, c]
     assert np.abs(rec[m] - warped_depth[m]).max() < 1e-3
+
+
+def test_two_pass_window_coverage_emulation():
+    """Pass 2's windows, placed from the pixels pass 1 missed, must recover
+    nearly all of them (the exact-final stats path relies on this)."""
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    h, w = 64, 512
+    rng = np.random.default_rng(11)
+    rows = np.broadcast_to(np.arange(h)[:, None], (h, w)).astype(np.int32)
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w)).astype(np.int32)
+    # the realistic miss structure: two coherent depth bands per region —
+    # a dominant near plane (small shift) and a minority far plane whose
+    # parallax row-offset exceeds the K-row window around the tile mean
+    far = rng.random((h, w)) < 0.3
+    r = np.clip(rows + np.where(far, 12, 0) + rng.integers(-1, 2, (h, w)), 0, h - 1)
+    c = np.clip(cols + np.where(far, -9, 4), 0, w - 1)
+    r = r.astype(np.int32)
+    c = c.astype(np.int32)
+    combined = np.asarray(window_mask_reference(jnp.asarray(r), jnp.asarray(c)))
+    m1_cov = combined.mean()
+    assert m1_cov < 0.9  # the mean-centred pass genuinely misses pixels
+    # the exact path: min- then max-anchored re-gather passes over the
+    # missed set, peeling the lowest and highest remaining parallax bands
+    for policy in ("min", "max"):
+        miss = jnp.asarray(~combined)
+        mk = np.asarray(
+            window_mask_reference(jnp.asarray(r), jnp.asarray(c), miss, row_policy=policy)
+        )
+        combined = combined | (mk & np.asarray(miss))
+    # mid-band pixels between the two anchors can remain; on real data
+    # pass 1 covers 76-100%, so the residual deficit is <1% of pixels
+    assert combined.mean() > 0.97, f"three-pass coverage {combined.mean():.3f}"
+    assert combined.mean() > m1_cov + 0.05
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel is TPU-only")
+def test_two_pass_sweep_stats_near_exact_on_tpu():
+    """fused_sweep two_pass stats on the bundled pair at the converged pose
+    must track the exact XLA-path stats (the LC/KF gates consume them)."""
+    from rgbd360_tpu.ops import photoicp
+
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden npz not generated")
+    d = np.load(GOLDEN)
+    gs = jnp.asarray(d["gray_src_u8"].astype(np.float32) / 255.0)
+    ds = jnp.asarray(d["depth_src_mm"].astype(np.float32) * 0.001)
+    gt = jnp.asarray(d["gray_trg_u8"].astype(np.float32) / 255.0)
+    dt = jnp.asarray(d["depth_trg_mm"].astype(np.float32) * 0.001)
+    pose = jnp.asarray(d["free_pose"].astype(np.float32))
+
+    src = photoicp.build_pyramid_set(gs, ds, 1, is_target=False, sphere_seam_mask=True)
+    trg = photoicp.build_pyramid_set(gt, dt, 1, is_target=True, sphere_seam_mask=True)
+    lvl = photoicp.make_level_data(src, trg, 0)
+    from rgbd360_tpu.ops.sphere import sphere_xyz_lut
+
+    xyz, valid = sphere_xyz_lut(lvl.depth_src, 0.3, 6.0)
+    gsf = lvl.gray_src.reshape(-1)
+    shape = lvl.gray_src.shape
+    pk = (
+        photoicp.pack_target_planes4(lvl)
+        if photoicp.WARP_KERNEL_PACKED16
+        else photoicp.pack_target_planes8(lvl)
+    )
+
+    @jax.jit
+    def run():
+        exact = photoicp.fused_sweep_sphere(
+            gsf, photoicp.pack_target_channels(lvl), shape, xyz, valid, pose,
+            photoicp.PHOTO_DEPTH,
+        )
+        two = photoicp.fused_sweep_sphere(
+            gsf, pk, shape, xyz, valid, pose, photoicp.PHOTO_DEPTH, two_pass=True
+        )
+        one = photoicp.fused_sweep_sphere(
+            gsf, pk, shape, xyz, valid, pose, photoicp.PHOTO_DEPTH
+        )
+        return exact, two, one
+
+    exact, two, one = jax.tree.map(np.asarray, run())
+    err_e, err_2, err_1 = float(exact[0]), float(two[0]), float(one[0])
+    # two-pass must sit much closer to exact than single-pass
+    assert abs(err_2 - err_e) <= max(0.3 * abs(err_1 - err_e), 0.02 * err_e), (
+        f"exact {err_e:.4f} two-pass {err_2:.4f} one-pass {err_1:.4f}"
+    )
+    # av depth residual (the LC gate quantity): two-pass must land closer
+    # to exact than one-pass and within 10% absolute. (A residual gap vs the
+    # XLA path remains even at full coverage: the XLA layout carries
+    # f16-packed gradients, the kernel layout f32, which shifts the
+    # saliency masks slightly.)
+    def av_depth(st):
+        return float(np.sqrt(st[6] / max(float(st[7]), 1.0)))
+    d2 = abs(av_depth(two) - av_depth(exact))
+    d1 = abs(av_depth(one) - av_depth(exact))
+    assert d2 <= max(0.6 * d1, 0.10 * max(av_depth(exact), 1e-6)), (
+        f"av_depth exact {av_depth(exact):.4f} two {av_depth(two):.4f} one {av_depth(one):.4f}"
+    )
+    # visible-pixel counts: two-pass recovers most of the single-pass deficit
+    n_e, n_2, n_1 = float(exact[5]), float(two[5]), float(one[5])
+    assert (n_e - n_2) <= 0.35 * (n_e - n_1) + 0.005 * n_e, (n_e, n_2, n_1)
