@@ -71,9 +71,20 @@ def stitch_spherical(
         ui = jnp.clip(u.astype(jnp.int32), 0, size_w - 1)
         vi = jnp.clip(v.astype(jnp.int32), 0, size_h - 1)
         flat = vi * size_w + ui
-        bgr = jnp.take(sensor_rgb.reshape(-1, 3), flat, axis=0, mode="clip")
-        bgr = jnp.where(inb[..., None], bgr, 0)
-        d = jnp.take(sensor_depth.reshape(-1), flat, mode="clip").astype(jnp.float32)
+        # one gather of 16-byte packed rows [b, g, r, depth] — XLA's gather
+        # is per-element priced and 16-byte f32 rows are its fast path
+        # (PERF.md); separate u8-row and u16 takes each hit slow paths and
+        # measured 3x worse (tools/profile_frame.py)
+        packed = jnp.concatenate(
+            [
+                sensor_rgb.reshape(-1, 3).astype(jnp.float32),
+                sensor_depth.reshape(-1, 1).astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        rows4 = jnp.take(packed, flat, axis=0, mode="clip")
+        bgr = jnp.where(inb[..., None], rows4[..., :3], 0.0).astype(jnp.uint8)
+        d = rows4[..., 3]
         obliq = jnp.sqrt(1.0 + ((u - cx) / fx) ** 2 + ((v - cy) / fy) ** 2)
         d = jnp.where(inb, d * obliq, 0.0)
         return bgr, d.astype(jnp.uint16)

@@ -274,50 +274,63 @@ def _kernel_pipelined(
         out_ref[0, :, row, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("row_policy",))
+@functools.partial(jax.jit, static_argnames=("row_policy", "wrap"))
 def warp_gather_batched(
     planes: jnp.ndarray,
     r_idx: jnp.ndarray,
     c_idx: jnp.ndarray,
     active: jnp.ndarray = None,
     row_policy: str = "mean",
+    wrap: bool = True,
 ):
-    """planes: (B, H, C, W) — f32 for the 8-channel layout, i32 bit patterns
-    for the packed 4-channel f16-pair layout (pack_target_planes4 keeps the
-    packed array integer end-to-end because TPU f32 data movement flushes
-    denormals, and a pair with a zero high slot is one). r_idx/c_idx:
-    (B, H, W) i32 clipped into range. active: optional (B, H, W) bool —
-    only these pixels participate in window placement and gathering (the
-    two-pass re-gather restricts pass 2 to pixels pass 1 missed). Returns
-    (out (B, C, H, W) in the input dtype, in_window (B, H, W) bool)."""
-    bsz, h, cdim, w = planes.shape
+    """planes: (B, Ht, C, Wt) — f32 for the 8-channel layout, i32 bit
+    patterns for the packed 4-channel f16-pair layout (pack_target_planes4
+    keeps the packed array integer end-to-end because TPU f32 data movement
+    flushes denormals, and a pair with a zero high slot is one).
+    r_idx/c_idx: (B, Ho, Wo) i32 target coordinates (into the planes'
+    (Ht, Wt) grid) clipped into range — the output grid may differ from the
+    target grid (the panorama stitcher gathers a (320, 240) block from a
+    (240, 320) sensor image). active: optional (B, Ho, Wo) bool — only
+    these pixels participate in window placement and gathering (re-gather
+    passes restrict to pixels earlier passes missed). wrap: whether column
+    coordinates wrap at Wt (the panorama theta seam) — enables the halo +
+    per-tile remap; pass False for non-periodic targets like sensor images.
+    Returns (out (B, C, Ho, Wo) in the input dtype, in_window (B, Ho, Wo)
+    bool)."""
+    bsz, ht, cdim, wt = planes.shape
+    _, ho, wo = r_idx.shape
     assert cdim in (4, 8), cdim
     assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
     if active is None:
-        active = jnp.ones((bsz, h, w), jnp.int32)
+        active = jnp.ones((bsz, ho, wo), jnp.int32)
     else:
         active = active.astype(jnp.int32)
-    hp = max(_round_up(h, BR), PR)
-    wp = max(_round_up(w, BC), PC)
-    # theta-wrap halo: replicate the first PC true columns after column w so
-    # seam-straddling tiles can gather through one contiguous window
-    planes = jnp.concatenate([planes, planes[..., : min(PC, w)]], axis=3)
-    wp_ext = max(_round_up(planes.shape[3], BC), PC + BC)
+    hop = _round_up(ho, BR)
+    wop = _round_up(wo, BC)
+    htp = max(ht, PR)
+    if wrap:
+        # theta-wrap halo: replicate the first PC true columns after column
+        # wt so seam-straddling tiles gather through one contiguous window
+        planes = jnp.concatenate([planes, planes[..., : min(PC, wt)]], axis=3)
+        w_eff = wt  # straddle threshold = half the true width
+    else:
+        w_eff = 1 << 22  # spread can never exceed this: remap disabled
+    wtp = max(_round_up(planes.shape[3], BC), PC + BC)
     planes = jnp.pad(
-        planes, ((0, 0), (0, hp - h), (0, 0), (0, wp_ext - planes.shape[3]))
+        planes, ((0, 0), (0, htp - ht), (0, 0), (0, wtp - planes.shape[3]))
     )
-    if (hp, wp) != (h, w):
+    if (hop, wop) != (ho, wo):
         # edge-replicate so padded entries can't fake a seam straddle or
         # drag a tile's window origin away from its real targets (padding
         # of `active` is zero: pad pixels never participate)
-        r_idx = jnp.pad(r_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
-        c_idx = jnp.pad(c_idx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
-        active = jnp.pad(active, ((0, 0), (0, hp - h), (0, wp - w)))
+        r_idx = jnp.pad(r_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        active = jnp.pad(active, ((0, 0), (0, hop - ho), (0, wop - wo)))
 
-    grid = (bsz, hp // BR, wp // BC)
+    grid = (bsz, hop // BR, wop // BC)
     out_shape = [
-        jax.ShapeDtypeStruct((bsz, cdim, hp, wp), jnp.float32),
-        jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, hop, wop), jnp.float32),
     ]
     if PIPELINE_KERNEL:
         # the pipelined kernel moves data as i32 bit patterns (see _kernel_pipelined)
@@ -327,7 +340,7 @@ def warp_gather_batched(
             else jax.lax.bitcast_convert_type(planes, jnp.int32)
         )
         r0s, c0s = _tile_origins(
-            r_idx, c_idx, active != 0, w, hp, planes.shape[3],
+            r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3],
             anchor="max" if row_policy == "max" else "min",
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -346,9 +359,9 @@ def warp_gather_batched(
             ],
         )
         out_bits = pl.pallas_call(
-            functools.partial(_kernel_pipelined, w_real=w, row_policy=row_policy),
+            functools.partial(_kernel_pipelined, w_real=w_eff, row_policy=row_policy),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((bsz, cdim, hp, wp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
         )(r0s, c0s, r_idx, c_idx, active, planes_bits)
         if cdim == 8:
             out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
@@ -363,7 +376,7 @@ def warp_gather_batched(
         # (the fallback ignores `active`; it exists only for A/B debugging of
         # the default full-frame pass)
         out, mask = pl.pallas_call(
-            functools.partial(_kernel, w_real=w),
+            functools.partial(_kernel, w_real=w_eff),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
@@ -382,9 +395,9 @@ def warp_gather_batched(
                 pltpu.SemaphoreType.DMA,
             ],
         )(r_idx, c_idx, planes)
-    if (hp, wp) != (h, w):
-        out = out[:, :, :h, :w]
-        mask = mask[:, :h, :w]
+    if (hop, wop) != (ho, wo):
+        out = out[:, :, :ho, :wo]
+        mask = mask[:, :ho, :wo]
     return out, mask > 0.5
 
 
@@ -393,6 +406,8 @@ def window_mask_reference(
     c_idx: jnp.ndarray,
     active: jnp.ndarray = None,
     row_policy: str = "mean",
+    target_shape=None,
+    wrap: bool = True,
 ) -> jnp.ndarray:
     """Pure-XLA emulation of the kernel's in-window mask — runs on any
     backend, so the CPU suite can quantify the coverage deviation the kernel
@@ -406,17 +421,21 @@ def window_mask_reference(
     (invalid pixels fed identity coordinates, as fused_sweep_sphere does).
     Returns (H, W) bool.
     """
-    h, w = r_idx.shape
-    hp = max(_round_up(h, BR), PR)
-    wp = max(_round_up(w, BC), PC)
-    wp_ext = max(_round_up(w + min(PC, w), BC), PC + BC)
+    ho, wo = r_idx.shape
+    ht, wt = target_shape if target_shape is not None else (ho, wo)
+    hp = max(ht, PR)
+    hop = _round_up(ho, BR)
+    wop = _round_up(wo, BC)
+    halo = min(PC, wt) if wrap else 0
+    wp_ext = max(_round_up(wt + halo, BC), PC + BC)
+    w = wt if wrap else (1 << 22)  # straddle threshold (disabled when not wrapping)
     if active is None:
-        active = jnp.ones((h, w), bool)
-    if (hp, wp) != (h, w):
-        r_idx = jnp.pad(r_idx, ((0, hp - h), (0, wp - w)), mode="edge")
-        c_idx = jnp.pad(c_idx, ((0, hp - h), (0, wp - w)), mode="edge")
-        active = jnp.pad(active, ((0, hp - h), (0, wp - w)))
-    nr, nc = hp // BR, wp // BC
+        active = jnp.ones((ho, wo), bool)
+    if (hop, wop) != (ho, wo):
+        r_idx = jnp.pad(r_idx, ((0, hop - ho), (0, wop - wo)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, hop - ho), (0, wop - wo)), mode="edge")
+        active = jnp.pad(active, ((0, hop - ho), (0, wop - wo)))
+    nr, nc = hop // BR, wop // BC
     # (nr, nc, BR, BC) tile view
     r_t = r_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
     c_t = c_idx.reshape(nr, BR, nc, BC).transpose(0, 2, 1, 3)
@@ -467,8 +486,8 @@ def window_mask_reference(
         )
     lo = lo[:, :, :, None]
     in_win = lc_ok & (lr >= lo) & (lr < lo + K)
-    out = in_win.transpose(0, 2, 1, 3).reshape(hp, wp)
-    return out[:h, :w]
+    out = in_win.transpose(0, 2, 1, 3).reshape(hop, wop)
+    return out[:ho, :wo]
 
 
 @jax.custom_batching.custom_vmap
