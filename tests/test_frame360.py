@@ -1,6 +1,8 @@
 """Frame assembly parity: stitch + undistort vs the NumPy reference
 transcription, on the bundled sample."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -68,3 +70,28 @@ def test_sphere_cloud_from_image(sample_frames):
     valid = d > 0
     norms = np.linalg.norm(xyz[valid], axis=-1)
     np.testing.assert_allclose(norms, d[valid] * 0.001, rtol=1e-4, atol=1e-4)
+
+
+def test_stitch_matches_golden_panorama_bytes(calib, reference_root):
+    """The stitched panorama must stay byte-identical to the committed
+    golden capture (tests/golden/pair_1_10.npz stores the stitch output of
+    tools/make_golden.py) — locks stitch parity across optimizations (the
+    16-byte packed-row gather rewrite was verified against this)."""
+    golden = os.path.join(os.path.dirname(__file__), "golden", "pair_1_10.npz")
+    if not os.path.exists(golden):
+        import pytest
+
+        pytest.skip("golden npz not generated")
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.frame360 import Frame360
+
+    z = np.load(golden)
+    f2 = Frame360(calib, 1).build(
+        os.path.join(reference_root, "samples", "sphere_images_10.bin")
+    )
+    gray_u8 = np.asarray(
+        jnp.round(f2.sphere_gray * 255.0).astype(jnp.uint8)
+    )
+    np.testing.assert_array_equal(gray_u8, z["gray_src_u8"])
+    np.testing.assert_array_equal(np.asarray(f2.sphere_depth_mm), z["depth_src_mm"])
