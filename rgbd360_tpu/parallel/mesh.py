@@ -58,3 +58,55 @@ def align_batch_sharded(
         out_shardings=repl,
     )
     return fn(gray_src, depth_src, gray_trg, depth_trg, pose_guess)
+
+
+def prefilter_candidates_sharded(mesh: Mesh, frame_pbmap, cand_pbmaps, config, mode):
+    """Relocalize/loop-closure candidate sweep with the keyframe axis split
+    over the mesh (SURVEY §2.3: map-level ops batch over KFs and ride ICI;
+    the query frame's plane set is replicated, each chip scores its shard of
+    candidate keyframes, the boolean compatibility reductions come back with
+    one tiny all-gather inserted by XLA). Candidate count is padded up to a
+    mesh multiple; results match core.batch_match.prefilter_candidates."""
+    import math
+
+    import numpy as np
+
+    from rgbd360_tpu.core.batch_match import _compat_matrix, pack_pbmap, stack_packs
+
+    n = len(cand_pbmaps)
+    if n == 0:
+        return np.zeros(0, int), np.zeros(0)
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    packs = [pack_pbmap(p) for p in cand_pbmaps]
+    packs += [pack_pbmap(cand_pbmaps[0])] * pad  # pad shard; sliced off below
+    packed = stack_packs(packs)
+
+    ref = {k: jnp.asarray(v) for k, v in pack_pbmap(frame_pbmap).items() if k != "count"}
+    cfg = (
+        config.area_threshold,
+        config.elongation_threshold,
+        config.hue_threshold,
+        config.dist_d,
+        math.cos(math.radians(config.angle_deg)),
+    )
+    cand_spec = NamedSharding(mesh, P(PAIR_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, cand_spec),
+        out_shardings=(repl, repl),
+        static_argnums=(),
+    )
+    def run(ref_in, trg_in):
+        compat = jax.vmap(lambda t: _compat_matrix(ref_in, t, cfg, mode))(trg_in)
+        frame_has = jnp.any(compat, axis=2)
+        cand_has = jnp.any(compat, axis=1)
+        counts = jnp.minimum(frame_has.sum(axis=1), cand_has.sum(axis=1))
+        areas = (cand_has * trg_in["area"]).sum(axis=1)
+        return counts, areas
+
+    trg = {k: jax.device_put(jnp.asarray(v), cand_spec) for k, v in packed.items()}
+    counts, areas = run(ref, trg)
+    return np.asarray(counts)[:n], np.asarray(areas)[:n]
