@@ -20,7 +20,7 @@ import sys
 import numpy as np
 
 from rgbd360_tpu.apps.common import load_calib, sequence_files
-from rgbd360_tpu.core.calibrator import Calibrator, PlaneCorrespondences, construction_specs
+from rgbd360_tpu.core.calibrator import Calibrator, PlaneCorrespondences
 from rgbd360_tpu.core.frame360 import Frame360
 
 

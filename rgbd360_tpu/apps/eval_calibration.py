@@ -26,7 +26,7 @@ import sys
 import numpy as np
 
 from rgbd360_tpu.apps.calibrate_rig import gather_control_planes
-from rgbd360_tpu.apps.common import DEFAULT_DATA_ROOT, load_calib, sequence_files
+from rgbd360_tpu.apps.common import load_calib, sequence_files
 from rgbd360_tpu.core.calibrator import Calibrator, PlaneCorrespondences
 from rgbd360_tpu.core.frame360 import Frame360
 

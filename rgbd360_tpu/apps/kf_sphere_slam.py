@@ -14,7 +14,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
 
 from rgbd360_tpu.apps.common import default_matcher_config, load_calib, sequence_files
 from rgbd360_tpu.core.frame360 import Frame360

@@ -14,7 +14,7 @@ Gauss-Newton linearization for well-initialized pose graphs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

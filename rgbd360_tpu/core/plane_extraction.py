@@ -17,7 +17,6 @@ Constants from include/Miscellaneous.h:51-76 via config.GlobalParams.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

@@ -19,7 +19,7 @@ import hashlib
 import os
 import subprocess
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

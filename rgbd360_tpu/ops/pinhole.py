@@ -14,7 +14,6 @@ Reference semantics:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
