@@ -189,3 +189,19 @@ def test_native_prefetcher_order_and_fallback(reference_root, tmp_path, rng):
     assert len(frames) == 6
     for i, fr in enumerate(frames):
         assert fr.rgb[0, 0, 0, 0] == i and fr.timestamp == 100 + i
+
+
+def test_load_rawlog_cloud_and_save_modes(tmp_path, rng, calib):
+    """The rawlog app's cloud and save output modes (LoadRawlog.cpp modes
+    3/4): undistorted rig cloud export and the keyframe dump."""
+    from rgbd360_tpu.apps.load_rawlog import main as rawlog_main
+
+    path = tmp_path / "t.rawlog"
+    _synthetic_rawlog(path, rng, n_frames=1, h=240, w=320)
+    out_c = tmp_path / "out_cloud"
+    assert rawlog_main([str(path), "--out", str(out_c), "--mode", "cloud"]) == 0
+    assert (out_c / "cloud_0000.ply").exists()
+    out_s = tmp_path / "out_save"
+    assert rawlog_main([str(path), "--out", str(out_s), "--mode", "save"]) == 0
+    assert (out_s / "sphereCloud_0.pcd").exists()
+    assert (out_s / "spherePlanes_0.pbmap.npz").exists()
