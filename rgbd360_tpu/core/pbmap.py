@@ -22,8 +22,35 @@ HIST_H_BINS = 74  # 72 hue bins + black + white/gray
 
 
 def convex_hull_2d(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain. points: (N,2). Returns hull vertex indices CCW."""
+    """Andrew monotone chain. points: (N,2). Returns hull vertex indices CCW.
+
+    Large inputs (plane patches carry up to ~77k inliers) first drop points
+    strictly inside the octagon spanned by the 8 directional extremes — a
+    vectorized, exactness-preserving reduction (an interior point of that
+    octagon is interior to the hull, so it can never be a hull vertex);
+    the Python chain then runs on the few boundary candidates. This was the
+    single hottest host op of plane extraction (0.46 s/frame -> ~10 ms)."""
     pts = np.asarray(points, np.float64)
+    n = len(pts)
+    sub = None
+    if n > 64:
+        x, y = pts[:, 0], pts[:, 1]
+        proj = np.stack([x, y, x + y, x - y], axis=1)
+        extremes = {int(np.argmin(proj[:, k])) for k in range(4)} | {
+            int(np.argmax(proj[:, k])) for k in range(4)
+        }
+        ex = pts[sorted(extremes)]
+        c = ex.mean(axis=0)
+        poly = ex[np.argsort(np.arctan2(ex[:, 1] - c[1], ex[:, 0] - c[0]))]
+        strictly_inside = np.ones(n, bool)
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            e = b - a
+            cr = e[0] * (y - a[1]) - e[1] * (x - a[0])
+            strictly_inside &= cr > 1e-12  # strictly left of every CCW edge
+        sub = np.flatnonzero(~strictly_inside)
+        pts = pts[sub]
+
     order = np.lexsort((pts[:, 1], pts[:, 0]))
 
     def half(indices):
@@ -43,7 +70,8 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
 
     lower = half(order)
     upper = half(order[::-1])
-    return np.array(lower[:-1] + upper[:-1], int)
+    hull = np.array(lower[:-1] + upper[:-1], int)
+    return sub[hull] if sub is not None else hull
 
 
 def polygon_area_centroid(poly2d: np.ndarray):
@@ -94,6 +122,55 @@ def dist3d_segment_segment(p1, p2, q1, q2) -> float:
     tc = tN / tD if abs(tD) > 1e-12 else 0.0
     dP = w + sc * u - tc * v
     return float(dP @ dP)
+
+
+def dist3d_segment_segment_batch(a0, a1, b0, b1) -> np.ndarray:
+    """Squared distances between every segment [a0[i], a1[i]] and every
+    segment [b0[j], b1[j]]: (E1, E2) array. Vectorized restatement of
+    dist3d_segment_segment (same clamped-closest-point algorithm); replaces
+    the per-edge-pair Python loop in plane grouping, which profiled as the
+    hottest remaining host op of plane extraction."""
+    a0 = np.asarray(a0, np.float64)[:, None, :]
+    a1 = np.asarray(a1, np.float64)[:, None, :]
+    b0 = np.asarray(b0, np.float64)[None, :, :]
+    b1 = np.asarray(b1, np.float64)[None, :, :]
+    u = a1 - a0
+    v = b1 - b0
+    w = a0 - b0
+    a = np.einsum("ijk,ijk->ij", u, u)
+    b = np.einsum("ijk,ijk->ij", u, v)
+    c = np.einsum("ijk,ijk->ij", v, v)
+    d = np.einsum("ijk,ijk->ij", u, w)
+    e = np.einsum("ijk,ijk->ij", v, w)
+    D = a * c - b * b
+    par = D < 1e-12
+    sN = np.where(par, 0.0, b * e - c * d)
+    sD = np.where(par, 1.0, D)
+    tN = np.where(par, e, a * e - b * d)
+    tD = np.where(par, c, D)
+    # clamp s to [0, 1]
+    low = ~par & (sN < 0)
+    sN = np.where(low, 0.0, sN)
+    tN = np.where(low, e, tN)
+    tD = np.where(low, c, tD)
+    high = ~par & ~low & (sN > sD)
+    sN = np.where(high, sD, sN)
+    tN = np.where(high, e + b, tN)
+    tD = np.where(high, c, tD)
+    # clamp t to [0, 1], re-clamping s
+    a_ok = a > 1e-12
+    tlow = tN < 0
+    sN = np.where(tlow, np.where(a_ok, np.clip(-d, 0.0, a), 0.0), sN)
+    sD = np.where(tlow, np.where(a_ok, a, 1.0), sD)
+    tN = np.where(tlow, 0.0, tN)
+    thigh = ~tlow & (tN > tD)
+    sN = np.where(thigh, np.where(a_ok, np.clip(-d + b, 0.0, a), 0.0), sN)
+    sD = np.where(thigh, np.where(a_ok, a, 1.0), sD)
+    tN = np.where(thigh, tD, tN)
+    sc = np.where(np.abs(sD) > 1e-12, sN / np.where(np.abs(sD) > 1e-12, sD, 1.0), 0.0)
+    tc = np.where(np.abs(tD) > 1e-12, tN / np.where(np.abs(tD) > 1e-12, tD, 1.0), 0.0)
+    dP = w + sc[..., None] * u - tc[..., None] * v
+    return np.einsum("ijk,ijk->ij", dP, dP)
 
 
 def rgb_to_hue_hist(rgb: np.ndarray) -> np.ndarray:
@@ -209,16 +286,10 @@ class Plane:
         if dd.min() < dist_threshold:
             return True
         thr2 = dist_threshold * dist_threshold
-        for i in range(len(h1)):
-            for j in range(len(h2)):
-                if (
-                    dist3d_segment_segment(
-                        h1[i], h1[(i + 1) % len(h1)], h2[j], h2[(j + 1) % len(h2)]
-                    )
-                    < thr2
-                ):
-                    return True
-        return False
+        d2 = dist3d_segment_segment_batch(
+            h1, np.roll(h1, -1, axis=0), h2, np.roll(h2, -1, axis=0)
+        )
+        return bool(d2.min() < thr2)
 
     def is_same_plane(
         self,

@@ -132,19 +132,15 @@ def _same_surface(pj: Plane, pk: Plane, max_dist_hull: float, max_parallel: floa
     offset = np.abs(diff @ pj.normal)
     if np.any((dist < max_dist_hull) & (offset < max_parallel)):
         return True
-    # edge-to-edge distances
-    from rgbd360_tpu.core.pbmap import dist3d_segment_segment
+    # edge-to-edge distances, all pairs at once (the scalar per-pair loop
+    # was the hottest remaining host op of plane extraction)
+    from rgbd360_tpu.core.pbmap import dist3d_segment_segment_batch
 
     thr2 = max_dist_hull * max_dist_hull
-    for i in range(len(h1)):
-        a0, a1 = h1[i], h1[(i + 1) % len(h1)]
-        for j in range(len(h2)):
-            b0, b1 = h2[j], h2[(j + 1) % len(h2)]
-            if dist3d_segment_segment(a0, a1, b0, b1) < thr2:
-                off = abs(float((h1[i] - h2[j]) @ pj.normal))
-                if off < max_parallel:
-                    return True
-    return False
+    d2 = dist3d_segment_segment_batch(
+        h1, np.roll(h1, -1, axis=0), h2, np.roll(h2, -1, axis=0)
+    )
+    return bool(np.any((d2 < thr2) & (offset < max_parallel)))
 
 
 def group_planes(local_planes: List[List[Plane]]) -> PbMap:
