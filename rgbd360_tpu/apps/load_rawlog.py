@@ -91,7 +91,9 @@ def frame360_from_obs(calib, group, frame_id: int = 0) -> Frame360:
             rgb = np.repeat(rgb[..., None], 3, axis=-1)
         if obs.range_image is None:
             raise ValueError(f"{obs.sensor_label}: no range image")
-        depth_mm = np.clip(obs.range_image * 1000.0, 0, 65535).astype(np.uint16)
+        # convertTo(CV_16UC1, 1000) saturate_casts with round-to-nearest
+        # (LoadRawlog.cpp:267-272) — rint before the cast, not truncation
+        depth_mm = np.clip(np.rint(obs.range_image * 1000.0), 0, 65535).astype(np.uint16)
         rgbs.append(rgb)
         depths.append(depth_mm)
     frame = Frame360(calib, frame_id)

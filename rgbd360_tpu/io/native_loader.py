@@ -46,6 +46,23 @@ _build_failed = False
 H, W = 240, 320  # QVGA, the reference wire format (Calib360.h:70-77)
 
 
+def _probe_dims(path: str):
+    """(rows, cols) of the first image record, or None if unreadable —
+    datasets at other resolutions fall back to the Python reader, which
+    parses dimensions per record."""
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(64)
+        (sig_len,) = struct.unpack_from("<Q", head, 0)
+        off = 8 + sig_len + 2 + 4 + 9  # signature, version, sizes, metadata
+        cols, rows = struct.unpack_from("<ii", head, off)
+        return rows, cols
+    except (OSError, struct.error):
+        return None
+
+
 def _build_library() -> Optional[str]:
     """Compile frame_loader.cpp into the cache; returns the .so path or None."""
     try:
@@ -64,6 +81,12 @@ def _build_library() -> Optional[str]:
         os.replace(tmp, so_path)
     except (subprocess.SubprocessError, OSError):
         return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return so_path
 
 
@@ -105,17 +128,17 @@ def available() -> bool:
     return _get_lib() is not None
 
 
-def parse_frame_native(path: str) -> RawFrame360:
+def parse_frame_native(path: str, h: int = H, w: int = W) -> RawFrame360:
     """Parse one .bin through the C++ loader (raises on malformed input or
     when the library is unavailable)."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native loader unavailable (g++ build failed)")
-    rgb = np.empty((8, H, W, 3), np.uint8)
-    depth = np.empty((8, H, W), np.uint16)
+    rgb = np.empty((8, h, w, 3), np.uint8)
+    depth = np.empty((8, h, w), np.uint16)
     ts = ctypes.c_uint64(0)
     rc = lib.rgbd360_parse_frame(
-        path.encode(), H, W,
+        path.encode(), h, w,
         rgb.ctypes.data_as(ctypes.c_void_p),
         depth.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(ts),
@@ -130,8 +153,16 @@ class FramePrefetcher:
     RawFrame360s; IO + parsing of upcoming frames proceeds on C++ threads
     while the consumer computes."""
 
-    def __init__(self, paths: Sequence[str], threads: int = 2, max_ahead: int = 4):
+    def __init__(
+        self,
+        paths: Sequence[str],
+        threads: int = 2,
+        max_ahead: int = 4,
+        h: int = H,
+        w: int = W,
+    ):
         self._paths = [str(p) for p in paths]
+        self._h, self._w = h, w
         self._lib = _get_lib()
         if self._lib is None:
             raise RuntimeError("native loader unavailable (g++ build failed)")
@@ -139,7 +170,7 @@ class FramePrefetcher:
             *[p.encode() for p in self._paths]
         )
         self._handle = self._lib.rgbd360_prefetcher_create(
-            arr, len(self._paths), H, W, threads, max_ahead
+            arr, len(self._paths), h, w, threads, max_ahead
         )
         self._delivered = 0
 
@@ -149,8 +180,8 @@ class FramePrefetcher:
     def __next__(self) -> RawFrame360:
         if self._handle is None or self._delivered >= len(self._paths):
             raise StopIteration
-        rgb = np.empty((8, H, W, 3), np.uint8)
-        depth = np.empty((8, H, W), np.uint16)
+        rgb = np.empty((8, self._h, self._w, 3), np.uint8)
+        depth = np.empty((8, self._h, self._w), np.uint16)
         ts = ctypes.c_uint64(0)
         rc = self._lib.rgbd360_prefetcher_next(
             self._handle,
@@ -180,13 +211,28 @@ class FramePrefetcher:
 
 def iter_frames(paths: Sequence[str], threads: int = 2, max_ahead: int = 4):
     """Yield RawFrame360 for each path, through the C++ prefetcher when the
-    toolchain allows, else through the Python reader."""
-    if available():
-        pf = FramePrefetcher(paths, threads=threads, max_ahead=max_ahead)
+    toolchain allows, else through the Python reader. Image dimensions come
+    from the first file's header so non-QVGA datasets work on both paths
+    (mixed-resolution datasets fall back to the per-record Python reader)."""
+    paths = [str(p) for p in paths]
+    dims = _probe_dims(paths[0]) if paths else None
+    if available() and dims is not None:
+        pf = FramePrefetcher(
+            paths, threads=threads, max_ahead=max_ahead, h=dims[0], w=dims[1]
+        )
         try:
-            yield from pf
+            for raw in pf:
+                yield raw
+            return
+        except ValueError:
+            # e.g. a resolution change mid-dataset: finish via the Python
+            # reader, which parses dimensions per record
+            delivered = pf._delivered
+            pf.close()
+            for p in paths[delivered - 1 :]:
+                yield read_frame360_bin(p)
+            return
         finally:
             pf.close()
-    else:
-        for p in paths:
-            yield read_frame360_bin(str(p))
+    for p in paths:
+        yield read_frame360_bin(p)

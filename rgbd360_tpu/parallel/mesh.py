@@ -34,6 +34,20 @@ def shard_pairs(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
+@functools.lru_cache(maxsize=32)
+def _align_sharded_fn(mesh: Mesh, method: int, n_levels: int):
+    """jit caches on the function object — build one jitted callable per
+    (mesh, method, n_levels) so repeated calls with stable shapes reuse the
+    compiled executable instead of retracing."""
+    data_spec = NamedSharding(mesh, P(PAIR_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        functools.partial(align_batch, method=method, n_levels=n_levels),
+        in_shardings=(data_spec,) * 5,
+        out_shardings=repl,
+    )
+
+
 def align_batch_sharded(
     mesh: Mesh,
     gray_src,
@@ -50,13 +64,7 @@ def align_batch_sharded(
     steady state because pairs are independent (gradients/Hessians are
     per-pair 6x6 — they never cross chips).
     """
-    data_spec = NamedSharding(mesh, P(PAIR_AXIS))
-    repl = NamedSharding(mesh, P())
-    fn = jax.jit(
-        functools.partial(align_batch, method=method, n_levels=n_levels),
-        in_shardings=(data_spec,) * 5,
-        out_shardings=repl,
-    )
+    fn = _align_sharded_fn(mesh, method, n_levels)
     return fn(gray_src, depth_src, gray_trg, depth_trg, pose_guess)
 
 
@@ -91,22 +99,32 @@ def prefilter_candidates_sharded(mesh: Mesh, frame_pbmap, cand_pbmaps, config, m
         math.cos(math.radians(config.angle_deg)),
     )
     cand_spec = NamedSharding(mesh, P(PAIR_AXIS))
+    trg = {k: jax.device_put(jnp.asarray(v), cand_spec) for k, v in packed.items()}
+    counts, areas = _prefilter_sharded_fn(mesh, mode)(ref, trg, jnp.asarray(cfg))
+    return np.asarray(counts)[:n], np.asarray(areas)[:n]
+
+
+@functools.lru_cache(maxsize=32)
+def _prefilter_sharded_fn(mesh: Mesh, mode: int):
+    """One jitted sweep per (mesh, mode): the matcher thresholds arrive as a
+    traced array so config changes don't retrace either."""
+    from rgbd360_tpu.core.batch_match import _compat_matrix
+
+    cand_spec = NamedSharding(mesh, P(PAIR_AXIS))
     repl = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, cand_spec),
+        in_shardings=(repl, cand_spec, repl),
         out_shardings=(repl, repl),
-        static_argnums=(),
     )
-    def run(ref_in, trg_in):
-        compat = jax.vmap(lambda t: _compat_matrix(ref_in, t, cfg, mode))(trg_in)
+    def run(ref_in, trg_in, cfg_arr):
+        cfg_t = tuple(cfg_arr[i] for i in range(5))
+        compat = jax.vmap(lambda t: _compat_matrix(ref_in, t, cfg_t, mode))(trg_in)
         frame_has = jnp.any(compat, axis=2)
         cand_has = jnp.any(compat, axis=1)
         counts = jnp.minimum(frame_has.sum(axis=1), cand_has.sum(axis=1))
         areas = (cand_has * trg_in["area"]).sum(axis=1)
         return counts, areas
 
-    trg = {k: jax.device_put(jnp.asarray(v), cand_spec) for k, v in packed.items()}
-    counts, areas = run(ref, trg)
-    return np.asarray(counts)[:n], np.asarray(areas)[:n]
+    return run

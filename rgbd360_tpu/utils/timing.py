@@ -5,8 +5,8 @@ RegisterPhotoICP.h:4522,4776 dense alignment; RegisterRGBD360.h:298-299
 compareSubgraphs). Stage boundaries keep the reference's names so numbers
 compare directly.
 
-Enable with RGBD360_PRINT_TIMINGS=1 (or stage_timing(True)); disabled it
-costs one dict lookup per bracket. On the axon TPU backend a stage's device
+Enable with RGBD360_PRINT_TIMINGS=1 (or stage_timing(True)); disabled,
+brackets are a no-op (no printing, no accumulation). On the axon TPU backend a stage's device
 work may complete after the bracket exits (dispatch is async) — brackets
 measure the host-blocking portion exactly like the reference's brackets
 measure its synchronous calls; pass `sync=lambda: np.asarray(x)` to force
@@ -36,8 +36,8 @@ def timing_enabled() -> bool:
 
 @contextmanager
 def stage(name: str, sync=None):
-    """Bracket one pipeline stage; prints '<name> took <ms> ms' like the
-    reference when enabled, and always accumulates into the summary."""
+    """Bracket one pipeline stage; when enabled, prints '<name> took <ms> ms'
+    like the reference and accumulates into the summary (no-op otherwise)."""
     if not _enabled:
         yield
         return

@@ -205,3 +205,26 @@ def test_load_rawlog_cloud_and_save_modes(tmp_path, rng, calib):
     assert rawlog_main([str(path), "--out", str(out_s), "--mode", "save"]) == 0
     assert (out_s / "sphereCloud_0.pcd").exists()
     assert (out_s / "spherePlanes_0.pbmap.npz").exists()
+
+
+def test_native_loader_non_qvga_datasets(tmp_path, rng):
+    """Non-QVGA datasets must load through iter_frames (header-probed native
+    dimensions, or the per-record Python reader as fallback) — code-review
+    finding: the loader previously hardcoded QVGA and raised."""
+    from rgbd360_tpu.io import native_loader as nl
+
+    paths = []
+    for i in range(3):
+        rgb = rng.integers(0, 255, (8, 120, 160, 3), dtype=np.uint8)
+        depth = rng.integers(0, 8000, (8, 120, 160), dtype=np.uint16)
+        p = tmp_path / f"v{i}.bin"
+        write_frame360_bin(str(p), RawFrame360(rgb=rgb, depth=depth, timestamp=7 + i))
+        paths.append(str(p))
+    frames = list(nl.iter_frames(paths))
+    assert len(frames) == 3
+    for i, fr in enumerate(frames):
+        assert fr.rgb.shape == (8, 120, 160, 3)
+        assert fr.timestamp == 7 + i
+    back = read_frame360_bin(paths[0])
+    np.testing.assert_array_equal(frames[0].rgb, back.rgb)
+    np.testing.assert_array_equal(frames[0].depth, back.depth)
