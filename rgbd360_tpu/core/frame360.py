@@ -123,6 +123,25 @@ class Frame360:
         self.sphere_cloud = (out.reshape(-1, 3), rgb2[..., ::-1].reshape(-1, 3))
         return self.sphere_cloud
 
+    def build_sphere_cloud_fast(self):
+        """buildSphereCloud_fast (reference include/Frame360.h:522-552):
+        per-sensor undistorted backprojection transformed by the extrinsics
+        and concatenated — no downsampling, no bilateral filter. One batched
+        device op + an einsum over the 8 extrinsics."""
+        import jax
+
+        from rgbd360_tpu.ops.pinhole import backproject_organized
+
+        xyz = jax.vmap(backproject_organized)(self.depth_undistorted_m)  # (8,H,W,3)
+        rt = jnp.asarray(np.stack([self.calib.Rt[s] for s in range(8)]), jnp.float32)
+        pts = jnp.einsum("sij,shwj->shwi", rt[:, :3, :3], xyz) + rt[:, None, None, :3, 3]
+        rgb = np.asarray(self.rgb)[..., ::-1]  # BGR -> RGB
+        self.sphere_cloud = (
+            np.asarray(pts).reshape(-1, 3),
+            rgb.reshape(-1, 3),
+        )
+        return self.sphere_cloud
+
     def get_planes(self):
         """Segment + merge the planar patches of the spherical frame
         (reference include/Frame360.h:615-638). Implemented in core/pbmap.py;

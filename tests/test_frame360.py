@@ -95,3 +95,23 @@ def test_stitch_matches_golden_panorama_bytes(calib, reference_root):
     )
     np.testing.assert_array_equal(gray_u8, z["gray_src_u8"])
     np.testing.assert_array_equal(np.asarray(f2.sphere_depth_mm), z["depth_src_mm"])
+
+
+def test_build_sphere_cloud_fast(calib, reference_root):
+    """buildSphereCloud_fast (Frame360.h:522-552): full-res undistorted
+    backprojection through the extrinsics, no filtering — points at valid
+    depths must land at depth-consistent radii from their sensor centers."""
+    from rgbd360_tpu.core.frame360 import Frame360
+
+    f = Frame360(calib, 0)
+    f.load_frame(os.path.join(reference_root, "samples", "sphere_images_1.bin"))
+    f.undistort()
+    xyz, rgb = f.build_sphere_cloud_fast()
+    assert xyz.shape == (8 * 240 * 320, 3) and rgb.shape == xyz.shape
+    depth = np.asarray(f.depth_undistorted_m).reshape(8, -1)
+    pts = xyz.reshape(8, -1, 3)
+    for s in (0, 3, 7):
+        valid = depth[s] > 0.3
+        cam_t = calib.Rt[s][:3, 3]
+        z_cam = (pts[s][valid] - cam_t) @ calib.Rt[s][:3, 2]
+        np.testing.assert_allclose(z_cam, depth[s][valid], rtol=1e-4, atol=1e-4)
