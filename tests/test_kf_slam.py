@@ -8,6 +8,7 @@ synthetic sequence (asserting ≪20 keyframes and multi-edges), plus a smoke
 test on the real bundled pair through the real dense aligner.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -187,3 +188,62 @@ def test_kf_slam_real_pair(sample_frames, reference_root):
     # the dense edge to KF 0 exists with the registered ~0.23-0.33 m motion
     rel, info = slam.world.connection_kfs[1][0]
     assert 0.15 < np.linalg.norm(rel[:3, 3]) < 0.45
+
+
+def test_loop_drift_correction_end_to_end(calib):
+    """Integrated loop-closure drift correction: real room frames, real
+    PbMap registrations for the edges, odometry drift injected on the chain;
+    the loop-closure edge plus graph optimization must pull the final pose
+    back toward ground truth (the end-to-end point of SURVEY §1 L6)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from room_scene import room_frame
+
+    from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
+    from rgbd360_tpu.core.matcher import PLANAR_3DOF
+    from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
+
+    def pose_y(y, z=0.0):
+        p = np.eye(4)
+        p[1, 3] = y
+        p[2, 3] = z
+        return p
+
+    gt = [pose_y(0.0), pose_y(0.45, -0.15), pose_y(0.08, 0.05)]  # loop back
+    frames = [room_frame(calib, g, i) for i, g in enumerate(gt)]
+
+    reg = RegisterRGBD360()
+    rels = []
+    for a, b in ((0, 1), (1, 2)):
+        assert reg.register_pbmap(frames[a], frames[b], 25, PLANAR_3DOF)
+        rels.append((reg.get_pose().astype(np.float64), reg.get_info_mat()))
+
+    # inject odometry drift: 6 cm off along y on each chain edge
+    drift = np.eye(4)
+    drift[1, 3] = 0.06
+    drifted_rels = [(drift @ rel, info) for rel, info in rels]
+
+    opt = GraphOptimizer()
+    poses = [np.eye(4)]
+    for rel, _ in drifted_rels:
+        poses.append(poses[-1] @ rel)
+    for p in poses:
+        opt.add_vertex(p)
+    for i, (rel, info) in enumerate(drifted_rels):
+        opt.add_edge(i, i + 1, rel, info)
+
+    drift_err = np.linalg.norm(poses[2][:3, 3] - gt[2][:3, 3])
+    assert drift_err > 0.1  # the injected drift is visible
+
+    # loop closure: real registration frame2 -> frame0, undrifted
+    assert reg.register_pbmap(frames[0], frames[2], 25, PLANAR_3DOF)
+    lc_rel = reg.get_pose().astype(np.float64)
+    # weight the loop edge by its (real) information matrix
+    opt.add_edge(0, 2, lc_rel, reg.get_info_mat())
+    opt.optimize_graph(iterations=15)
+    optimized = opt.get_poses()
+
+    opt_err = np.linalg.norm(optimized[2][:3, 3] - gt[2][:3, 3])
+    assert opt_err < 0.6 * drift_err, f"drift {drift_err:.3f} -> optimized {opt_err:.3f}"
+    assert opt_err < 0.08, f"optimized error {opt_err:.3f} m"
