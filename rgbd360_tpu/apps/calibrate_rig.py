@@ -44,7 +44,10 @@ def gather_control_planes(frame, corresp: PlaneCorrespondences, init_rt) -> int:
                     d1 = -(n1 @ (rt1[:3, :3].T @ (p1.center - rt1[:3, 3])))
                     n2 = rt2[:3, :3].T @ p2.normal
                     d2 = -(n2 @ (rt2[:3, :3].T @ (p2.center - rt2[:3, 3])))
-                    corresp.add(s, s2, n1, -d1, n2, -d2)
+                    # d1/d2 are already the mrpt sensor-frame offsets
+                    # (d = -n.c) the joint solver's residual is written in:
+                    # d_i - d_j = n_i.t_i - n_j.t_j at the true extrinsics
+                    corresp.add(s, s2, n1, d1, n2, d2)
                     added += 1
     return added
 

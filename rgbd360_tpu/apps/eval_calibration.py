@@ -33,8 +33,6 @@ from rgbd360_tpu.core.frame360 import Frame360
 
 def eval_extrinsics(corresp: PlaneCorrespondences, rt: np.ndarray, pair=None):
     """Per-pair and overall (rotation error^2, translation residual^2) means."""
-    cal = Calibrator(corresp)
-    cal.rt = rt
     rows_of = corresp.rows
     report = {}
     for (i, j), rows in sorted(rows_of.items()):

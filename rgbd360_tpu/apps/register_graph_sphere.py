@@ -34,6 +34,7 @@ from rgbd360_tpu.utils.viz import save_trajectory
 
 LC_MIN_MATCHES = 8  # strictly greater in the reference (:1129)
 LC_MIN_AREA = 20.0
+MAX_EDGE_RESIDUAL = 2.0  # LoopClosure360.h:316 accept gate
 TRACK_BACK = 5  # numCheckRegistration (:936)
 LC_SKIP_BACK = 6  # don't LC against the immediate chain neighbourhood
 
@@ -136,7 +137,10 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
     edges = []
     chain = {}
     for (i, j, _seed, area), (pose_s, resid, sso_ij, H, ill) in zip(pairs, results):
-        if ill:
+        if ill or resid >= MAX_EDGE_RESIDUAL:
+            # a diverged alignment must not constrain the graph (the
+            # reference gates connections by residual: LC accepts < 2.0,
+            # KF connections keep < 1.8)
             continue
         rel = off_inv @ pose_s.astype(np.float64) @ off
         info = H.astype(np.float64)

@@ -62,7 +62,10 @@ def match_planes(planes1, planes2, init_rt, max_angle_cos=0.95, max_d=0.3):
                 continue
             n2_in_1 = R @ p2.normal
             cosang = float(p1.normal @ n2_in_1)
-            d2_in_1 = p2.d + float(n2_in_1 @ t)
+            # mrpt offsets (d = -n.c): under x1 = R x2 + t the plane maps
+            # to d1 = d2 - (R n2).t (adding the term was a sign bug that
+            # passed only at the demo's small baseline)
+            d2_in_1 = p2.d - float(n2_in_1 @ t)
             if cosang > max_angle_cos and abs(p1.d - d2_in_1) < max_d and cosang > best_score:
                 best, best_score = j, cosang
         if best is not None:

@@ -174,12 +174,17 @@ class Frame360:
 
         from rgbd360_tpu.utils.viz import save_pcd
 
-        if self.sphere_cloud is None:
-            self.build_sphere_cloud_from_image()
-        xyz, rgb = self.sphere_cloud
+        # the keyframe cloud is ALWAYS the panorama backprojection — never a
+        # cached rig-frame cloud from build_sphere_cloud()/..._fast(), whose
+        # shapes and frames differ (a stale cache here once poisoned reloads)
+        depth_m = self.sphere_depth_mm.astype(jnp.float32) * 0.001
+        xyz, rgb = sphere_cloud_from_image(self.sphere_rgb, depth_m)
         save_pcd(
             os.path.join(path, f"sphereCloud_{frame}.pcd"),
-            np.nan_to_num(np.asarray(xyz).reshape(-1, 3)),
+            # keep NaNs: they mark invalid pixels and round-trip through the
+            # ASCII PCD; flattening them to (0,0,0) would reload hundreds of
+            # thousands of fake origin points into the keyframe cloud
+            np.asarray(xyz).reshape(-1, 3),
             np.asarray(rgb).reshape(-1, 3),
         )
         self.save_planes(os.path.join(path, f"spherePlanes_{frame}.pbmap.npz"))

@@ -58,16 +58,6 @@ DUAL_EDGE_TRANS = 0.1
 PARTITION_EVERY = 4
 
 
-def _rot_offset() -> np.ndarray:
-    """157.5 deg sphere-vs-cloud frame offset (KFsphere_SLAM.cpp:290-292)."""
-    a = np.deg2rad(157.5)
-    m = np.eye(4, dtype=np.float64)
-    m[1, 1] = m[2, 2] = np.cos(a)
-    m[1, 2] = np.sin(a)
-    m[2, 1] = -np.sin(a)
-    return m
-
-
 def is_continuous_motion(prev_pose: np.ndarray, curr_pose: np.ndarray,
                          thres_dist: float = CONTINUOUS_MOTION_DIST) -> bool:
     """isOdometryContinuousMotion (KFsphere_SLAM.cpp:119-126)."""
@@ -106,7 +96,9 @@ class KFSphereSLAM:
         self.optimizer = optimizer if optimizer is not None else GraphOptimizer()
         self.registerer = registerer if registerer is not None else RegisterRGBD360(matcher_config)
         self.aligner = aligner if aligner is not None else RegisterPhotoICP(n_pyr_levels=n_pyr_levels)
-        self.off = _rot_offset()
+        from rgbd360_tpu.apps.common import rot_offset
+
+        self.off = rot_offset()  # 157.5 deg conjugation (KFsphere_SLAM.cpp:290-292)
         self.off_inv = np.linalg.inv(self.off)
         self.nearest_kf = 0
         self.current_pose = np.eye(4, dtype=np.float64)  # pose of nearest_kf
@@ -196,6 +188,11 @@ class KFSphereSLAM:
                 if resid < depth_residual:
                     self.current_pose = kf_pose
                     self.nearest_kf = kf
+                else:
+                    # tracking stays on the old nearest keyframe — ref2 is
+                    # relative to the scanned kf and would poison the next
+                    # frame's dense seed
+                    self.seed_ref = prev2
                 return "skip_near_kf"
             if resid < KEEP_CONNECTION_RESIDUAL:
                 connections.append(

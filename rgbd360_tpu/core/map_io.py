@@ -46,7 +46,6 @@ def save_map(world: Map360, out_dir: str, optimizer: GraphOptimizer = None) -> N
             neighbor_areas=np.array([sorted(a) for a in world.neighbor_areas], dtype=object),
             selected_kfs=np.asarray(world.selected_kfs, np.int64),
             current_area=world.current_area,
-            allow_pickle=True,
         )
     if optimizer is not None:
         optimizer.save_graph(os.path.join(out_dir, "pose_graph.g2o"))

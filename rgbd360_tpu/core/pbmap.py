@@ -374,7 +374,6 @@ def save_pbmap(pbmap: PbMap, path: str) -> None:
         hull_offsets=np.cumsum([0] + [len(h) for h in hulls]),
         point_data=np.concatenate(points, axis=0) if n else np.zeros((0, 3)),
         point_offsets=np.cumsum([0] + [len(pt) for pt in points]),
-        allow_pickle=True,
     )
 
 

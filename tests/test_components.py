@@ -112,3 +112,38 @@ def test_build_sphere_cloud_rig_frame(sample_frames):
     # rig-frame cloud must span the full ring (points behind and in front)
     assert xyz[finite][:, 2].min() < -0.5 and xyz[finite][:, 2].max() > 0.5
     assert xyz[finite][:, 1].min() < -0.5 and xyz[finite][:, 1].max() > 0.5
+
+
+def test_gather_control_planes_offset_convention(calib):
+    """Regression for the joint-calibration sign bug: the d stored by
+    gather_control_planes must satisfy the solver's residual identity
+    d_i - d_j = n_i.t_i - n_j.t_j at the true extrinsics (translation_error2
+    ~ 0), so the 21x21 translation solve recovers +t, not -t."""
+    from rgbd360_tpu.apps.calibrate_rig import gather_control_planes
+    from rgbd360_tpu.core.calibrator import Calibrator, PlaneCorrespondences
+    from rgbd360_tpu.core.pbmap import Plane
+
+    rng = np.random.default_rng(3)
+    rt = np.stack([calib.Rt[s].astype(np.float64) for s in range(8)])
+
+    # synthetic world planes observed by adjacent sensors, expressed in the
+    # rig frame exactly as extract_frame_planes leaves local_planes
+    class F:
+        local_planes = [[] for _ in range(8)]
+
+    for _ in range(6):
+        n_w = rng.normal(size=3)
+        n_w /= np.linalg.norm(n_w)
+        rho = rng.uniform(1.0, 4.0)
+        for s in range(8):
+            center = n_w * rho + np.cross(n_w, rng.normal(size=3)) * 0.3
+            F.local_planes[s].append(
+                Plane(id=0, normal=n_w.copy(), center=center, d=float(-n_w @ center))
+            )
+
+    corresp = PlaneCorrespondences()
+    added = gather_control_planes(F, corresp, rt)
+    assert added >= 6 * 8  # every adjacent pair matched per plane
+    cal = Calibrator(corresp)
+    cal.rt = rt.copy()
+    assert cal.translation_error2(rt) < 1e-8  # f32 extrinsics roundoff only

@@ -74,7 +74,9 @@ class FakeAligner:
 
     def __init__(self, script):
         self.script = script
-        self._off = kf_slam._rot_offset()
+        from rgbd360_tpu.apps.common import rot_offset
+
+        self._off = rot_offset()
         self._target = None
         self._source = None
         self._resid = None
