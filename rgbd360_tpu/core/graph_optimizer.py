@@ -40,6 +40,20 @@ def _log_so3(R):
     th = np.arccos(cos_t)
     if th < 1e-10:
         return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / 2
+    if th > np.pi - 1e-4:
+        # near pi the antisymmetric part vanishes (th/(2 sin th) diverges);
+        # recover the axis from the symmetric part R ~ 2 nn^T - I instead —
+        # a gross-drift loop edge must not blow up chi2/H to inf
+        A = 0.5 * (R + np.eye(3))
+        axis = np.sqrt(np.clip(np.diag(A), 0.0, None))
+        # fix signs from the off-diagonals relative to the largest component
+        k = int(np.argmax(axis))
+        if axis[k] > 0:
+            for i in range(3):
+                if i != k and A[k, i] < 0:
+                    axis[i] = -axis[i]
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+        return th * axis
     return th / (2 * np.sin(th)) * np.array(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
     )
@@ -148,9 +162,17 @@ class GraphOptimizer:
     def add_edge(self, i: int, j: int, rel_pose: np.ndarray, information: np.ndarray) -> None:
         info = np.asarray(information, np.float64)
         info = 0.5 * (info + info.T)
-        # guard: non-PSD or degenerate information falls back to identity
+        # guard: non-PSD or degenerate information falls back to identity.
+        # The negativity test carries a relative tolerance: a genuinely PSD
+        # rank-deficient Hessian (planar scenes) rounds to ~+-1e-10 in
+        # eigvalsh, and a hard ev[0] < 0 would discard its real weighting
+        # on about half of such edges nondeterministically.
         ev = np.linalg.eigvalsh(info)
-        if not np.isfinite(ev).all() or ev[0] < 0 or ev[-1] <= 0:
+        if (
+            not np.isfinite(ev).all()
+            or ev[0] < -1e-9 * max(abs(ev[-1]), 1.0)
+            or ev[-1] <= 0
+        ):
             info = np.eye(6)
         self.edges.append(Edge(i, j, np.asarray(rel_pose, np.float64).copy(), info))
 

@@ -66,6 +66,10 @@ class LoopClosure360:
 
     # -- candidate scan (reference :173-294) -------------------------------------
     def _candidates(self, kf_id: int):
+        """NB: callers must hold map.mutex — the threaded mode scans areas /
+        selected_kfs that the SLAM loop's partitioner mutates (the reference
+        reads these unlocked, a known-benign-by-usage race SURVEY §5 says
+        not to replicate)."""
         m = self.map
         new_pose = m.trajectory_poses[kf_id]
         area = m.frames[kf_id].node
@@ -106,7 +110,8 @@ class LoopClosure360:
         m = self.map
         new_kf = m.frames[kf_id]
         accepted = 0
-        cands = self._candidates(kf_id)
+        with m.mutex:
+            cands = self._candidates(kf_id)
         if len(cands) > 1 and new_kf.planes is not None and all(
             m.frames[c].planes is not None for c in cands
         ):

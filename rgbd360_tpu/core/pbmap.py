@@ -380,27 +380,30 @@ def save_pbmap(pbmap: PbMap, path: str) -> None:
 def load_pbmap(path: str) -> PbMap:
     """Inverse of save_pbmap (reference Frame360::loadPbMap, Frame360.h:197-209)."""
     with np.load(path, allow_pickle=True) as z:
-        n = int(z["n"])
-        planes = []
-        for i in range(n):
-            h0, h1 = z["hull_offsets"][i], z["hull_offsets"][i + 1]
-            p0, p1 = z["point_offsets"][i], z["point_offsets"][i + 1]
-            pts = z["point_data"][p0:p1]
-            planes.append(
-                Plane(
-                    id=int(z["ids"][i]),
-                    normal=z["normals"][i],
-                    center=z["centers"][i],
-                    d=float(z["d"][i]),
-                    curvature=float(z["curvature"][i]),
-                    area_hull=float(z["area_hull"][i]),
-                    elongation=float(z["elongation"][i]),
-                    ppal_dir=z["ppal_dir"][i],
-                    hist_h=z["hist_h"][i],
-                    main_color=z["main_color"][i],
-                    label=str(z["labels"][i]),
-                    hull=z["hull_data"][h0:h1],
-                    points=pts if len(pts) else None,
-                )
+        # hoist every array once: NpzFile re-decompresses the full member on
+        # each z[key] access, which made loading O(n^2) in data volume
+        a = {k: z[k] for k in z.files}
+    n = int(a["n"])
+    planes = []
+    for i in range(n):
+        h0, h1 = a["hull_offsets"][i], a["hull_offsets"][i + 1]
+        p0, p1 = a["point_offsets"][i], a["point_offsets"][i + 1]
+        pts = a["point_data"][p0:p1]
+        planes.append(
+            Plane(
+                id=int(a["ids"][i]),
+                normal=a["normals"][i],
+                center=a["centers"][i],
+                d=float(a["d"][i]),
+                curvature=float(a["curvature"][i]),
+                area_hull=float(a["area_hull"][i]),
+                elongation=float(a["elongation"][i]),
+                ppal_dir=a["ppal_dir"][i],
+                hist_h=a["hist_h"][i],
+                main_color=a["main_color"][i],
+                label=str(a["labels"][i]),
+                hull=a["hull_data"][h0:h1],
+                points=pts if len(pts) else None,
             )
+        )
     return PbMap(planes)

@@ -89,7 +89,10 @@ class RegisterRGBD360:
             ref_pb, trg_pb, self._ref_idx, self._trg_idx, regist_mode
         )
         self.area_matched = self.matcher.calc_area_matched(ref_pb, self.best_match)
-        if len(self.best_match) < 3:
+        # >=3 matches are geometrically required (RegisterRGBD360.h:306); the
+        # INI's min_planes_recognition can raise the bar further
+        min_planes = max(3, self.matcher.config.min_planes_recognition)
+        if len(self.best_match) < min_planes:
             return False
         ok, pose, info = estimate_pose_from_planes(
             ref_pb, trg_pb, self.best_match, regist_mode

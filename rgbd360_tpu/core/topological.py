@@ -166,19 +166,28 @@ class TopologicalMap360:
         kf_global: List[int] = []
         for a in areas_sorted:
             kf_global.extend(sorted(m.areas[a]))
+        # within each part, order members by global keyframe id: the per-area
+        # SSO rows must agree with Map360.local_index (sorted-by-kf order) or
+        # every later add_connection writes into the wrong row
+        parts = [sorted(p, key=lambda local: kf_global[local]) for p in parts]
 
         with m.mutex:
+            old_members = {a: sorted(m.areas[a]) for a in areas_sorted}
             # rebuild area assignment: reuse the vicinity's area ids, create new
             area_ids = areas_sorted + [
                 len(m.areas) + i for i in range(len(parts) - len(areas_sorted))
             ]
-            while len(m.areas) < len(area_ids):
+            while len(m.areas) <= max(area_ids):
                 m.areas.append(set())
                 m.neighbor_areas.append(set())
                 m.selected_kfs.append(0)
                 self.v_sso.append(np.zeros((0, 0), np.float32))
             for a in areas_sorted:
                 m.areas[a] = set()
+            # blocks between two vicinity areas are rebuilt below — stale
+            # ones must not survive with old memberships
+            for key in [k for k in self.neig_sso if k[0] in vicinity and k[1] in vicinity]:
+                del self.neig_sso[key]
             for part, aid in zip(parts, area_ids):
                 for local in part:
                     kf = kf_global[local]
@@ -202,6 +211,51 @@ class TopologicalMap360:
                             if aid_a < aid_b
                             else blk.T.astype(np.float32)
                         )
+            # re-home blocks and neighbor links between old vicinity areas and
+            # areas OUTSIDE the vicinity (reference ArrangeGraphSSO 'update
+            # neighbors and SSO matrices of the surrounding maps')
+            new_of = {}
+            for aid in area_ids:
+                for idx, kf in enumerate(sorted(m.areas[aid])):
+                    new_of[kf] = (aid, idx)
+            outside_keys = [
+                k for k in list(self.neig_sso.keys())
+                if (k[0] in vicinity) != (k[1] in vicinity)
+            ]
+            for key in outside_keys:
+                blk = self.neig_sso.pop(key)
+                vic, out = (key[0], key[1]) if key[0] in vicinity else (key[1], key[0])
+                m.neighbor_areas[out].discard(vic)
+                members = old_members.get(vic, [])
+                for old_idx, kf in enumerate(members):
+                    if key[0] == vic:
+                        if old_idx >= blk.shape[0]:
+                            break
+                        row = blk[old_idx, :]
+                    else:
+                        if old_idx >= blk.shape[1]:
+                            break
+                        row = blk[:, old_idx]
+                    if not np.any(row):
+                        continue
+                    aid, nidx = new_of[kf]
+                    nkey = (min(aid, out), max(aid, out))
+                    r = self.v_sso[nkey[0]].shape[0]
+                    c = self.v_sso[nkey[1]].shape[0]
+                    nb = self.neig_sso.get(nkey)
+                    if nb is None or nb.shape != (r, c):
+                        nb2 = np.zeros((r, c), np.float32)
+                        if nb is not None:
+                            nb2[: nb.shape[0], : nb.shape[1]] = nb
+                        self.neig_sso[nkey] = nb2
+                        nb = nb2
+                    n = min(len(row), c if aid < out else r)
+                    if aid < out:
+                        nb[nidx, :n] = row[:n]
+                    else:
+                        nb[:n, nidx] = row[:n]
+                    m.neighbor_areas[aid].add(out)
+                    m.neighbor_areas[out].add(aid)
             # the current area follows the last keyframe
             m.current_area = m.frames[len(m.frames) - 1].node
         return True

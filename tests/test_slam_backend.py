@@ -284,3 +284,74 @@ def test_se2_planar_axis_x():
     opt.optimize_graph(iterations=20)
     out = opt.get_poses()
     np.testing.assert_allclose(out[2], truth[2], atol=1e-6)
+
+
+def _linked_topology(n_kf=18):
+    """Map of 18 KFs forming three 6-cliques chained weakly."""
+    m = Map360()
+    topo = TopologicalMap360(m)
+    for k in range(n_kf):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 1.0 * k
+        m.add_keyframe(FakeFrame(), T)
+        topo.add_keyframe(m.current_area)
+    for g in range(3):
+        lo = 6 * g
+        for a in range(lo, lo + 6):
+            for b in range(a + 1, lo + 6):
+                topo.add_connection(a, b, 0.9)
+    topo.add_connection(5, 6, 0.05)
+    topo.add_connection(11, 12, 0.05)
+    return m, topo
+
+
+def test_partitioner_with_vicinity_subset_of_map():
+    """Regression: repartitioning a vicinity that is a strict subset of the
+    map's areas must not index past m.areas (it crashed with IndexError)."""
+    m, topo = _linked_topology()
+    assert topo.partitioner()  # first split: 18 kfs -> 3 areas
+    assert len({f.node for f in m.frames}) == 3
+
+    # grow one area with new weakly-coupled keyframes so only ITS vicinity
+    # repartitions while the other areas sit outside
+    area_last = m.frames[17].node
+    m.current_area = area_last
+    new_ids = []
+    for k in range(6):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 100.0 + k
+        kf = m.add_keyframe(FakeFrame(), T)
+        m.frames[kf].node = area_last
+        m.areas[area_last].add(kf)
+        topo.add_keyframe(area_last)
+        new_ids.append(kf)
+    for a in new_ids:
+        for b in new_ids:
+            if a < b:
+                topo.add_connection(a, b, 0.9)
+    topo.add_connection(17, new_ids[0], 0.05)
+    assert topo.partitioner()  # must not raise
+    # the split created a fresh area beyond the old list length
+    assert len(m.areas) >= 4
+    for kf in new_ids:
+        assert kf in m.areas[m.frames[kf].node]
+
+
+def test_partitioner_sso_rows_follow_local_index():
+    """Regression: after a repartition, each area's SSO rows must be ordered
+    by sorted keyframe id (Map360.local_index), so later add_connection
+    writes land on the right pair even with interleaved keyframe ids."""
+    m, topo = _linked_topology()
+    assert topo.partitioner()
+    # write a fresh connection inside each area and read it back through the
+    # same local_index bookkeeping
+    for area in sorted({f.node for f in m.frames}):
+        kfs = sorted(m.areas[area])
+        k1, k2 = kfs[0], kfs[-1]
+        topo.add_connection(k1, k2, 0.4321)
+        i1, i2 = m.local_index(k1), m.local_index(k2)
+        assert topo.v_sso[area][i1, i2] == pytest.approx(0.4321)
+        # and the pre-partition affinities moved with their keyframes
+        for a, b in ((kfs[0], kfs[1]), (kfs[1], kfs[2])):
+            ia, ib = m.local_index(a), m.local_index(b)
+            assert topo.v_sso[area][ia, ib] == pytest.approx(0.9, abs=1e-6)
