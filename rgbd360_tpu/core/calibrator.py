@@ -25,15 +25,22 @@ NUM_SENSORS = 8
 
 
 def construction_specs() -> np.ndarray:
-    """Ideal rig: sensor s is a 45 deg rotation (about the panorama's up/x
-    axis) of sensor s-1 with alternating vertical offsets — mirroring the
-    shipped Rt files (Calibration/Extrinsics) and Calibrator.h:763-776."""
+    """Ideal rig (reference loadConstructionSpecs, Calibrator.h:763-776):
+    Rt_0 is identity with t = (0, 0, 0.055) — the theoretical distance from
+    the first sensor to the device centre — and each subsequent pose is a
+    45 deg turn about the vertical (x) axis of the previous,
+    Rt_s = turn45 @ Rt_{s-1}, so the sensors lie on a 0.055 m ring in the
+    y-z plane (matches the shipped ConstructionSpecs/Rt_0*.txt)."""
     rts = np.tile(np.eye(4, dtype=np.float64), (NUM_SENSORS, 1, 1))
-    for s in range(NUM_SENSORS):
-        a = np.deg2rad(45.0 * s)
-        c, si = np.cos(a), np.sin(a)
-        rts[s, :3, :3] = np.array([[1, 0, 0], [0, c, -si], [0, si, c]])
-        rts[s, 2, 3] = 0.052 if s % 2 == 0 else -0.052
+    rts[0, 2, 3] = 0.055
+    a = np.deg2rad(45.0)
+    c, si = np.cos(a), np.sin(a)
+    turn45 = np.eye(4)
+    turn45[1, 1] = turn45[2, 2] = c
+    turn45[1, 2] = -si
+    turn45[2, 1] = si
+    for s in range(1, NUM_SENSORS):
+        rts[s] = turn45 @ rts[s - 1]
     return rts
 
 

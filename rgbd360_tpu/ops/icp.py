@@ -34,17 +34,30 @@ class ICPResult(NamedTuple):
     num_iterations: jnp.ndarray
 
 
-def _target_normals_sphere(xyz_t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def _target_normals_sphere(xyz_t: jnp.ndarray, valid_t: jnp.ndarray, h: int, w: int):
     """Cheap organized normals of the target panorama cloud via central
-    differences + cross product (valid-aware)."""
+    differences + cross product. Valid-aware: a normal is produced only
+    where all four neighbours are valid depth (invalid points are zeroed by
+    sphere_xyz_lut, so a difference against one points along the viewing
+    ray and the cross product is garbage), and rows do NOT wrap vertically
+    (the panorama's top/bottom rows are not adjacent; theta columns do
+    wrap). Returns (normals (N,3), normal_ok (N,) bool)."""
     p = xyz_t.reshape(h, w, 3)
-    dx = jnp.roll(p, -1, axis=1) - jnp.roll(p, 1, axis=1)
-    dy = jnp.roll(p, -1, axis=0) - jnp.roll(p, 1, axis=0)
+    v = valid_t.reshape(h, w)
+    dx = jnp.roll(p, -1, axis=1) - jnp.roll(p, 1, axis=1)  # theta wraps
+    vx = jnp.roll(v, -1, axis=1) & jnp.roll(v, 1, axis=1)
+    up = jnp.concatenate([p[:1], p[:-1]], axis=0)  # clamped, no wrap
+    dn = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    dy = dn - up
+    v_up = jnp.concatenate([v[:1], v[:-1]], axis=0)
+    v_dn = jnp.concatenate([v[1:], v[-1:]], axis=0)
+    vy = v_up & v_dn
     n = jnp.cross(dx, dy)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ok = (v & vx & vy & (norm[..., 0] > 1e-12)).reshape(-1)
     n = n / jnp.maximum(norm, 1e-12)
     flip = jnp.sum(n * p, axis=-1, keepdims=True) > 0
-    return jnp.where(flip, -n, n).reshape(-1, 3)
+    return jnp.where(flip, -n, n).reshape(-1, 3), ok
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -57,7 +70,7 @@ def icp_point_to_plane_sphere(
     h, w = depth_src_m.shape
     xyz_s, valid_s = sphere_xyz_lut(depth_src_m, 0.3, 10.0)
     xyz_t, valid_t = sphere_xyz_lut(depth_trg_m, 0.3, 10.0)
-    normals_t = _target_normals_sphere(xyz_t, h, w)
+    normals_t, normal_ok_t = _target_normals_sphere(xyz_t, valid_t, h, w)
 
     def step(pose):
         R, t = pose[:3, :3], pose[:3, 3]
@@ -66,7 +79,7 @@ def icp_point_to_plane_sphere(
         flat = jnp.clip(r_i, 0, h - 1) * w + jnp.clip(c_i, 0, w - 1)
         q = jnp.take(xyz_t, flat, axis=0)
         n = jnp.take(normals_t, flat, axis=0)
-        tv = jnp.take(valid_t, flat)
+        tv = jnp.take(valid_t, flat) & jnp.take(normal_ok_t, flat)
         diff = p - q
         d2 = jnp.sum(diff * diff, axis=-1)
         ok = valid_s & inb & tv & (d2 < MAX_CORRESPONDENCE**2)
@@ -94,5 +107,8 @@ def icp_point_to_plane_sphere(
         return pose, it + 1, jnp.linalg.norm(update), fitness, n_ok
 
     carry = (pose_guess, jnp.int32(0), jnp.float32(1.0), jnp.float32(0.0), jnp.int32(0))
-    pose, it, _, fit, n_ok = jax.lax.while_loop(cond, body, carry)
+    pose, it, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    # evaluate fitness/inliers AT the returned pose (the loop's carry holds
+    # the stats of the pose before the final update)
+    _, _, fit, n_ok = step(pose)
     return ICPResult(pose=pose, fitness=fit, num_inliers=n_ok, num_iterations=it)

@@ -63,7 +63,7 @@ def organized_normals(
     smoothing: int = 8,
     max_depth_change: float = 0.02,
 ):
-    """Returns (normals (H,W,3) f32 NaN-invalid, curvature-proxy none)."""
+    """Returns normals (H, W, 3) f32, NaN where invalid."""
     valid = jnp.all(jnp.isfinite(xyz), axis=-1)
     p = jnp.where(valid[..., None], xyz, 0.0)
 

@@ -92,7 +92,7 @@ def fused_sweep_pinhole(
     k_full: jnp.ndarray,
     level: int,
     method: int,
-    cam_rt: jnp.ndarray = None,  # (4,4) camera-from-robot extrinsic or None
+    cam_rt: jnp.ndarray = None,  # (4,4) robot-from-camera (sensor pose in rig frame) or None
     occlusion: int = 0,
 ):
     """One fused pass: error + H + g at `pose`. Returns
@@ -143,11 +143,11 @@ def fused_sweep_pinhole(
         zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(z_inv_pos)
         visible = visible & (z_inv_pos >= jnp.take(zbuf, flat))
         if occlusion >= 2:
-            # dynamic-occlusion rejection (_Occ2's mask_dynamic_occlusion,
-            # thresDepthOutliers set by alignFrames :4263)
-            from rgbd360_tpu.ops.photoicp import THRES_DEPTH_OUTLIERS
-
-            dynamic = visible & (jnp.abs(depth2 - z) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+            # dynamic-occlusion rejection (_Occ2's mask_dynamic_occlusion):
+            # the PINHOLE alignFrames sets thresDepthOutliers =
+            # maxDepthOutliers = 1.0 (reference :215, :4258-4259) — the
+            # spherical path's 0.3 (:4525) does not apply here
+            dynamic = visible & (jnp.abs(depth2 - z) > PINHOLE_THRES_DEPTH_OUTLIERS) & (depth2 > 0)
             visible = visible & ~dynamic
 
     # pinhole projection jacobian rows (d u/d q, d v/d q), reference :5167-5177
@@ -211,6 +211,9 @@ def fused_sweep_pinhole(
     return err2, n_terms, H, g, photo_err2, n_photo, depth_err2, n_depth
 
 
+PINHOLE_THRES_DEPTH_OUTLIERS = 1.0  # reference RegisterPhotoICP.h:215, :4258-4259
+
+
 class PinholeAlignResult(NamedTuple):
     pose: jnp.ndarray
     hessian: jnp.ndarray
@@ -266,17 +269,41 @@ def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, to
         pose, state, diff, upd, it, lam, ill = carry
         return (it < max_iters) & (upd > tol_update) & (diff > tol_residual) & ~ill
 
+    # reference semantics: the main solve is plain Gauss-Newton for the
+    # single-camera path (RegisterPhotoICP.h:4693 — no damping) and
+    # lambda-damped for the multi-camera LM loop (RegisterRGBD360.h:423-501);
+    # a rejected step gets ONE Levenberg-Marquardt retry at raised damping
+    # before the level gives up (the retry previously sat after the loop's
+    # exit condition and was unreachable)
+    always_damped = num_cams > 1
+
     def body(carry):
         pose, state, diff, upd, it, lam, ill = carry
         H, g = state[2], state[3]
         ok = linalg6.spd_well_posed(H, lam)
-        Hd = H + lam * (jnp.eye(6, dtype=H.dtype) * H)
-        x, sok = linalg6.solve6_sym(Hd + (~ok) * jnp.eye(6, dtype=H.dtype), g)
+        eye = jnp.eye(6, dtype=H.dtype)
+
+        def try_step(damp):
+            x, sok = linalg6.solve6_sym(H + damp * (eye * H) + (~ok) * eye, g)
+            update = -x
+            new_pose = se3.exp_se3(update, pseudo=False) @ pose
+            new_state = sweep(new_pose)
+            dstep = error_of(state) - error_of(new_state)
+            return new_pose, new_state, dstep, update, sok
+
+        damp_main = lam if always_damped else jnp.float32(0.0)
+        first = try_step(damp_main)
+
+        def retry(_):
+            return try_step(jnp.maximum(lam, lm_lambda0) * lm_step)
+
+        def keep(_):
+            return first
+
+        new_pose, new_state, dstep, update, sok = jax.lax.cond(
+            ok & (first[2] <= 0), retry, keep, None
+        )
         ok = ok & sok
-        update = -x
-        new_pose = se3.exp_se3(update, pseudo=False) @ pose
-        new_state = sweep(new_pose)
-        dstep = error_of(state) - error_of(new_state)
         accept = ok & (dstep > 0)
         pose = jnp.where(accept, new_pose, pose)
         state = jax.tree.map(lambda nw, od: jnp.where(accept, nw, od), new_state, state)

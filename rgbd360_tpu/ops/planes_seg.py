@@ -26,6 +26,9 @@ MIN_INLIERS = 80
 def segment_planes(
     xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
     normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
+    # min-label propagation moves one pixel per sweep: the half-res sensor
+    # grid is 120x160, so the worst-case distance is 120+160-2 = 278 plus
+    # slack for concave paths around depth holes — 512 bounds it comfortably
     max_sweeps: int = 512,
 ):
     """Returns labels (H, W) int32: -1 invalid, else the component id (the
@@ -121,20 +124,27 @@ def refine_plane_labels(
 
     NOLAB = jnp.int32(-1)
 
-    def neighbor_max(lab):
+    def neighbors(lab):
         up = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=NOLAB)
         down = jnp.pad(lab[:-1, :], ((1, 0), (0, 0)), constant_values=NOLAB)
         left = jnp.pad(lab[:, 1:], ((0, 0), (0, 1)), constant_values=NOLAB)
         right = jnp.pad(lab[:, :-1], ((0, 0), (1, 0)), constant_values=NOLAB)
-        return jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+        return up, down, left, right
 
     lab = labels
     for _ in range(sweeps):
-        cand = neighbor_max(lab)
-        safe = jnp.clip(cand, 0, hw - 1)
-        n_c = jnp.take(n_mean, safe.reshape(-1), axis=0).reshape(h, w, 3)
-        d_c = jnp.take(d_mean, safe.reshape(-1), axis=0).reshape(h, w)
-        fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < DISTANCE_THRESHOLD
-        grow = (lab < 0) & valid_xyz & (cand >= 0) & fit
-        lab = jnp.where(grow, cand, lab)
+        # each neighbour label is tested against ITS OWN plane model: a
+        # boundary pixel between a fitting region and a non-fitting one must
+        # still be absorbed (taking only the max label and testing that one
+        # candidate left such pixels unlabeled forever)
+        best = jnp.full_like(lab, NOLAB)
+        for cand in neighbors(lab):
+            safe = jnp.clip(cand, 0, hw - 1)
+            n_c = jnp.take(n_mean, safe.reshape(-1), axis=0).reshape(h, w, 3)
+            d_c = jnp.take(d_mean, safe.reshape(-1), axis=0).reshape(h, w)
+            fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < DISTANCE_THRESHOLD
+            cand_ok = (cand >= 0) & fit
+            best = jnp.where(cand_ok & (cand > best), cand, best)
+        grow = (lab < 0) & valid_xyz & (best >= 0)
+        lab = jnp.where(grow, best, lab)
     return lab
