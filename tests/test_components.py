@@ -147,3 +147,23 @@ def test_gather_control_planes_offset_convention(calib):
     cal = Calibrator(corresp)
     cal.rt = rt.copy()
     assert cal.translation_error2(rt) < 1e-8  # f32 extrinsics roundoff only
+
+
+def test_construction_specs_match_shipped_rig(reference_root):
+    """The ideal-rig seed must approximate the shipped calibrated extrinsics
+    (Calibration/Rt_03.txt is sensor index 3 = spec index 2): ring radius
+    0.055 m, 45-deg steps (regression for the wrong alternating-offset
+    geometry that put seeds ~10 cm off)."""
+    from rgbd360_tpu.core.calibrator import construction_specs
+
+    rts = construction_specs()
+    np.testing.assert_allclose(np.linalg.norm(rts[:, :3, 3], axis=1), 0.055, atol=1e-9)
+    shipped = np.loadtxt(os.path.join(reference_root, "Calibration", "Rt_03.txt"))
+    assert np.linalg.norm(rts[2, :3, 3] - shipped[:3, 3]) < 0.01
+    cos_err = (np.trace(rts[2, :3, :3].T @ shipped[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos_err, -1, 1))) < 2.0
+    # consecutive sensors are 45-deg turns of each other
+    for s in range(1, 8):
+        rel = rts[s - 1, :3, :3].T @ rts[s, :3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+        assert abs(ang - 45.0) < 1e-9
