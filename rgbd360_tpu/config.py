@@ -45,10 +45,16 @@ class FrameParams:
     num_sensors: int = 8
     sensor_width: int = 320
     sensor_height: int = 240
-    # Spherical panorama: width = 8 * sensor rows; height keeps the 60 deg band
-    # (reference include/Frame360.h:391-394)
-    sphere_width: int = 8 * 240
-    sphere_height: int = int(8 * 240 * 0.5 * 60.0 / 180.0)
+    # Spherical panorama: width = num_sensors * sensor rows; height keeps the
+    # 60 deg band (reference include/Frame360.h:391-394). Derived properties
+    # so a changed rig geometry cannot leave stale literals behind.
+    @property
+    def sphere_width(self) -> int:
+        return self.num_sensors * self.sensor_height
+
+    @property
+    def sphere_height(self) -> int:
+        return int(self.sphere_width * 0.5 * 60.0 / 180.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -179,6 +179,7 @@ class Frame360:
         # shapes and frames differ (a stale cache here once poisoned reloads)
         depth_m = self.sphere_depth_mm.astype(jnp.float32) * 0.001
         xyz, rgb = sphere_cloud_from_image(self.sphere_rgb, depth_m)
+        h, w = self.sphere_depth_mm.shape
         save_pcd(
             os.path.join(path, f"sphereCloud_{frame}.pcd"),
             # keep NaNs: they mark invalid pixels and round-trip through the
@@ -186,6 +187,7 @@ class Frame360:
             # thousands of fake origin points into the keyframe cloud
             np.asarray(xyz).reshape(-1, 3),
             np.asarray(rgb).reshape(-1, 3),
+            organized_shape=(h, w),  # the reference writes the organized cloud
         )
         self.save_planes(os.path.join(path, f"spherePlanes_{frame}.pbmap.npz"))
         np.savez_compressed(

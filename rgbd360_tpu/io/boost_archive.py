@@ -158,6 +158,9 @@ def read_frame360_bin(path: str) -> RawFrame360:
 def write_frame360_bin(path: str, frame: RawFrame360) -> None:
     """Serialize a RawFrame360 byte-compatibly with the reference writer
     (reference include/Frame360.h:333-345)."""
+    # the wire format is fixed 8-sensor (reader and reference loader both
+    # hardcode 8 mat pairs); refusing here beats writing an unreadable file
+    assert frame.num_sensors == 8, f"wire format is 8-sensor, got {frame.num_sensors}"
     out = bytearray()
     out += struct.pack("<Q", len(ARCHIVE_SIGNATURE))
     out += ARCHIVE_SIGNATURE

@@ -70,6 +70,12 @@ class Calib360:
         (8, num_bins_y, num_bins_x, n_depth) each, plus the shared geometry."""
         models = [m for m in self.intrinsic_model if m is not None]
         assert len(models) == NUM_SENSORS, "intrinsic models not loaded"
+        for m in models[1:]:
+            # the batched undistort kernel applies models[0]'s binning to all
+            # sensors — mixed geometries would be silently wrong
+            assert (m.bin_width, m.bin_height, m.bin_depth) == (
+                models[0].bin_width, models[0].bin_height, models[0].bin_depth,
+            ), "distortion models disagree on bin geometry"
         mults = np.stack([m.multipliers for m in models])
         counts = np.stack([m.counts for m in models])
         return mults, counts, models[0]

@@ -30,24 +30,14 @@ import struct
 
 import numpy as np
 
+from rgbd360_tpu.io.boost_archive import _Cursor as _BaseCursor
+
 MAGIC = b"DiscreteDepthDistortionModel v01\n"
 
 
-class _Cursor:
-    def __init__(self, buf: bytes):
-        self.buf = buf
-        self.pos = 0
-
-    def take(self, n: int) -> bytes:
-        out = self.buf[self.pos : self.pos + n]
-        if len(out) != n:
-            raise ValueError(f"truncated CLAMS model at byte {self.pos}")
-        self.pos += n
-        return out
-
-    def unpack(self, fmt: str):
-        size = struct.calcsize(fmt)
-        return struct.unpack("<" + fmt, self.take(size))
+class _Cursor(_BaseCursor):
+    """The shared byte cursor plus the Eigen-matrix record CLAMS serializes
+    (eigen_extensions: i32 elem bytes, rows, cols, raw f32 data)."""
 
     def eigen_vec(self) -> np.ndarray:
         nbytes, rows, cols = self.unpack("iii")

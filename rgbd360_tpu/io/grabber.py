@@ -58,7 +58,9 @@ class ReplaySource(Grabber):
 class SyntheticSource(Grabber):
     def __init__(self, num_frames: int = 3, seed: int = 0):
         self.remaining = num_frames
-        self.rng = np.random.default_rng(seed)
+        # the seed shifts the texture phases so differently-seeded sources
+        # genuinely differ (it was previously stored but unused)
+        self.phase = float(np.random.default_rng(seed).uniform(0.0, 2.0 * np.pi))
         self.t = 0
 
     def grab(self) -> Optional[RawFrame360]:
@@ -67,10 +69,17 @@ class SyntheticSource(Grabber):
         self.remaining -= 1
         self.t += 1
         yy, xx = np.mgrid[0:240, 0:320]
-        base = (128 + 60 * np.sin(xx / 17.0 + self.t * 0.2) * np.cos(yy / 13.0)).astype(np.uint8)
+        base = (
+            128 + 60 * np.sin(xx / 17.0 + self.t * 0.2 + self.phase) * np.cos(yy / 13.0)
+        ).astype(np.uint8)
         rgb = np.stack([np.stack([base, base // 2, 255 - base], axis=-1)] * 8)
         depth = np.stack(
-            [(2000 + 600 * np.sin(xx / 23.0 + s) + 300 * np.cos(yy / 19.0)).astype(np.uint16) for s in range(8)]
+            [
+                (
+                    2000 + 600 * np.sin(xx / 23.0 + s + self.phase) + 300 * np.cos(yy / 19.0)
+                ).astype(np.uint16)
+                for s in range(8)
+            ]
         )
         return RawFrame360(rgb=rgb, depth=depth, timestamp=self.t)
 

@@ -19,10 +19,14 @@ def parse_ini(path: str) -> Dict[str, Dict[str, str]]:
             line = raw.strip()
             if not line or line.startswith(("//", "%", "#", ";")):
                 continue
-            if line.startswith("[") and line.endswith("]"):
-                current = line[1:-1].strip().lower()
-                sections.setdefault(current, {})
-                continue
+            if line.startswith("["):
+                # tolerate a trailing inline comment after the bracket
+                # ('[unary] // thresholds') like MRPT's CConfigFile does
+                close = line.find("]")
+                if close != -1:
+                    current = line[1:close].strip().lower()
+                    sections.setdefault(current, {})
+                    continue
             if "=" not in line:
                 continue
             key, _, value = line.partition("=")

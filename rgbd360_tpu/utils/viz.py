@@ -52,20 +52,34 @@ def save_ply(path: str, xyz: np.ndarray, rgb: Optional[np.ndarray] = None) -> No
         if colors is not None:
             f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
         f.write("end_header\n")
+        # vectorized formatting: a per-row f-string loop costs seconds for
+        # 614k-point keyframe clouds
         if colors is not None:
-            for p, c in zip(xyz, colors):
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c[0]} {c[1]} {c[2]}\n")
+            np.savetxt(f, np.concatenate([xyz, colors], axis=1),
+                       fmt="%.4f %.4f %.4f %d %d %d")
         else:
-            for p in xyz:
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+            np.savetxt(f, xyz, fmt="%.4f")
 
 
-def save_pcd(path: str, xyz: np.ndarray, rgb: Optional[np.ndarray] = None) -> None:
+def save_pcd(
+    path: str,
+    xyz: np.ndarray,
+    rgb: Optional[np.ndarray] = None,
+    organized_shape: Optional[tuple] = None,
+) -> None:
     """ASCII PCD (the reference saves sphereCloud_%u.pcd, Frame360.h:321-330).
-    NaN points are kept to preserve organization like PCL does."""
+    NaN points are kept, and organized_shape=(H, W) writes a genuinely
+    organized header (WIDTH W HEIGHT H) like PCL's savePCDFile does for the
+    panorama cloud — a HEIGHT-1 header would discard the organization the
+    NaN padding exists to preserve."""
     xyz = np.asarray(xyz).reshape(-1, 3)
     fields = "x y z" + (" rgb" if rgb is not None else "")
     n = len(xyz)
+    if organized_shape is not None:
+        hh, ww = organized_shape
+        assert hh * ww == n, (organized_shape, n)
+    else:
+        hh, ww = 1, n
     with open(path, "w") as f:
         f.write("# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n")
         f.write(f"FIELDS {fields}\n")
@@ -73,17 +87,19 @@ def save_pcd(path: str, xyz: np.ndarray, rgb: Optional[np.ndarray] = None) -> No
             f.write("SIZE 4 4 4 4\nTYPE F F F U\nCOUNT 1 1 1 1\n")
         else:
             f.write("SIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n")
-        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n")
+        f.write(f"WIDTH {ww}\nHEIGHT {hh}\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n")
         if rgb is not None:
             packed = (
                 np.asarray(rgb).reshape(-1, 3).astype(np.uint32)
             )
             packed = (packed[:, 0] << 16) | (packed[:, 1] << 8) | packed[:, 2]
-            for p, c in zip(xyz, packed):
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c}\n")
+            np.savetxt(
+                f,
+                np.concatenate([xyz, packed[:, None].astype(np.float64)], axis=1),
+                fmt="%.4f %.4f %.4f %d",
+            )
         else:
-            for p in xyz:
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+            np.savetxt(f, xyz, fmt="%.4f")
 
 
 def save_trajectory(path: str, poses) -> None:
