@@ -35,15 +35,16 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     calib = load_calib(args.calib_root)
-    world = optimizer = None
+    world = optimizer = topo = None
     if args.resume:
-        from rgbd360_tpu.core.map_io import load_map
+        from rgbd360_tpu.core.map_io import load_map_full
 
-        world, optimizer = load_map(args.resume, calib)
+        world, optimizer, topo = load_map_full(args.resume, calib)
         print(f"resumed map: {len(world)} keyframes from {args.resume}")
     slam = KFSphereSLAM(
         world=world,
         optimizer=optimizer,
+        topo=topo,
         matcher_config=default_matcher_config(args.calib_root),
     )
 
@@ -69,7 +70,7 @@ def main(argv=None) -> int:
     if args.save_map:
         from rgbd360_tpu.core.map_io import save_map
 
-        save_map(slam.world, args.save_map, slam.optimizer)
+        save_map(slam.world, args.save_map, slam.optimizer, topo=slam.topo)
         print(f"map checkpoint -> {args.save_map}")
     return 0
 

@@ -120,12 +120,16 @@ def main(argv=None) -> int:
             if reloc is None:
                 print(f"frame {frame_no}: TRACKING LOST (no PbMap match, no relocalization)")
                 continue
-            ref_id, rel_pb = reloc
+            ref_id, rel_pb, rel_info = reloc
             current_pose = world.trajectory_poses[ref_id].astype(np.float64) @ rel_pb.astype(np.float64)
             kf_id = world.add_keyframe(frame, current_pose)
             world.optimized_poses.append(current_pose.astype(np.float32))
             topo.add_keyframe(world.current_area)
             optimizer.add_vertex(current_pose)
+            # the relocalized vertex must be CONSTRAINED: an edge-less vertex
+            # has an all-zero Hessian block and wrecks the next optimization
+            optimizer.add_edge(ref_id, kf_id, rel_pb.astype(np.float64), rel_info.astype(np.float64))
+            world.add_connection(ref_id, kf_id, rel_pb, rel_info)
             print(f"frame {frame_no}: RELOCALIZED against kf {ref_id}")
 
         kf_id = len(world) - 1

@@ -90,9 +90,13 @@ class KFSphereSLAM:
         registerer: Optional[RegisterRGBD360] = None,
         aligner: Optional[RegisterPhotoICP] = None,
         optimizer: Optional[GraphOptimizer] = None,
+        topo: Optional[TopologicalMap360] = None,
     ):
         self.world = world if world is not None else Map360()
-        self.topo = TopologicalMap360(self.world)
+        # a resumed map must bring its topological SSO state along
+        # (core/map_io.load_map_full) — a fresh TopologicalMap360 over a
+        # populated map has empty v_sso and crashes on the first connection
+        self.topo = topo if topo is not None else TopologicalMap360(self.world)
         self.optimizer = optimizer if optimizer is not None else GraphOptimizer()
         self.registerer = registerer if registerer is not None else RegisterRGBD360(matcher_config)
         self.aligner = aligner if aligner is not None else RegisterPhotoICP(n_pyr_levels=n_pyr_levels)

@@ -62,8 +62,14 @@ class Map360:
     def add_connection(
         self, kf1: int, kf2: int, rel_pose: np.ndarray, information: np.ndarray
     ) -> None:
+        """Store the connection (older, newer) with rel_pose expressed as the
+        newer keyframe's pose in the older's frame — the orientation
+        map_io.load_map replays into optimizer.add_edge(older, newer, rel).
+        The key normalization below does NOT flip rel_pose, so a reversed
+        call order would silently store the inverse constraint."""
+        assert kf1 < kf2, "pass (older, newer); rel = newer pose in older's frame"
         with self.mutex:
-            self.connection_kfs.setdefault(max(kf1, kf2), {})[min(kf1, kf2)] = (
+            self.connection_kfs.setdefault(kf2, {})[kf1] = (
                 np.asarray(rel_pose, np.float32),
                 np.asarray(information, np.float32),
             )

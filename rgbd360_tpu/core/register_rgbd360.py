@@ -181,8 +181,13 @@ class RegisterRGBD360:
         return float(0.5 * (6 * (1 + math.log(2 * math.pi)) + logdet))
 
     def tracking_score(self) -> int:
-        """GOOD/WEAK/BAD by matched-area ratio (reference :526-540)."""
-        score = self.get_area_matched() / max(self.area_source, 1e-9)
+        """GOOD/WEAK/BAD by matched-area ratio (reference :526-540). A failed
+        or never-run registration reports BAD: area_source is only set on
+        success, and the epsilon guard would otherwise launder a stale
+        matched area into a huge ratio -> confident GOOD."""
+        if self.area_source <= 0.0:
+            return BAD
+        score = self.get_area_matched() / self.area_source
         if score >= 0.7:
             return GOOD
         if score >= 0.3:

@@ -33,19 +33,29 @@ class Relocalizer360:
     def _survivors(self, frame):
         """Newest-first keyframe ids whose batched compatibility upper bound
         clears the acceptance gates."""
-        kf_ids = list(range(len(self.map.frames)))
+        if frame.planes is None:
+            return []  # nothing to match against (get_planes not called)
+        # keyframes without plane data cannot be PbMap-registered at all —
+        # they are skipped, not blindly returned (register_pbmap would
+        # dereference their None planes)
+        kf_ids = [k for k in range(len(self.map.frames)) if self.map.frames[k].planes is not None]
+        if not kf_ids:
+            return []
         pbmaps = [self.map.frames[k].planes for k in kf_ids]
-        if any(p is None for p in pbmaps) or frame.planes is None:
-            return list(reversed(kf_ids))  # no plane data to prefilter on
         counts, areas = prefilter_candidates(
             frame.planes, pbmaps, self.registerer.matcher.config, PLANAR_3DOF
         )
         return [
-            k for k in reversed(kf_ids) if counts[k] >= MIN_MATCHES and areas[k] > MIN_AREA
+            k for i, k in reversed(list(enumerate(kf_ids)))
+            if counts[i] >= MIN_MATCHES and areas[i] > MIN_AREA
         ]
 
-    def relocalize(self, frame) -> Optional[Tuple[int, np.ndarray]]:
-        """Returns (keyframe_id, relative_pose) or None."""
+    def relocalize(self, frame) -> Optional[Tuple[int, np.ndarray, np.ndarray]]:
+        """Returns (keyframe_id, relative_pose, information 6x6) or None —
+        the information matrix lets the caller add a properly-weighted graph
+        edge (the reference stores informationM, Relocalizer360.h:90; a
+        relocalized vertex added with NO edge leaves an unconstrained
+        all-zero H block that wrecks the next optimization)."""
         for kf_id in self._survivors(frame):
             ok = self.registerer.register_pbmap(
                 self.map.frames[kf_id], frame, 25, PLANAR_3DOF
@@ -56,5 +66,5 @@ class Relocalizer360:
                 and self.registerer.get_area_matched() > MIN_AREA
             ):
                 self.reloc_kf = kf_id
-                return kf_id, self.registerer.get_pose()
+                return kf_id, self.registerer.get_pose(), self.registerer.get_info_mat()
         return None

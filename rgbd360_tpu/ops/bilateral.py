@@ -45,7 +45,10 @@ def fast_bilateral_z(z: jnp.ndarray) -> jnp.ndarray:
 
     yy = jnp.arange(h, dtype=jnp.float32)[:, None] / SIGMA_S + _PAD
     xx = jnp.arange(w, dtype=jnp.float32)[None, :] / SIGMA_S + _PAD
-    dd = (zv - zmin) / SIGMA_R + _PAD
+    # clamp the depth coordinate into the static grid span: beyond it the
+    # trilinear slice would EXTRAPOLATE (fractional weights like 1-fz=-86)
+    # instead of clamping like the splat's di clip does
+    dd = jnp.clip((zv - zmin) / SIGMA_R + _PAD, 0.0, float(200 + _PAD))
     yi = jnp.clip(jnp.round(yy).astype(jnp.int32), 0, gh - 1)
     xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, gw - 1)
     di = jnp.clip(jnp.round(dd).astype(jnp.int32), 0, gd - 1)

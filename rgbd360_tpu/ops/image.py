@@ -45,7 +45,11 @@ def _reflect101_pad(img: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown equivalent: 5x5 Gaussian blur (reflect-101 border) then
-    decimation keeping even rows/cols (reference RegisterPhotoICP.h:292-308)."""
+    decimation keeping even rows/cols. The reference passes an explicit
+    cv::Size(cols/2, rows/2) — FLOOR — (RegisterPhotoICP.h:292-308), and
+    buildPyramidRange floors too, so odd dimensions must not produce the
+    ceil-sized level a bare [::2] slice would (gray and depth pyramids
+    would desynchronize)."""
     x = img.astype(jnp.float32)
     k = jnp.asarray(_PYR_KERNEL)
     # separable convolution, rows then cols
@@ -53,7 +57,8 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     x = sum(k[i] * xp[i : i + x.shape[0]] for i in range(5))
     xp = _reflect101_pad(x, 2, axis=1)
     x = sum(k[i] * xp[:, i : i + img.shape[1]] for i in range(5))
-    return x[::2, ::2]
+    h, w = img.shape[0], img.shape[1]
+    return x[: 2 * (h // 2) : 2, : 2 * (w // 2) : 2]
 
 
 def build_gray_pyramid(gray: jnp.ndarray, n_levels: int) -> list:

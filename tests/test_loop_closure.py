@@ -98,7 +98,7 @@ def test_relocalizer_finds_frame(lc_world):
     finally:
         r_mod.MIN_MATCHES, r_mod.MIN_AREA = old
     assert hit is not None
-    kf_id, pose = hit
+    kf_id, pose, _info = hit
     assert kf_id == 0
     # pose accuracy is not gated on this ambiguous scene (see the softened-
     # gates LC test above); the estimate must be a finite, bounded motion

@@ -111,3 +111,38 @@ def test_map_checkpoint_resume(sample_frames, calib, tmp_path):
     finally:
         reloc_mod.MIN_MATCHES, reloc_mod.MIN_AREA = old
     assert got is not None
+
+
+def test_map_resume_preserves_sso_state(sample_frames, calib, tmp_path):
+    """Regression: resuming a checkpoint must restore the topological SSO
+    state — a fresh TopologicalMap360 over a populated map crashed with
+    IndexError on the first post-resume connection."""
+    from rgbd360_tpu.core.map_io import load_map_full, save_map
+    from rgbd360_tpu.core.topological import TopologicalMap360
+
+    f1, f2 = sample_frames
+    if f1.planes is None:
+        f1.get_planes()
+    if f2.planes is None:
+        f2.get_planes()
+    world = Map360()
+    topo = TopologicalMap360(world)
+    for f, t in ((f1, 0.0), (f2, 0.3)):
+        T = np.eye(4, dtype=np.float32)
+        T[1, 3] = t
+        world.add_keyframe(f, T)
+        topo.add_keyframe(world.current_area)
+    topo.add_connection(0, 1, 0.77)
+    out = tmp_path / "ckpt"
+    save_map(world, str(out), topo=topo)
+
+    world2, _opt, topo2 = load_map_full(str(out), calib)
+    assert topo2.v_sso[0].shape == (2, 2)
+    assert topo2.v_sso[0][0, 1] == np.float32(0.77)
+    # the crash scenario: a new keyframe + connection after resume
+    T = np.eye(4, dtype=np.float32)
+    T[1, 3] = 0.6
+    world2.add_keyframe(f1, T)
+    topo2.add_keyframe(world2.current_area)
+    topo2.add_connection(1, 2, 0.5)  # raised IndexError before the fix
+    assert topo2.v_sso[0][1, 2] == np.float32(0.5)
