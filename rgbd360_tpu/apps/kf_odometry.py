@@ -66,18 +66,32 @@ def main(argv=None) -> int:
         aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
         aligner.align_frames360(rel_prev.astype(np.float32), PHOTO_DEPTH)
         rel = aligner.get_optimal_pose().astype(np.float64)
+        if not is_continuous(rel_prev, rel):
+            # discontinuous motion is a REGISTRATION FAILURE (reference
+            # :75-90, fallback :244-252): hold the last good pose, keep the
+            # previous seed — a diverged alignment must poison neither the
+            # trajectory nor the next frame's initialization
+            trajectory.append((kf_pose @ np.linalg.inv(off) @ rel_prev @ off).copy())
+            print(f"frame {frame_no}: DISCONTINUOUS motion rejected "
+                  f"(avDepth={aligner.av_depth_residual:.3f})")
+            continue
         rel_cloud = np.linalg.inv(off) @ rel @ off
         current = kf_pose @ rel_cloud
         trajectory.append(current.copy())
 
-        # min_dist_keyframes: a keyframe candidate must have moved at least
-        # the minimum keyframe distance (reference include/Miscellaneous.h:66;
-        # candidate gating intent at KFsphere_SLAM.cpp:330)
-        promote = (
-            aligner.av_depth_residual >= SELECT_KF_RESIDUAL
-            and is_continuous(rel_prev, rel)
-            and np.linalg.norm(rel_cloud[:3, 3]) > default_params.min_dist_keyframes
+        # keyframe promotion: avDepthResidual >= 0.9 (reference :289), plus a
+        # minimum-motion gate — translation (min_dist_keyframes,
+        # Miscellaneous.h:66) OR rotation, so rotation-dominant motion can
+        # still promote (an AND on translation alone deadlocked in-place
+        # rotation against an increasingly stale keyframe)
+        rot_deg = np.degrees(
+            np.arccos(np.clip((np.trace(rel_cloud[:3, :3]) - 1) / 2, -1, 1))
         )
+        moved = (
+            np.linalg.norm(rel_cloud[:3, 3]) > default_params.min_dist_keyframes
+            or rot_deg > 10.0
+        )
+        promote = aligner.av_depth_residual >= SELECT_KF_RESIDUAL and moved
         print(
             f"frame {frame_no}: avDepth={aligner.av_depth_residual:.3f} "
             f"|t|={np.linalg.norm(rel_cloud[:3,3]):.3f}"

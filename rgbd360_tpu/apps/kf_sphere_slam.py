@@ -15,8 +15,7 @@ import os
 import sys
 
 
-from rgbd360_tpu.apps.common import default_matcher_config, load_calib, sequence_files
-from rgbd360_tpu.core.frame360 import Frame360
+from rgbd360_tpu.apps.common import default_matcher_config, load_calib, sequence_frames
 from rgbd360_tpu.core.kf_slam import KFSphereSLAM
 from rgbd360_tpu.utils.viz import save_trajectory
 
@@ -49,8 +48,7 @@ def main(argv=None) -> int:
     )
 
     n_frames = 0
-    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
-        frame = Frame360(calib, frame_no).build(path)
+    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         frame.get_planes()
         status = slam.process_frame(frame)
         n_frames += 1

@@ -1,8 +1,10 @@
 """SphereGraphSLAM — full hybrid plane/dense pose-graph SLAM
 (reference SLAM/SphereGraphSLAM.cpp:60-302 + SLAM/KFsphere_SLAM.cpp):
-PbMap tracking against up to 5 previous keyframes, dense keyframe criterion,
+PbMap tracking against up to 5 previous keyframes with dense refinement,
 topological SSO upkeep, loop-closure search, pose-graph optimization,
-spectral partitioning every 4 keyframes.
+spectral partitioning every 4 keyframes. Like the reference app, every
+successfully tracked frame becomes a keyframe (the residual-based keyframe
+SELECTION lives in kf_sphere_slam/KFSphereSLAM).
 
 Usage: python -m rgbd360_tpu.apps.sphere_graph_slam <dataset_dir>
        [--first 1] [--sample 1] [--out DIR] [--lc-thread]
@@ -20,9 +22,9 @@ from rgbd360_tpu.apps.common import (
     default_matcher_config,
     load_calib,
     rot_offset,
-    sequence_files,
+    sequence_frames,
 )
-from rgbd360_tpu.core.frame360 import Frame360
+from rgbd360_tpu.config import default_params
 from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
 from rgbd360_tpu.core.loop_closure import LoopClosure360
 from rgbd360_tpu.core.map360 import Map360
@@ -64,8 +66,7 @@ def main(argv=None) -> int:
     current_pose = np.eye(4, dtype=np.float64)
     n_lc = 0
 
-    for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
-        frame = Frame360(calib, frame_no).build(path)
+    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         frame.get_planes()
 
         if len(world) == 0:
@@ -94,6 +95,14 @@ def main(argv=None) -> int:
             guess = off @ rel_pb @ np.linalg.inv(off)
             aligner.align_frames360(guess.astype(np.float32), PHOTO_DEPTH)
             rel = np.linalg.inv(off) @ aligner.get_optimal_pose().astype(np.float64) @ off
+            # a diverged dense refinement must not become a keyframe pose /
+            # graph edge (every other dense consumer gates its result: LC
+            # accepts avDepthResidual < 2, odometry bounds the translation)
+            if (
+                aligner.av_depth_residual >= 2.0
+                or np.linalg.norm(rel[:3, 3]) > default_params.max_translation_odometry
+            ):
+                continue
             info = aligner.get_hessian()
             sso = registerer.get_area_matched() / max(registerer.area_source, 1e-9)
 
@@ -136,20 +145,27 @@ def main(argv=None) -> int:
         if args.lc_thread:
             loop_closer.notify_keyframe(kf_id)
         else:
-            new_lc = loop_closer.process_new_keyframe(kf_id)
-            if new_lc:
-                n_lc += new_lc
+            loop_closer.process_new_keyframe(kf_id)
+        # drain the LC handoff (reference :251-271) — authoritative for BOTH
+        # modes, so threaded loop closures also trigger optimization and are
+        # counted (they previously never optimized the graph); the drain runs
+        # under the map mutex so the LC thread's setdefault/write can't race
+        # popitem into an orphaned dict
+        drained = 0
+        with world.mutex:
+            while loop_closer.connections_lc:
+                kf1, conns = loop_closer.connections_lc.popitem()
+                for kf2, sso in conns.items():
+                    topo.add_connection(kf1, kf2, float(sso))
+                    drained += 1
+        if drained:
+            n_lc += drained
+            with world.mutex:
                 optimizer.optimize_graph()
-                with world.mutex:
-                    world.optimized_poses = [
-                        p.astype(np.float32) for p in optimizer.get_poses()
-                    ]
-                print(f"  {new_lc} loop closure(s); graph optimized")
-        # drain the LC thread's SSO handoff (reference :251-271)
-        while loop_closer.connections_lc:
-            kf1, conns = loop_closer.connections_lc.popitem()
-            for kf2, sso in conns.items():
-                topo.add_connection(kf1, kf2, float(sso))
+                world.optimized_poses = [
+                    p.astype(np.float32) for p in optimizer.get_poses()
+                ]
+            print(f"  {drained} loop closure(s); graph optimized")
 
         if len(world) % PARTITION_EVERY == 0:
             if topo.partitioner():

@@ -33,16 +33,8 @@ MIN_AREA_MATCHED = 15.0  # reference :298
 MAX_DEPTH_RESIDUAL = 2.0  # reference :316
 MIN_TRAJECTORY_GAP = 6.0  # metres of trajectory between candidates (:173-179)
 MAX_CANDIDATE_DIST = 5.0  # metres (:291-294)
-ROT_OFFSET_DEG = 157.5  # sphere-vs-cloud frame offset (:125-126)
-
-
-def rot_offset() -> np.ndarray:
-    a = np.deg2rad(ROT_OFFSET_DEG)
-    m = np.eye(4, dtype=np.float32)
-    m[1, 1] = m[2, 2] = np.cos(a)
-    m[1, 2] = np.sin(a)
-    m[2, 1] = -np.sin(a)
-    return m
+# sphere-vs-cloud frame offset (:125-126); one shared 157.5-deg helper
+from rgbd360_tpu.apps.common import rot_offset  # noqa: E402
 
 
 class LoopClosure360:
@@ -137,9 +129,15 @@ class LoopClosure360:
             ):
                 continue
             rel = self.registerer.get_pose()
-            # dense refinement through the sphere-frame conjugation (:309-313)
-            self.aligner.set_source_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
-            self.aligner.set_target_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
+            # dense refinement through the sphere-frame conjugation (:309-313).
+            # Frame roles: TARGET = candidate (older), SOURCE = new keyframe,
+            # so the optimal pose is X_cand^-1 X_new — the same direction as
+            # the PbMap seed above, the tracking edges, and the optimizer's
+            # edge convention z = X_i^-1 X_j (the previous swapped roles
+            # seeded the aligner with the inverse and stored inverted
+            # loop-closure constraints that pulled optimization the wrong way)
+            self.aligner.set_target_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
+            self.aligner.set_source_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
             guess = self.rot_offset @ rel @ np.linalg.inv(self.rot_offset)
             self.aligner.align_frames360(guess, PHOTO_DEPTH)
             if self.aligner.av_depth_residual >= MAX_DEPTH_RESIDUAL:
@@ -150,10 +148,13 @@ class LoopClosure360:
                 @ self.rot_offset
             )
             info = self.aligner.get_hessian()
-            if self.optimizer is not None:
-                self.optimizer.add_edge(cand, kf_id, rel, info)
-            m.add_connection(cand, kf_id, rel, info)
-            self.connections_lc.setdefault(kf_id, {})[cand] = self.aligner.sso
+            with m.mutex:  # the SLAM loop drains connections_lc and runs
+                # optimize_graph under the same mutex (RLock: re-entrant for
+                # the synchronous caller)
+                if self.optimizer is not None:
+                    self.optimizer.add_edge(cand, kf_id, rel, info)
+                m.add_connection(cand, kf_id, rel, info)
+                self.connections_lc.setdefault(kf_id, {})[cand] = self.aligner.sso
             accepted += 1
         return accepted
 

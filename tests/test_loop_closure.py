@@ -141,4 +141,6 @@ def test_loop_closure_reference_gates_on_room(calib):
     n = lc.process_new_keyframe(1)
     assert n == 1
     rel_est, info = world.connection_kfs[1][0]
-    assert abs(np.linalg.norm(rel_est[:3, 3]) - np.linalg.norm(rel[:3, 3])) < 0.08
+    # gate the full translation VECTOR: |t| alone is inversion-invariant and
+    # silently accepted inverted loop-closure constraints
+    np.testing.assert_allclose(rel_est[:3, 3], rel[:3, 3], atol=0.08)
