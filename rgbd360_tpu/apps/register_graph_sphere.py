@@ -74,10 +74,21 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
         by_j = {}
         for i, j in lc_cands:
             by_j.setdefault(j, []).append(i)
+        from rgbd360_tpu.core.pbmap import PbMap
+
         for j, is_ in by_j.items():
+            # pad candidates to power-of-two buckets: each distinct batch
+            # shape costs a fresh 10-30 s device compile, and per-j counts
+            # grow linearly; empty PbMaps pack to all-invalid rows that the
+            # gates drop
+            bucket = 1
+            while bucket < len(is_):
+                bucket *= 2
+            cand_planes = [frames[i].planes for i in is_]
+            cand_planes += [PbMap()] * (bucket - len(is_))
             counts, areas = prefilter_candidates(
                 frames[j].planes,
-                [frames[i].planes for i in is_],
+                cand_planes,
                 registerer.matcher.config,
                 PLANAR_3DOF,
             )
@@ -136,7 +147,10 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
     sso = np.zeros((n, n))
     edges = []
     chain = {}
-    for (i, j, _seed, area), (pose_s, resid, sso_ij, H, ill) in zip(pairs, results):
+    chain_fallback = {}  # PbMap seed as a continuity backup
+    for (i, j, seed, area), (pose_s, resid, sso_ij, H, ill) in zip(pairs, results):
+        if j == i + 1:
+            chain_fallback[j] = (i, off_inv @ seed.astype(np.float64) @ off)
         if ill or resid >= MAX_EDGE_RESIDUAL:
             # a diverged alignment must not constrain the graph (the
             # reference gates connections by residual: LC accepts < 2.0,
@@ -152,6 +166,14 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
         if j in chain:
             _, i, rel = chain[j]
             poses[j] = poses[i] @ rel
+        elif j in chain_fallback:
+            # dense gated out: keep the chain CONTINUOUS from the PbMap seed
+            # (or identity) — a hole would initialize every downstream pose
+            # at the origin and wreck the optimizer's starting point
+            i, rel = chain_fallback[j]
+            poses[j] = poses[i] @ rel
+        else:
+            poses[j] = poses[j - 1]
     for p in poses:
         optimizer.add_vertex(p)
     for i, j, rel, info, _res in edges:

@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from rgbd360_tpu.apps.common import load_calib
+from rgbd360_tpu.apps.common import load_calib, rot_offset
 from rgbd360_tpu.core.frame360 import Frame360
 from rgbd360_tpu.core.matcher import PLANAR_3DOF
 from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
@@ -46,6 +46,7 @@ def count_labels(frame) -> int:
 def run(kf_dir: str, out_dir=None, max_frames=None, calib_root=None) -> dict:
     calib = load_calib(calib_root)
     registerer = RegisterRGBD360()
+    off = rot_offset()
 
     nums = keyframe_numbers(kf_dir)
     if max_frames:
@@ -68,6 +69,7 @@ def run(kf_dir: str, out_dir=None, max_frames=None, calib_root=None) -> dict:
             print(f"frame {frame_no}: NO LABELS")
             continue
 
+        export_ok = True
         if prev is None:
             prev = frame
             trajectory.append(pose.copy())
@@ -81,19 +83,29 @@ def run(kf_dir: str, out_dir=None, max_frames=None, calib_root=None) -> dict:
             time_matching += dt * 1000.0
             if ok:
                 pose = pose @ registerer.get_pose().astype(np.float64)
+                print(
+                    f"frame {frame_no}: matched={len(registerer.get_matched_planes())} "
+                    f"labels={n_labels} |t|={np.linalg.norm(registerer.get_pose()[:3, 3]):.4f} "
+                    f"T={dt * 1000.0:.1f} ms"
+                )
+            else:
+                print(f"frame {frame_no}: REGISTRATION FAILED (labels={n_labels}, "
+                      f"T={dt * 1000.0:.1f} ms)")
             trajectory.append(pose.copy())
-            print(
-                f"frame {frame_no}: matched={len(registerer.get_matched_planes())} "
-                f"labels={n_labels} |t|={np.linalg.norm(registerer.get_pose()[:3, 3]):.4f} "
-                f"T={dt * 1000.0:.1f} ms ok={ok}"
-            )
-            prev = frame
+            prev = frame  # the reference advances prev unconditionally (:127)
+            # a failed registration would overlay this frame's geometry at
+            # the stale pose — keep it out of the merged export
+            export_ok = ok
 
-        if out_dir and frame.sphere_cloud is not None:
+        if out_dir and export_ok and frame.sphere_cloud is not None:
             xyz, rgb = frame.sphere_cloud
             xyz = np.asarray(xyz).reshape(-1, 3)
             keep = np.isfinite(xyz).all(axis=1) & (np.abs(xyz) < 20).all(axis=1)
-            clouds.append(xyz[keep] @ pose[:3, :3].T + pose[:3, 3])
+            # the saved keyframe cloud lives in the SPHERE frame while the
+            # PbMap pose chain is in the rig/cloud frame: conjugate through
+            # the 157.5-deg offset (register_pair.py does the same)
+            pose_s = off @ pose @ np.linalg.inv(off)
+            clouds.append(xyz[keep] @ pose_s[:3, :3].T + pose_s[:3, 3])
             colors.append(np.asarray(rgb).reshape(-1, 3)[keep])
 
     stats = {

@@ -6,9 +6,11 @@ A laser scan line lying on a wall plane observed by the RGB-D sensor
 constrains the extrinsic: the rotated line direction must be orthogonal to
 the plane normal, and line points must satisfy the plane equation. The same
 decoupled closed form as the camera-pair calibrator applies:
-  rotation:  LS on n^T R l = 0 over all (plane n, line direction l) pairs
-             plus n^T R p + (n^T t - d) = 0 for line centers p;
-  translation: LS on n^T t = d - n^T R p.
+  rotation:  GN on n^T R l = 0 over all (plane n, line direction l) pairs
+             (direction constraints only — with wall-only scenes whose
+             normals are coplanar this can be rank-deficient, in which case
+             calibrate_rotation returns None rather than a wrong answer);
+  translation: LS on n^T t = d - n^T R p over the line centers p.
 Peripheral in the reference (SURVEY.md §2.1: keep API, standard LS) — this
 is a faithful, tested implementation of that least-squares machinery.
 """

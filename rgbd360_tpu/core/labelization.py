@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from rgbd360_tpu.core.matcher import ODOMETRY_6DOF
+from rgbd360_tpu.core.matcher import PLANAR_ODOMETRY_3DOF
 from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
 
 
@@ -27,13 +27,14 @@ def propagate_labels(
     ref_frame,
     new_frame,
     registerer: Optional[RegisterRGBD360] = None,
-    regist_mode: int = ODOMETRY_6DOF,
+    regist_mode: int = PLANAR_ODOMETRY_3DOF,
 ) -> int:
     """Propagate labels from a labeled frame to a new frame through PbMap
-    plane matching (LabelizeSequence). Labeled planes are force-included in
-    the match subgraphs (RegisterRGBD360.h:128-131). Returns #propagated."""
+    plane matching (LabelizeSequence.cpp:96: PLANAR_ODOMETRY_3DoF with
+    MAX_MATCH_PLANES=30, :73). Labeled planes are force-included in the
+    match subgraphs (RegisterRGBD360.h:128-131). Returns #propagated."""
     registerer = registerer or RegisterRGBD360()
-    if not registerer.register_pbmap(ref_frame, new_frame, 25, regist_mode):
+    if not registerer.register_pbmap(ref_frame, new_frame, 30, regist_mode):
         return 0
     count = 0
     for ref_id, trg_id in registerer.get_matched_planes().items():

@@ -200,8 +200,7 @@ def merge_planes(pbmap: PbMap) -> PbMap:
             if same:
                 pj.merge_plane(pk)
                 del planes[k]
-                for h in range(k, len(planes)):
-                    planes[h].id -= 1
+                # (ids are reassigned wholesale after the merge loop)
                 merged_any = True
                 break  # re-evaluate j against all (reference :729-731)
             k += 1
@@ -229,5 +228,13 @@ def extract_frame_planes(frame) -> Tuple[PbMap, List[List[Plane]]]:
             p.transform(rt[s].astype(np.float64))
         local.append(planes)
 
-    pbmap = merge_planes(group_planes([list(l) for l in local]))
+    import copy
+
+    # the global merge MUTATES planes (merge_plane re-estimates
+    # normal/center/d/hull from cross-sensor point unions and rewrites ids);
+    # local_planes must stay pristine per-sensor observations like the
+    # reference's value-semantics copies (Frame360.h:742-832) — the
+    # calibration apps derive adjacent-sensor correspondences from them, and
+    # aliased merged planes would bias the solve toward the current Rt
+    pbmap = merge_planes(group_planes([[copy.deepcopy(p) for p in l] for l in local]))
     return pbmap, local
