@@ -44,13 +44,13 @@ class RegisterPhotoICP:
 
     def set_source_frame(self, rgb_bgr_u8, depth) -> None:
         gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
-        self._src = photoicp.build_pyramid_set(
+        self._src = photoicp.build_pyramid_set_jit(
             gray, depth_m, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
         )
 
     def set_target_frame(self, rgb_bgr_u8, depth) -> None:
         gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
-        self._trg = photoicp.build_pyramid_set(
+        self._trg = photoicp.build_pyramid_set_jit(
             gray, depth_m, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
         )
 
@@ -70,7 +70,7 @@ class RegisterPhotoICP:
             "Dense alignment 360",
             sync=lambda: np.asarray(self._result.pose) if self._result else None,
         ):
-            self._result = photoicp.align_frames360(
+            self._result = photoicp.align_frames360_jit(
                 self._src, self._trg, guess, method, occlusion=occlusion
             )
         return self.get_optimal_pose()

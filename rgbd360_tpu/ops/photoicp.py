@@ -759,6 +759,18 @@ def align_frames360(
     )
 
 
+# jitted entries for the OO facade (core/register_photoicp.py): the raw
+# functions compose into other jits (align_spheres_jit, parallel/batch), but
+# called EAGERLY on the axon backend every op pays a ~30 ms dispatch RPC —
+# an unjitted align was minutes per pair instead of tens of milliseconds
+align_frames360_jit = functools.partial(
+    jax.jit, static_argnames=("method", "max_iters", "occlusion")
+)(align_frames360)
+build_pyramid_set_jit = functools.partial(
+    jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
+)(build_pyramid_set)
+
+
 @functools.partial(jax.jit, static_argnames=("method", "n_levels", "max_iters", "occlusion"))
 def align_spheres_jit(
     gray_src,
