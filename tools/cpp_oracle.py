@@ -1,0 +1,132 @@
+"""Build/pack/run helpers for the standalone C++ oracle.
+
+The oracle (tools/cpp_oracle/photoicp_oracle.cpp) is an independently written
+C++ implementation of the reference's spherical metric path
+(reference include/RegisterPhotoICP.h:2545-3228, :4519-4784) used to gate the
+Python transcriptions (tests/ref_impl.py, tests/golden_ref.py) against real,
+compiled C++ — see PARITY_AUDIT.md for why.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(_HERE, "cpp_oracle", "photoicp_oracle.cpp")
+BIN = os.path.join(_HERE, "cpp_oracle", "photoicp_oracle")
+
+MAGIC = 0x52503630
+
+DEFAULT_PARAMS = (0.3, 6.0, 6.0 / 255.0, 0.2, 0.01, 0.01)
+
+
+def build(force: bool = False) -> str:
+    """Compile the oracle with g++ -O2; returns the binary path."""
+    if force or not os.path.exists(BIN) or os.path.getmtime(BIN) < os.path.getmtime(SRC):
+        subprocess.run(
+            ["g++", "-O2", "-std=c++14", "-o", BIN, SRC],
+            check=True,
+            capture_output=True,
+        )
+    return BIN
+
+
+def pack(
+    path: str,
+    levels: list,
+    pose: np.ndarray,
+    mode: int = 0,
+    method: int = 2,
+    use_double: bool = False,
+    apply_seam_mask: bool = False,
+    params=DEFAULT_PARAMS,
+) -> None:
+    """Write the oracle's input stream.
+
+    ``levels``: list of dicts with keys gray_src, depth_src, gray_trg,
+    depth_trg, gray_trg_gx, gray_trg_gy, depth_trg_gx, depth_trg_gy
+    (ref_impl's level layout). For mode 1 pass them coarsest-first.
+    """
+    with open(path, "wb") as f:
+        f.write(
+            struct.pack(
+                "<6i",
+                MAGIC,
+                mode,
+                method,
+                len(levels),
+                1 if use_double else 0,
+                1 if apply_seam_mask else 0,
+            )
+        )
+        f.write(struct.pack("<6d", *params))
+        f.write(np.asarray(pose, np.float32).reshape(16).tobytes())
+        keys = (
+            "gray_src",
+            "depth_src",
+            "gray_trg",
+            "depth_trg",
+            "gray_trg_gx",
+            "gray_trg_gy",
+            "depth_trg_gx",
+            "depth_trg_gy",
+        )
+        for lv in levels:
+            h, w = np.asarray(lv["gray_src"]).shape
+            f.write(struct.pack("<2i", h, w))
+            for k in keys:
+                arr = np.ascontiguousarray(np.asarray(lv[k], np.float32))
+                assert arr.shape == (h, w), (k, arr.shape)
+                f.write(arr.tobytes())
+
+
+def run(input_path: str) -> dict:
+    """Run the oracle and parse its stdout into a dict."""
+    out = subprocess.run(
+        [build(), input_path], check=True, capture_output=True, text=True
+    ).stdout
+    res: dict = {"levels": []}
+    for line in out.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        key = parts[0]
+        if key == "error":
+            res["error"] = float(parts[1])
+        elif key == "nvalid":
+            res["nvalid"] = int(parts[1])
+        elif key == "nvisible":
+            res["nvisible"] = int(parts[1])
+        elif key == "H":
+            vals = list(map(float, parts[1:]))
+            H = np.zeros((6, 6))
+            k = 0
+            for a in range(6):
+                for b in range(a, 6):
+                    H[a, b] = H[b, a] = vals[k]
+                    k += 1
+            res["H"] = H
+        elif key == "g":
+            res["g"] = np.array(list(map(float, parts[1:])))
+        elif key == "SSO":
+            res["sso"] = float(parts[1])
+        elif key == "level":
+            res["levels"].append(
+                dict(level=int(parts[1]), iters=int(parts[3]), error=float(parts[5]))
+            )
+        elif key == "pose":
+            res["pose"] = np.array(list(map(float, parts[1:]))).reshape(4, 4)
+        elif key == "illposed":
+            res["illposed"] = int(parts[2])
+    return res
+
+
+def sweep_at(levels, pose, method=2, use_double=True, workdir="/tmp") -> dict:
+    """Convenience: single-sweep oracle run on one level."""
+    path = os.path.join(workdir, "oracle_in.bin")
+    pack(path, levels, pose, mode=0, method=method, use_double=use_double)
+    return run(path)

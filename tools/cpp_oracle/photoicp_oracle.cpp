@@ -1,0 +1,500 @@
+// Standalone C++ oracle for the spherical dense-registration metric path.
+//
+// Purpose (PARITY_AUDIT.md): break the self-reference of the repo's parity
+// chain.  tests/ref_impl.py and tests/golden_ref.py are NumPy restatements of
+// the reference written by the same author as the JAX pipeline; a
+// transcription error made twice would be invisible.  This file is an
+// INDEPENDENT C++ implementation of the same scalar semantics, re-derived
+// statement-by-statement from the reference source in a fresh read
+// (reference /root/reference/include/RegisterPhotoICP.h:2545-2739
+// errorPhotoICP_sphere, :2745-3228 calcHessGrad_sphere, :4519-4784
+// alignFrames360, :543-554 weightHuber; constants from the ctor :201-221).
+// It executes as real C++ with the reference's float arithmetic (or double,
+// selectable at runtime) so the Python oracles can be gated against a
+// compiled, independently-running program.
+//
+// No third-party dependencies: 3-vectors and the 6x6 system are plain
+// arrays.  This is a test oracle, not product code.
+//
+// Input: a flat little-endian binary stream on argv[1] (see pack() in
+// tools/cpp_oracle.py).  Output: text on stdout, one "key v1 v2 ..." per
+// line.
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Params {
+  double min_depth, max_depth, std_photo, std_depth, thres_sal_int,
+      thres_sal_depth;
+};
+
+struct Level {
+  int h, w;
+  std::vector<float> gray_src, depth_src, gray_trg, depth_trg, ggx, ggy, dgx,
+      dgy;
+};
+
+// round() semantics of C round(): half away from zero.
+inline int iround(double x) { return (int)std::lround(x); }
+
+// reference :543-554
+template <typename T>
+inline T weight_huber(T err, T reg) {
+  T e = std::fabs(err);
+  if (e < reg) return (T)1;
+  return std::sqrt((T)2 * reg * e - reg * reg) / e;
+}
+
+// 3x3 * 3 + 3, all in T
+template <typename T>
+inline void transform_point(const T R[9], const T t[3], const T p[3],
+                            T out[3]) {
+  for (int r = 0; r < 3; ++r)
+    out[r] = R[3 * r] * p[0] + R[3 * r + 1] * p[1] + R[3 * r + 2] * p[2] + t[r];
+}
+
+// Per-sweep accumulators; H stored dense 6x6, accumulated in T like the
+// reference's 21-scalar float reduction (:3117-3194).
+template <typename T>
+struct Sweep {
+  double error2 = 0.0;
+  long n_valid = 0;
+  long n_visible = 0;
+  T H[36] = {0};
+  T g[6] = {0};
+};
+
+// One fused pass replicating BOTH errorPhotoICP_sphere and
+// calcHessGrad_sphere at a fixed pose.  want_grad toggles the Jacobian/H/g
+// part; the residual/count part always matches errorPhotoICP_sphere
+// (:2545-2739).  The two reference functions share their control flow
+// exactly (same validity, projection, bounds and saliency tests), which is
+// what makes the fusion faithful; the only divergence — numVisiblePixels is
+// counted pre-saliency in calcHessGrad (:2991) while numValidPts is counted
+// post-saliency in the error function (:2709,:2729) — is preserved below.
+template <typename T>
+void sweep(const Level& lv, const Params& pp, const float pose[16], int method,
+           bool want_grad, Sweep<T>* out) {
+  const int h = lv.h, w = lv.w;
+  const T angle_res = (T)(2.0 * M_PI) / (T)w;
+  const T angle_res_inv = (T)1 / angle_res;
+  const T half_rows = (T)0.5 * (T)h - (T)0.5;
+  const T std_photo = (T)pp.std_photo, std_depth = (T)pp.std_depth;
+  const double std_photo_inv_d = 1.0 / pp.std_photo;  // double in :2561
+  const T std_photo_inv = (T)1 / std_photo;           // float in :2774
+  const T thres_si = (T)pp.thres_sal_int, thres_sd = (T)pp.thres_sal_depth;
+
+  T R[9], t[3];
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) R[3 * r + c] = (T)pose[4 * r + c];
+    t[r] = (T)pose[4 * r + 3];
+  }
+
+  // LUT_xyz_sphere build (:4553-4587): theta/phi tables in T, valid =
+  // min_depth < d < max_depth.
+  for (int row = 0; row < h; ++row) {
+    const T phi = (half_rows - (T)row) * angle_res;
+    const T sin_phi = std::sin(phi), cos_phi = std::cos(phi);
+    for (int col = 0; col < w; ++col) {
+      const int i = row * w + col;
+      const T d1 = (T)lv.depth_src[i];
+      if (!((T)pp.min_depth < d1 && d1 < (T)pp.max_depth)) continue;
+      const T theta = (T)col * angle_res;
+      const T xyz[3] = {d1 * sin_phi, -d1 * cos_phi * std::sin(theta),
+                        -d1 * cos_phi * std::cos(theta)};
+      T p[3];
+      transform_point(R, t, xyz, p);
+      const T dist = std::sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]);
+      const T dist_inv = (T)1 / dist;
+      const T phi_trg = std::asin(p[0] * dist_inv);
+      const T theta_trg = std::atan2(p[1], p[2]) + (T)M_PI;
+      const int ri = iround(half_rows - phi_trg * angle_res_inv);
+      const int ci = iround(theta_trg * angle_res_inv);
+      // bounds test :2684 — note the reference checks ci < w but only
+      // asserts ci >= 0 (atan2+pi makes it non-negative); we keep the
+      // >= 0 check for safety against -0.5 rounding.
+      if (!(ri >= 0 && ri < h && ci >= 0 && ci < w)) continue;
+      const int j = ri * w + ci;
+      ++out->n_visible;  // :2991 pre-saliency
+
+      // Jacobians (:2995-3026), only needed when want_grad.
+      T jw[12];  // 2x6 warp Jacobian rows: (theta=col, phi=row)
+      if (want_grad) {
+        // jacobianT36 = [I | -skew(p)]; jacobianProj23 * jacobianT36.
+        const T z_inv = (T)1 / p[2];
+        const T z_inv2 = z_inv * z_inv;
+        const T d_atan = (T)1 / ((T)1 + p[1] * p[1] * z_inv2) * angle_res_inv;
+        const T jt[3] = {(T)0, d_atan * z_inv, -p[1] * z_inv2 * d_atan};
+        const T dist_inv2 = dist_inv * dist_inv;
+        const T x_d2 = p[0] * dist_inv2;
+        const T d_asin =
+            (T)1 / std::sqrt((T)1 - p[0] * x_d2) * angle_res_inv;
+        const T jp[3] = {-d_asin * dist_inv * ((T)1 - p[0] * x_d2),
+                         d_asin * x_d2 * p[1] * dist_inv,
+                         d_asin * x_d2 * p[2] * dist_inv};
+        // rows of [jrow] @ [I | -skew(p)]:
+        //   cols 0..2: jrow itself;  cols 3..5: jrow x p  (since
+        //   -skew(p) applied on the right gives cross products)
+        const T rows[2][3] = {{jt[0], jt[1], jt[2]}, {jp[0], jp[1], jp[2]}};
+        for (int k = 0; k < 2; ++k) {
+          jw[6 * k + 0] = rows[k][0];
+          jw[6 * k + 1] = rows[k][1];
+          jw[6 * k + 2] = rows[k][2];
+          // v @ -skew(p) = (v2*p1 - v1*p2, v0*p2 - v2*p0, v1*p0 - v0*p1)
+          jw[6 * k + 3] = rows[k][2] * p[1] - rows[k][1] * p[2];
+          jw[6 * k + 4] = rows[k][0] * p[2] - rows[k][2] * p[0];
+          jw[6 * k + 5] = rows[k][1] * p[0] - rows[k][0] * p[1];
+        }
+      }
+
+      if (method == 0 || method == 2) {
+        const T gx = (T)lv.ggx[j], gy = (T)lv.ggy[j];
+        // :2690-2692 / :3038 — photo-saliency failure skips the depth
+        // term too ("continue").
+        if (std::fabs(gx) < thres_si && std::fabs(gy) < thres_si) continue;
+        const T diff = (T)lv.gray_trg[j] - (T)lv.gray_src[i];
+        // :2699 double weight in the error path, :3047 float in hess path.
+        const double w_photo_d = (double)weight_huber(diff, std_photo) *
+                                 std_photo_inv_d;
+        const T werr = (T)(w_photo_d * (double)diff);
+        out->error2 += (double)werr * (double)werr;
+        ++out->n_valid;
+        if (want_grad) {
+          const T w_photo = weight_huber(diff, std_photo) * std_photo_inv;
+          T jac[6];
+          for (int k = 0; k < 6; ++k)
+            jac[k] = w_photo * (gx * jw[k] + gy * jw[6 + k]);
+          const T werr_f = w_photo * diff;
+          for (int a = 0; a < 6; ++a) {
+            for (int b = a; b < 6; ++b) out->H[6 * a + b] += jac[a] * jac[b];
+            out->g[a] += jac[a] * werr_f;
+          }
+        }
+      }
+      if (method == 1 || method == 2) {
+        const T depth2 = (T)lv.depth_trg[j];
+        if (!std::isfinite(depth2)) continue;  // plain if in :3064; the
+        // error path (:2714) also just skips — but a continue here only
+        // matters if code followed this block, and nothing does.
+        const T dgx = (T)lv.dgx[j], dgy = (T)lv.dgy[j];
+        if (std::fabs(dgx) < thres_sd && std::fabs(dgy) < thres_sd) continue;
+        const T ddiff = depth2 - dist;
+        const T reg = std_depth * depth2;  // :2724 stdDev scaled by depth2
+        const T w_depth = weight_huber(ddiff, reg) / reg;
+        const T werr = w_depth * ddiff;
+        out->error2 += (double)werr * (double)werr;
+        ++out->n_valid;
+        if (want_grad) {
+          // jacobianDepthSrc = p*dist_inv (1x3) through [I | -skew(p)];
+          // note (p*dist_inv) x p == 0, so cols 3..5 of that term vanish
+          // analytically — keep the explicit form anyway to mirror the
+          // reference arithmetic.
+          const T v[3] = {p[0] * dist_inv, p[1] * dist_inv, p[2] * dist_inv};
+          T jd[6];
+          jd[0] = v[0];
+          jd[1] = v[1];
+          jd[2] = v[2];
+          jd[3] = v[2] * p[1] - v[1] * p[2];
+          jd[4] = v[0] * p[2] - v[2] * p[0];
+          jd[5] = v[1] * p[0] - v[0] * p[1];
+          T jac[6];
+          for (int k = 0; k < 6; ++k)
+            jac[k] = w_depth * (dgx * jw[k] + dgy * jw[6 + k] - jd[k]);
+          for (int a = 0; a < 6; ++a) {
+            for (int b = a; b < 6; ++b) out->H[6 * a + b] += jac[a] * jac[b];
+            out->g[a] += jac[a] * werr;
+          }
+        }
+      }
+    }
+  }
+  // mirror lower triangle
+  for (int a = 0; a < 6; ++a)
+    for (int b = 0; b < a; ++b) out->H[6 * a + b] = out->H[6 * b + a];
+}
+
+// ---------------------------------------------------------------------------
+// GN driver (alignFrames360 :4519-4784)
+
+// MRPT CPose3D::exp(xi, pseudo_exponential=true): R = expm(skew(omega)),
+// t = xi[0:3] directly (no V matrix).  Computed in double as in :4695-4697.
+void pseudo_exp(const double xi[6], double T44[16]) {
+  const double wx = xi[3], wy = xi[4], wz = xi[5];
+  const double th2 = wx * wx + wy * wy + wz * wz;
+  const double th = std::sqrt(th2);
+  double A, B;
+  if (th < 1e-12) {
+    A = 1.0 - th2 / 6.0;
+    B = 0.5 - th2 / 24.0;
+  } else {
+    A = std::sin(th) / th;
+    B = (1.0 - std::cos(th)) / th2;
+  }
+  // R = I + A*skew(w) + B*skew(w)^2
+  const double W[9] = {0, -wz, wy, wz, 0, -wx, -wy, wx, 0};
+  double W2[9];
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      W2[3 * r + c] = 0;
+      for (int k = 0; k < 3; ++k) W2[3 * r + c] += W[3 * r + k] * W[3 * k + c];
+    }
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c)
+      T44[4 * r + c] =
+          (r == c ? 1.0 : 0.0) + A * W[3 * r + c] + B * W2[3 * r + c];
+  T44[3] = xi[0];
+  T44[7] = xi[1];
+  T44[11] = xi[2];
+  T44[12] = T44[13] = T44[14] = 0.0;
+  T44[15] = 1.0;
+}
+
+void matmul4f(const float A[16], const float B[16], float out[16]) {
+  for (int r = 0; r < 4; ++r)
+    for (int c = 0; c < 4; ++c) {
+      float s = 0;
+      for (int k = 0; k < 4; ++k) s += A[4 * r + k] * B[4 * k + c];
+      out[4 * r + c] = s;
+    }
+}
+
+// Solve update = -H^-1 g with Gauss-Jordan partial pivoting in T
+// (reference: Eigen float .inverse() :4693).  Returns false if singular.
+template <typename T>
+bool solve6(const T Hin[36], const T g[6], T upd[6]) {
+  double M[6][7];
+  for (int r = 0; r < 6; ++r) {
+    for (int c = 0; c < 6; ++c) M[r][c] = (double)Hin[6 * r + c];
+    M[r][6] = -(double)g[r];
+  }
+  for (int col = 0; col < 6; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < 6; ++r)
+      if (std::fabs(M[r][col]) > std::fabs(M[piv][col])) piv = r;
+    if (std::fabs(M[piv][col]) < 1e-30) return false;
+    if (piv != col)
+      for (int c = 0; c < 7; ++c) std::swap(M[piv][c], M[col][c]);
+    const double inv = 1.0 / M[col][col];
+    for (int r = 0; r < 6; ++r) {
+      if (r == col) continue;
+      const double f = M[r][col] * inv;
+      for (int c = col; c < 7; ++c) M[r][c] -= f * M[col][c];
+    }
+  }
+  for (int r = 0; r < 6; ++r) upd[r] = (T)(M[r][6] / M[r][r]);
+  return true;
+}
+
+// rank(H + lambda*diag(H)) != 6 test (:4682): full-pivot elimination with
+// an Eigen-like threshold.
+template <typename T>
+bool ill_posed(const T Hin[36], double lam) {
+  double M[6][6];
+  double maxp = 0;
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) {
+      M[r][c] = (double)Hin[6 * r + c] +
+                (r == c ? lam * (double)Hin[6 * r + c] : 0.0);
+      maxp = std::max(maxp, std::fabs(M[r][c]));
+    }
+  const double eps =
+      (sizeof(T) == 4) ? 1.19209290e-07 : 2.220446049250313e-16;
+  const double thr = 6.0 * eps * maxp;
+  int rank = 0;
+  bool used_r[6] = {false}, used_c[6] = {false};
+  for (int step = 0; step < 6; ++step) {
+    int pr = -1, pc = -1;
+    double best = thr;
+    for (int r = 0; r < 6; ++r) {
+      if (used_r[r]) continue;
+      for (int c = 0; c < 6; ++c) {
+        if (used_c[c]) continue;
+        if (std::fabs(M[r][c]) > best) best = std::fabs(M[r][c]), pr = r,
+        pc = c;
+      }
+    }
+    if (pr < 0) break;
+    ++rank;
+    used_r[pr] = used_c[pc] = true;
+    for (int r = 0; r < 6; ++r) {
+      if (used_r[r]) continue;
+      const double f = M[r][pc] / M[pr][pc];
+      for (int c = 0; c < 6; ++c) M[r][c] -= f * M[pr][c];
+    }
+  }
+  return rank != 6;
+}
+
+// Seam-gradient masking (:4538-4549): zero 2 columns at each of the 7
+// inter-sensor joints on the four TARGET gradient images.
+void mask_seams(Level* lv) {
+  const int ws = lv->w / 8;
+  if (ws <= 0) return;
+  for (int sid = 1; sid < 8; ++sid) {
+    for (int col = sid * ws - 1; col < sid * ws + 1 && col < lv->w; ++col) {
+      if (col < 0) continue;
+      for (int r = 0; r < lv->h; ++r) {
+        lv->ggx[r * lv->w + col] = 0.f;
+        lv->ggy[r * lv->w + col] = 0.f;
+        lv->dgx[r * lv->w + col] = 0.f;
+        lv->dgy[r * lv->w + col] = 0.f;
+      }
+    }
+  }
+}
+
+template <typename T>
+double sweep_error(const Level& lv, const Params& pp, const float pose[16],
+                   int method) {
+  Sweep<T> s;
+  sweep<T>(lv, pp, pose, method, /*want_grad=*/false, &s);
+  // :2738 sqrt(error2/numValidPts); no guard in the reference.
+  return std::sqrt(s.error2 / (double)(s.n_valid ? s.n_valid : 1));
+}
+
+// Full per-level GN loop.  Levels arrive coarsest-first.
+template <typename T>
+void run_align(std::vector<Level>& levels, const Params& pp, float pose[16],
+               int method) {
+  for (size_t li = 0; li < levels.size(); ++li) {
+    Level& lv = levels[li];
+    double lambda = 1.0;  // :4589
+    int it = 0;
+    const int max_iters = 10;        // :4593
+    const double tol_residual = 1e-3;  // :4594
+    const double tol_update = 1e-4;    // :4595
+    double upd_norm = std::sqrt(6.0);  // update_pose = ones :4596
+    double error = sweep_error<T>(lv, pp, pose, method);
+    double diff_error = error;  // :4605
+    while (it < max_iters && upd_norm > tol_update &&
+           diff_error > tol_residual) {
+      Sweep<T> s;
+      sweep<T>(lv, pp, pose, method, /*want_grad=*/true, &s);
+      if (ill_posed<T>(s.H, lambda)) {
+        std::printf("illposed level %zu\n", li);
+        return;
+      }
+      T upd[6];
+      if (!solve6<T>(s.H, s.g, upd)) {
+        std::printf("illposed level %zu\n", li);
+        return;
+      }
+      double nrm = 0;
+      for (int k = 0; k < 6; ++k) nrm += (double)upd[k] * (double)upd[k];
+      upd_norm = std::sqrt(nrm);
+      double xi[6];
+      for (int k = 0; k < 6; ++k) xi[k] = (double)upd[k];
+      double E[16];
+      pseudo_exp(xi, E);
+      float Ef[16];
+      for (int k = 0; k < 16; ++k) Ef[k] = (float)E[k];
+      float pose_tmp[16];
+      matmul4f(Ef, pose, pose_tmp);
+      const double new_error = sweep_error<T>(lv, pp, pose_tmp, method);
+      diff_error = error - new_error;
+      if (diff_error > tol_residual) {  // :4715
+        lambda /= 5.0;
+        std::memcpy(pose, pose_tmp, sizeof(pose_tmp));
+        error = new_error;
+        ++it;
+      }
+    }
+    std::printf("level %zu iters %d error %.10g\n", li, it, error);
+  }
+}
+
+template <typename T>
+void run(int mode, int method, int do_mask, std::vector<Level>& levels,
+         const Params& pp, float pose[16]) {
+  if (do_mask)
+    for (auto& lv : levels) mask_seams(&lv);
+  if (mode == 0) {
+    Sweep<T> s;
+    sweep<T>(levels[0], pp, pose, method, /*want_grad=*/true, &s);
+    const double err =
+        std::sqrt(s.error2 / (double)(s.n_valid ? s.n_valid : 1));
+    std::printf("error %.12g\nnvalid %ld\nnvisible %ld\n", err, s.n_valid,
+                s.n_visible);
+    std::printf("H");
+    for (int a = 0; a < 6; ++a)
+      for (int b = a; b < 6; ++b) std::printf(" %.12g", (double)s.H[6 * a + b]);
+    std::printf("\ng");
+    for (int a = 0; a < 6; ++a) std::printf(" %.12g", (double)s.g[a]);
+    std::printf("\nSSO %.12g\n",
+                (double)s.n_visible / (double)(levels[0].h * levels[0].w));
+  } else {
+    run_align<T>(levels, pp, pose, method);
+    std::printf("pose");
+    for (int k = 0; k < 16; ++k) std::printf(" %.10g", (double)pose[k]);
+    std::printf("\n");
+  }
+}
+
+bool read_exact(std::FILE* f, void* dst, size_t n) {
+  return std::fread(dst, 1, n, f) == n;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc != 2) {
+    std::fprintf(stderr, "usage: %s <packed-input.bin>\n", argv[0]);
+    return 2;
+  }
+  std::FILE* f = std::fopen(argv[1], "rb");
+  if (!f) {
+    std::perror("open");
+    return 2;
+  }
+  int32_t magic, mode, method, n_levels, use_double, do_mask;
+  if (!read_exact(f, &magic, 4) || magic != 0x52503630) {
+    std::fprintf(stderr, "bad magic\n");
+    return 2;
+  }
+  read_exact(f, &mode, 4);
+  read_exact(f, &method, 4);
+  read_exact(f, &n_levels, 4);
+  read_exact(f, &use_double, 4);
+  read_exact(f, &do_mask, 4);
+  Params pp;
+  double raw[6];
+  read_exact(f, raw, 48);
+  pp.min_depth = raw[0];
+  pp.max_depth = raw[1];
+  pp.std_photo = raw[2];
+  pp.std_depth = raw[3];
+  pp.thres_sal_int = raw[4];
+  pp.thres_sal_depth = raw[5];
+  float pose[16];
+  read_exact(f, pose, 64);
+  std::vector<Level> levels((size_t)n_levels);
+  for (auto& lv : levels) {
+    int32_t hw[2];
+    if (!read_exact(f, hw, 8)) {
+      std::fprintf(stderr, "truncated\n");
+      return 2;
+    }
+    lv.h = hw[0];
+    lv.w = hw[1];
+    const size_t n = (size_t)lv.h * lv.w;
+    for (auto* arr : {&lv.gray_src, &lv.depth_src, &lv.gray_trg, &lv.depth_trg,
+                      &lv.ggx, &lv.ggy, &lv.dgx, &lv.dgy}) {
+      arr->resize(n);
+      if (!read_exact(f, arr->data(), n * 4)) {
+        std::fprintf(stderr, "truncated\n");
+        return 2;
+      }
+    }
+  }
+  std::fclose(f);
+  if (use_double)
+    run<double>(mode, method, do_mask, levels, pp, pose);
+  else
+    run<float>(mode, method, do_mask, levels, pp, pose);
+  return 0;
+}
