@@ -22,6 +22,9 @@ from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.utils.viz import save_trajectory
 
 SELECT_KF_RESIDUAL = 0.9  # reference :289
+# rotation alternative to the translation-only keyframe gate — a deliberate
+# deviation from Miscellaneous.h:66 semantics (see promotion comment below)
+MIN_ROT_KEYFRAMES_DEG = 10.0
 MAX_DIFF_ROT_DEG = 40.0  # isOdometryContinuousMotion-style gates (:75-90)
 MAX_DIFF_TRANS = 0.4
 
@@ -82,14 +85,16 @@ def main(argv=None) -> int:
         # keyframe promotion: avDepthResidual >= 0.9 (reference :289), plus a
         # minimum-motion gate — translation (min_dist_keyframes,
         # Miscellaneous.h:66) OR rotation, so rotation-dominant motion can
-        # still promote (an AND on translation alone deadlocked in-place
-        # rotation against an increasingly stale keyframe)
+        # still promote. DELIBERATE DEVIATION from the reference, which
+        # gates on translation alone (OdometryKeyFrame360.cpp:289-311): an
+        # AND on translation deadlocked in-place rotation against an
+        # increasingly stale keyframe. Threshold: MIN_ROT_KEYFRAMES_DEG.
         rot_deg = np.degrees(
             np.arccos(np.clip((np.trace(rel_cloud[:3, :3]) - 1) / 2, -1, 1))
         )
         moved = (
             np.linalg.norm(rel_cloud[:3, 3]) > default_params.min_dist_keyframes
-            or rot_deg > 10.0
+            or rot_deg > MIN_ROT_KEYFRAMES_DEG
         )
         promote = aligner.av_depth_residual >= SELECT_KF_RESIDUAL and moved
         print(

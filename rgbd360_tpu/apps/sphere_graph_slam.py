@@ -102,6 +102,11 @@ def main(argv=None) -> int:
                 aligner.av_depth_residual >= 2.0
                 or np.linalg.norm(rel[:3, 3]) > default_params.max_translation_odometry
             ):
+                print(
+                    f"frame {frame_no}: DISCONTINUOUS dense refinement rejected "
+                    f"(avDepth={aligner.av_depth_residual:.3f}, "
+                    f"|t|={np.linalg.norm(rel[:3, 3]):.3f})"
+                )
                 continue
             info = aligner.get_hessian()
             sso = registerer.get_area_matched() / max(registerer.area_source, 1e-9)

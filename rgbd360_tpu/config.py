@@ -48,6 +48,10 @@ class FrameParams:
     # Spherical panorama: width = num_sensors * sensor rows; height keeps the
     # 60 deg band (reference include/Frame360.h:391-394). Derived properties
     # so a changed rig geometry cannot leave stale literals behind.
+    # API note (round-2 change): these were dataclass fields before;
+    # FrameParams(sphere_width=...) / dataclasses.replace(sphere_width=...)
+    # now raise TypeError and fields()/asdict() omit them. Panorama dims are
+    # always derived — set num_sensors/sensor_height to change them.
     @property
     def sphere_width(self) -> int:
         return self.num_sensors * self.sensor_height

@@ -119,6 +119,9 @@ class LoopClosure360:
                 c for k, c in enumerate(cands)
                 if counts[k] >= MIN_MATCHES and areas[k] > MIN_AREA_MATCHED
             ]
+        # phase 1 (host): exact PbMap registration per candidate; survivors
+        # carry their seed pose into the dense phase
+        survivors = []  # (cand_id, seed pose in sphere frame)
         for cand in cands:
             cand_kf = m.frames[cand]
             ok = self.registerer.register_pbmap(cand_kf, new_kf, 25, PLANAR_3DOF)
@@ -136,27 +139,98 @@ class LoopClosure360:
             # edge convention z = X_i^-1 X_j (the previous swapped roles
             # seeded the aligner with the inverse and stored inverted
             # loop-closure constraints that pulled optimization the wrong way)
+            guess = self.rot_offset @ rel @ np.linalg.inv(self.rot_offset)
+            survivors.append((cand, guess))
+
+        # phase 2 (device): dense refinement — ONE batched align for >=2
+        # survivors (SURVEY §2.3 batched LC-candidate kernels; the reference
+        # loops alignFrames360 per candidate, LoopClosure360.h:297-316),
+        # the facade path for a single one
+        results = []  # (cand_id, pose_sphere, av_depth, H, sso)
+        if len(survivors) >= 2:
+            results = self._refine_batch(new_kf, survivors)
+        elif survivors:
+            cand, guess = survivors[0]
+            cand_kf = m.frames[cand]
             self.aligner.set_target_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
             self.aligner.set_source_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
-            guess = self.rot_offset @ rel @ np.linalg.inv(self.rot_offset)
             self.aligner.align_frames360(guess, PHOTO_DEPTH)
-            if self.aligner.av_depth_residual >= MAX_DEPTH_RESIDUAL:
+            results = [
+                (
+                    cand,
+                    self.aligner.get_optimal_pose(),
+                    float(self.aligner.av_depth_residual),
+                    self.aligner.get_hessian(),
+                    float(self.aligner.sso),
+                )
+            ]
+
+        # phase 3 (host): acceptance + graph wiring (:316-323)
+        for cand, pose_sphere, av_depth, info, sso in results:
+            if av_depth >= MAX_DEPTH_RESIDUAL:
                 continue
             rel = (
                 np.linalg.inv(self.rot_offset)
-                @ self.aligner.get_optimal_pose()
+                @ pose_sphere.astype(np.float64)
                 @ self.rot_offset
             )
-            info = self.aligner.get_hessian()
             with m.mutex:  # the SLAM loop drains connections_lc and runs
                 # optimize_graph under the same mutex (RLock: re-entrant for
                 # the synchronous caller)
                 if self.optimizer is not None:
                     self.optimizer.add_edge(cand, kf_id, rel, info)
                 m.add_connection(cand, kf_id, rel, info)
-                self.connections_lc.setdefault(kf_id, {})[cand] = self.aligner.sso
+                self.connections_lc.setdefault(kf_id, {})[cand] = sso
             accepted += 1
         return accepted
+
+    def _refine_batch(self, new_kf, survivors):
+        """One vmapped align_batch call over all surviving candidates: the
+        new keyframe's panorama is broadcast as the source, each candidate's
+        as the target. Pads to a small bucket size so repeated LC sweeps hit
+        the same compiled executable."""
+        import jax.numpy as jnp
+
+        from rgbd360_tpu.ops.image import gray_f32
+        from rgbd360_tpu.parallel.batch import align_batch
+
+        m = self.map
+        b = len(survivors)
+        bucket = 2
+        while bucket < b:
+            bucket *= 2
+        src_gray = np.asarray(gray_f32(jnp.asarray(new_kf.sphere_rgb)))
+        src_depth = np.asarray(new_kf.sphere_depth_mm, np.float32) * 0.001
+        gs, ds, gt, dt, seeds = [], [], [], [], []
+        for k in range(bucket):
+            cand, guess = survivors[min(k, b - 1)]
+            cand_kf = m.frames[cand]
+            gs.append(src_gray)
+            ds.append(src_depth)
+            gt.append(np.asarray(gray_f32(jnp.asarray(cand_kf.sphere_rgb))))
+            dt.append(np.asarray(cand_kf.sphere_depth_mm, np.float32) * 0.001)
+            seeds.append(guess.astype(np.float32))
+        res = align_batch(
+            jnp.asarray(np.stack(gs)),
+            jnp.asarray(np.stack(ds)),
+            jnp.asarray(np.stack(gt)),
+            jnp.asarray(np.stack(dt)),
+            jnp.asarray(np.stack(seeds)),
+            n_levels=self.aligner.n_pyr_levels,
+        )
+        poses = np.asarray(res.pose)
+        av_depth = np.asarray(res.av_depth_residual)
+        hessians = np.asarray(res.hessian)
+        ssos = np.asarray(res.sso)
+        ill = np.asarray(res.ill_posed)
+        out = []
+        for k, (cand, _guess) in enumerate(survivors):
+            if ill[k]:
+                continue
+            out.append(
+                (cand, poses[k], float(av_depth[k]), hessians[k], float(ssos[k]))
+            )
+        return out
 
     # -- background thread (reference ctor :83-94) ---------------------------------
     def notify_keyframe(self, kf_id: int) -> None:

@@ -52,24 +52,32 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
         pts = pts[sub]
 
     order = np.lexsort((pts[:, 1], pts[:, 0]))
+    # plain-float lists: the chain loop touches every point a few times and
+    # numpy scalar indexing costs ~10x a list access at this size
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
 
     def half(indices):
         out = []
+        push = out.append
+        pop = out.pop
         for i in indices:
+            xi, yi = xs[i], ys[i]
             while len(out) >= 2:
-                o, a = pts[out[-2]], pts[out[-1]]
+                a = out[-1]
+                o = out[-2]
+                ox, oy = xs[o], ys[o]
                 # 2-D cross product z-component (np.cross on 2-vectors is
                 # removed in NumPy 2.x)
-                u, v = a - o, pts[i] - o
-                if u[0] * v[1] - u[1] * v[0] <= 0:
-                    out.pop()
+                if (xs[a] - ox) * (yi - oy) - (ys[a] - oy) * (xi - ox) <= 0:
+                    pop()
                 else:
                     break
-            out.append(i)
+            push(i)
         return out
 
-    lower = half(order)
-    upper = half(order[::-1])
+    lower = half(order.tolist())
+    upper = half(order[::-1].tolist())
     hull = np.array(lower[:-1] + upper[:-1], int)
     return sub[hull] if sub is not None else hull
 
@@ -77,7 +85,7 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
 def polygon_area_centroid(poly2d: np.ndarray):
     """Shoelace area + centroid of a 2D polygon (CCW)."""
     x, y = poly2d[:, 0], poly2d[:, 1]
-    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    xn, yn = np.concatenate([x[1:], x[:1]]), np.concatenate([y[1:], y[:1]])
     cross = x * yn - xn * y
     area = 0.5 * np.sum(cross)
     if abs(area) < 1e-12:
@@ -219,14 +227,32 @@ class Plane:
     hist_h: np.ndarray = None
     main_color: Optional[np.ndarray] = None
     label: str = ""
+    # sufficient statistics of the inlier distribution (n, centroid=center,
+    # centered 3x3 covariance, raw hue-histogram counts): when present, the
+    # device-side extraction path carries these instead of raw points, and
+    # merge_plane combines them additively (parallel-axis theorem) — the
+    # re-estimated parameters equal the point-union re-estimate exactly
+    n_pts: int = 0
+    cov: Optional[np.ndarray] = None  # (3,3) centered covariance
+    hist_counts: Optional[np.ndarray] = None  # (HIST_H_BINS,) raw counts
 
     # -- derived geometry ----------------------------------------------------
     def plane_basis(self):
         n = self.normal
-        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
-        u = np.cross(n, a)
+        # manual cross products: np.cross dominates profile at this call
+        # count (moveaxis/broadcast overhead on 3-vectors)
+        if abs(n[0]) < 0.9:  # a = x axis
+            u = np.array([0.0, n[2], -n[1]])
+        else:  # a = y axis
+            u = np.array([-n[2], 0.0, n[0]])
         u /= np.linalg.norm(u)
-        v = np.cross(n, u)
+        v = np.array(
+            [
+                n[1] * u[2] - n[2] * u[1],
+                n[2] * u[0] - n[0] * u[2],
+                n[0] * u[1] - n[1] * u[0],
+            ]
+        )
         return u, v
 
     def compute_hull_area(self, contour_points: np.ndarray) -> None:
@@ -275,6 +301,8 @@ class Plane:
             self.points = self.points @ R.T + t
         if self.hull is not None:
             self.hull = self.hull @ R.T + t
+        if self.cov is not None:
+            self.cov = R @ self.cov @ R.T
 
     # -- predicates ----------------------------------------------------------
     def is_plane_nearby(self, other: "Plane", dist_threshold: float) -> bool:
@@ -308,25 +336,56 @@ class Plane:
 
     def merge_plane(self, other: "Plane") -> None:
         """Merge `other` into self, re-estimating parameters from the union
-        (mrpt::pbmap::Plane::mergePlane2)."""
-        pts = np.concatenate([self.points, other.points], axis=0)
+        (mrpt::pbmap::Plane::mergePlane2).
+
+        When both planes carry sufficient statistics (n_pts/cov from the
+        device extraction path) the union's centroid/covariance come from
+        the additive parallel-axis combination — numerically identical to
+        re-estimating from concatenated points, without materializing them.
+        """
         self.inliers = np.concatenate([self.inliers, other.inliers])
-        if self.colors is not None and other.colors is not None:
-            self.colors = np.concatenate([self.colors, other.colors], axis=0)
-        center = pts.mean(axis=0)
-        cov = (pts - center).T @ (pts - center) / len(pts)
+        use_moments = (
+            self.cov is not None and other.cov is not None
+            and self.n_pts > 0 and other.n_pts > 0
+        )
+        if use_moments:
+            n1, n2 = self.n_pts, other.n_pts
+            n = n1 + n2
+            center = (n1 * self.center + n2 * other.center) / n
+            d1 = self.center - center
+            d2 = other.center - center
+            cov = (
+                n1 * (self.cov + np.outer(d1, d1))
+                + n2 * (other.cov + np.outer(d2, d2))
+            ) / n
+            self.n_pts = n
+            self.cov = cov
+        else:
+            pts = np.concatenate([self.points, other.points], axis=0)
+            if self.colors is not None and other.colors is not None:
+                self.colors = np.concatenate([self.colors, other.colors], axis=0)
+            center = pts.mean(axis=0)
+            cov = (pts - center).T @ (pts - center) / len(pts)
+            self.points = pts
         w, vec = np.linalg.eigh(cov)
         normal = vec[:, 0]
         if normal @ center > 0:
             normal = -normal
-        self.points = pts
         self.center = center
         self.normal = normal
         self.d = float(-normal @ center)
         self.curvature = float(w[0] / max(w.sum(), 1e-12))
         hull_pts = np.concatenate([self.hull, other.hull], axis=0)
         self.compute_hull_area(hull_pts)
-        self.compute_colors()
+        if use_moments and self.hist_counts is not None and other.hist_counts is not None:
+            self.hist_counts = self.hist_counts + other.hist_counts
+            total = self.hist_counts.sum()
+            self.hist_h = self.hist_counts / total if total > 0 else self.hist_counts
+            if self.main_color is not None and other.main_color is not None:
+                n1, n2 = self.n_pts - other.n_pts, other.n_pts
+                self.main_color = (n1 * self.main_color + n2 * other.main_color) / self.n_pts
+        else:
+            self.compute_colors()
 
 
 @dataclasses.dataclass
@@ -374,6 +433,17 @@ def save_pbmap(pbmap: PbMap, path: str) -> None:
         hull_offsets=np.cumsum([0] + [len(h) for h in hulls]),
         point_data=np.concatenate(points, axis=0) if n else np.zeros((0, 3)),
         point_offsets=np.cumsum([0] + [len(pt) for pt in points]),
+        # sufficient statistics (device extraction path); zeros when absent
+        n_pts=np.array([p.n_pts for p in pbmap.planes], np.int64),
+        covs=np.stack(
+            [p.cov if p.cov is not None else np.zeros((3, 3)) for p in pbmap.planes]
+        ) if n else np.zeros((0, 3, 3)),
+        hist_counts=np.stack(
+            [
+                p.hist_counts if p.hist_counts is not None else np.zeros(HIST_H_BINS)
+                for p in pbmap.planes
+            ]
+        ) if n else np.zeros((0, HIST_H_BINS)),
     )
 
 
@@ -404,6 +474,14 @@ def load_pbmap(path: str) -> PbMap:
                 label=str(a["labels"][i]),
                 hull=a["hull_data"][h0:h1],
                 points=pts if len(pts) else None,
+                # older checkpoints predate the moment fields
+                n_pts=int(a["n_pts"][i]) if "n_pts" in a else 0,
+                cov=(a["covs"][i] if "covs" in a and int(a["n_pts"][i]) > 0 else None),
+                hist_counts=(
+                    a["hist_counts"][i]
+                    if "hist_counts" in a and int(a["n_pts"][i]) > 0
+                    else None
+                ),
             )
         )
     return PbMap(planes)

@@ -28,6 +28,7 @@ from rgbd360_tpu.core.pbmap import PbMap, Plane
 from rgbd360_tpu.ops.bilateral import fast_bilateral_z
 from rgbd360_tpu.ops.normals import organized_normals
 from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
+from rgbd360_tpu.ops.plane_stats import MAX_LABELS, sensor_plane_stats
 from rgbd360_tpu.ops.planes_seg import MIN_INLIERS, refine_plane_labels, segment_planes
 
 MAX_CURVATURE = default_params.max_curvature_plane
@@ -52,6 +53,161 @@ def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
         return xyz2, rgb2, normals, labels
 
     return jax.vmap(one)(depth_undist_m, rgb)
+
+
+# Stats-buffer layout (one packed u8 array — the axon tunnel charges ~25 ms
+# per transferred ARRAY plus ~25 ms/MB, so everything rides in one buffer):
+#   A: per-pixel (label+1)<<1 | candidate  (u16, or u32 for >2^15-px sensors)
+#   B: per-pixel half-res cloud, f16 (hull vertices tolerate ~1-3 mm)
+#   C: per-label stats f32 (8, MAX_LABELS, _NF):
+#      [label_id, count, mean(3), cov6(6), evals(3), normal(3), curvature,
+#       hist(74), sum_rgb(3)]
+_NF = 95
+
+
+@jax.jit
+def build_sensor_plane_stats(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
+    """Fused device program: clouds -> segmentation -> per-label statistics
+    and hull candidates (ops/plane_stats.py), packed into ONE u8 buffer."""
+
+    def one(depth, rgb_s):
+        xyz = backproject_organized(depth)
+        xyz2, rgb2 = downsample_median2(xyz, rgb_s)
+        zf = fast_bilateral_z(xyz2[..., 2])
+        xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
+        normals = organized_normals(xyz2)
+        labels = segment_planes(xyz2, normals)
+        labels = refine_plane_labels(labels, xyz2, normals)
+        st = sensor_plane_stats(xyz2, rgb2, labels)
+        return st, xyz2
+
+    st, xyz2 = jax.vmap(one)(depth_undist_m, rgb)
+    h, w = st.labels.shape[1:]
+    labpack = ((st.labels + 1) << 1) | st.candidate.astype(jnp.int32)
+    if h * w * 2 + 1 < 2**16:
+        labpack = labpack.astype(jnp.uint16)
+    else:
+        labpack = labpack.astype(jnp.uint32)
+    cov6 = st.cov.reshape(*st.cov.shape[:-2], 9)[..., jnp.array([0, 1, 2, 4, 5, 8])]
+    stats = jnp.concatenate(
+        [
+            st.label_id[..., None].astype(jnp.float32),
+            st.count[..., None].astype(jnp.float32),
+            st.mean,
+            cov6,
+            st.evals,
+            st.normal,
+            st.curvature[..., None],
+            st.hist,
+            st.sum_rgb,
+        ],
+        axis=-1,
+    )  # (8, K, _NF)
+    bufs = [
+        jax.lax.bitcast_convert_type(labpack, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(xyz2.astype(jnp.float16), jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
+    ]
+    return jnp.concatenate(bufs)
+
+
+def _unpack_stats_buffer(buf: np.ndarray, h: int, w: int):
+    """Host-side views into the packed stats buffer (no copies)."""
+    lab_dtype = np.uint16 if h * w * 2 + 1 < 2**16 else np.uint32
+    nA = 8 * h * w * lab_dtype().itemsize
+    nB = 8 * h * w * 3 * 2
+    lab = buf[:nA].view(lab_dtype).reshape(8, h, w)
+    labels = (lab >> 1).astype(np.int32) - 1
+    cand = (lab & 1).astype(bool)
+    xyz = buf[nA : nA + nB].view(np.float16).reshape(8, h, w, 3)
+    stats = buf[nA + nB :].view(np.float32).reshape(8, MAX_LABELS, _NF)
+    return labels, cand, xyz, stats
+
+
+def _planes_from_stats(
+    stats: np.ndarray,  # (MAX_LABELS, _NF) one sensor's stat rows
+    labels: np.ndarray,  # (H, W) i32
+    cand: np.ndarray,  # (H, W) bool
+    xyz16: np.ndarray,  # (H, W, 3) f16
+    sensor_id: int,
+) -> List[Plane]:
+    """Device stats -> Plane objects (the fast path of the reference
+    getPlanesSensor loop, include/Frame360.h:979-1075): per-component
+    centroid/covariance/eigendecomposition come from the device; the host
+    runs only the exact hull over the device's octagon candidates, the
+    area/elongation filters and the local merge."""
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    candf = cand.reshape(-1)
+    xyzf = xyz16.reshape(-1, 3)
+    valid = flat >= 0
+    px = np.flatnonzero(valid)
+    lv = flat[valid]
+    order = np.argsort(lv, kind="stable")
+    sorted_px = px[order]
+    sorted_lab = lv[order]
+    single_cloud_size = h * w
+
+    label_id = stats[:, 0].astype(np.int64)
+    count = stats[:, 1].astype(np.int64)
+    mean = stats[:, 2:5].astype(np.float64)
+    cov6 = stats[:, 5:11].astype(np.float64)
+    evals = stats[:, 11:14].astype(np.float64)
+    normal = stats[:, 14:17].astype(np.float64)
+    curvature = stats[:, 17].astype(np.float64)
+    hist = stats[:, 18:92].astype(np.float64)
+    sum_rgb = stats[:, 92:95].astype(np.float64)
+
+    planes: List[Plane] = []
+    for k in range(len(label_id)):
+        n = int(count[k])
+        if n < MIN_INLIERS:
+            break  # counts are sorted descending
+        a = np.searchsorted(sorted_lab, label_id[k], side="left")
+        b = np.searchsorted(sorted_lab, label_id[k], side="right")
+        inl = sorted_px[a:b]
+        cov = np.empty((3, 3))
+        cov[0, 0], cov[0, 1], cov[0, 2] = cov6[k, 0], cov6[k, 1], cov6[k, 2]
+        cov[1, 1], cov[1, 2], cov[2, 2] = cov6[k, 3], cov6[k, 4], cov6[k, 5]
+        cov[1, 0], cov[2, 0], cov[2, 1] = cov[0, 1], cov[0, 2], cov[1, 2]
+        plane = Plane(
+            id=len(planes),
+            normal=normal[k].copy(),
+            center=mean[k].copy(),
+            curvature=float(curvature[k]),
+            inliers=inl + sensor_id * single_cloud_size,
+            n_pts=n,
+            cov=cov,
+        )
+        cand_pts = xyzf[inl[candf[inl]]].astype(np.float64)
+        plane.compute_hull_area(cand_pts)
+        if plane.area_hull < MIN_AREA:  # discard small planes (:1034)
+            continue
+        plane.d = float(-plane.normal @ plane.center)
+        if plane.elongation > MAX_ELONGATION:  # discard narrow planes (:1041)
+            continue
+        total = hist[k].sum()
+        plane.hist_counts = hist[k].copy()
+        plane.hist_h = hist[k] / total if total > 0 else hist[k]
+        plane.main_color = sum_rgb[k] / max(n, 1) / 255.0
+        planes.append(plane)
+
+    # local same-plane merge (:1055-1068)
+    merged: List[Plane] = []
+    for plane in planes:
+        absorbed = False
+        if plane.curvature < MAX_CURVATURE:
+            for prev in merged:
+                if prev.curvature < MAX_CURVATURE and prev.is_same_plane(
+                    plane, 0.99, 0.05, 0.2
+                ):
+                    prev.merge_plane(plane)
+                    absorbed = True
+                    break
+        if not absorbed:
+            plane.id = len(merged)
+            merged.append(plane)
+    return merged
 
 
 def _planes_from_labels(
@@ -212,18 +368,20 @@ def merge_planes(pbmap: PbMap) -> PbMap:
 
 
 def extract_frame_planes(frame) -> Tuple[PbMap, List[List[Plane]]]:
-    """Full getPlanes pipeline for a Frame360."""
-    xyz, rgb2, normals, labels = build_sensor_clouds(
-        frame.depth_undistorted_m, frame.rgb
-    )
-    xyz = np.asarray(xyz)
-    rgb2 = np.asarray(rgb2)[..., ::-1]  # stored BGR -> RGB for color stats
-    labels = np.asarray(labels)
+    """Full getPlanes pipeline for a Frame360 (device-stats fast path)."""
+    buf = np.asarray(build_sensor_plane_stats(frame.depth_undistorted_m, frame.rgb))
+    h, w = frame.depth_undistorted_m.shape[1] // 2, frame.depth_undistorted_m.shape[2] // 2
+    labels, cand, xyz16, stats = _unpack_stats_buffer(buf, h, w)
+    if stats[:, -1, 1].max() >= MIN_INLIERS:
+        print(
+            "[plane_extraction] WARNING: >MAX_LABELS plane components on a "
+            "sensor — smallest ones dropped (raise ops/plane_stats.MAX_LABELS)"
+        )
     rt = frame.calib.Rt
 
     local: List[List[Plane]] = []
     for s in range(8):
-        planes = _planes_from_labels(xyz[s], rgb2[s], labels[s], s)
+        planes = _planes_from_stats(stats[s], labels[s], cand[s], xyz16[s], s)
         for p in planes:
             p.transform(rt[s].astype(np.float64))
         local.append(planes)

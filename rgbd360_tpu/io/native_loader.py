@@ -224,9 +224,13 @@ def iter_frames(paths: Sequence[str], threads: int = 2, max_ahead: int = 4):
             for raw in pf:
                 yield raw
             return
-        except ValueError:
+        except ValueError as e:
             # e.g. a resolution change mid-dataset: finish via the Python
-            # reader, which parses dimensions per record
+            # reader, which parses dimensions per record. Logged so a native
+            # parser regression on uniform datasets is visible, not silently
+            # papered over.
+            print(f"[native_loader] native parse failed mid-stream ({e}); "
+                  f"falling back to the Python reader")
             delivered = pf._delivered
             pf.close()
             for p in paths[delivered - 1 :]:

@@ -428,6 +428,7 @@ def fused_sweep_sphere(
     method: int,
     occlusion: int = 0,
     two_pass: bool = False,
+    stats_only: bool = False,
 ):
     """One fused pass: error + Hessian + gradient + stats at `pose`.
 
@@ -441,6 +442,11 @@ def fused_sweep_sphere(
     are placed from the missed subset — recovers nearly all of the kernel's
     coverage deviation at a kernel pass's cost instead of a full XLA gather
     (which is ~6x slower, PERF.md).
+
+    stats_only: skip the Jacobian / Hessian / gradient work and return zero
+    H and g — for the exact-final stats re-sweep, whose consumers (the LC /
+    KF acceptance gates) only read the residual statistics; H/g at the
+    accepted pose already exist from the optimization sweep.
     """
     h, w = shape
     angle_res_inv = w / (2.0 * jnp.pi)
@@ -523,7 +529,8 @@ def fused_sweep_sphere(
             dynamic = visible & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
             visible = visible & ~dynamic
 
-    j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
+    if not stats_only:
+        j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
 
     H = jnp.zeros((6, 6), jnp.float32)
     g = jnp.zeros((6,), jnp.float32)
@@ -541,10 +548,11 @@ def fused_sweep_sphere(
         diff = gray2 - gray_src_flat
         wgt = _huber_weight(diff, STD_DEV_PHOTO) * (1.0 / STD_DEV_PHOTO)
         res = jnp.where(photo_ok, wgt * diff, 0.0)
-        jac = wgt[:, None] * (ggx[:, None] * j_col + ggy[:, None] * j_row)
-        jac = jnp.where(photo_ok[:, None], jac, 0.0)
-        H = H + _mm(jac.T, jac)
-        g = g + _mm(jac.T, res)
+        if not stats_only:
+            jac = wgt[:, None] * (ggx[:, None] * j_col + ggy[:, None] * j_row)
+            jac = jnp.where(photo_ok[:, None], jac, 0.0)
+            H = H + _mm(jac.T, jac)
+            g = g + _mm(jac.T, res)
         photo_err2 = jnp.sum(res * res)
         n_photo = jnp.sum(photo_ok.astype(jnp.int32))
         err2 += photo_err2
@@ -558,11 +566,12 @@ def fused_sweep_sphere(
         reg = STD_DEV_DEPTH * jnp.maximum(depth2, 1e-20)
         wgt = _huber_weight(ddiff, reg) / reg
         res = jnp.where(depth_ok, wgt * ddiff, 0.0)
-        j_dist = chain(p / jnp.maximum(dist, 1e-12)[:, None])
-        jac = wgt[:, None] * (dgx[:, None] * j_col + dgy[:, None] * j_row - j_dist)
-        jac = jnp.where(depth_ok[:, None], jac, 0.0)
-        H = H + _mm(jac.T, jac)
-        g = g + _mm(jac.T, res)
+        if not stats_only:
+            j_dist = chain(p / jnp.maximum(dist, 1e-12)[:, None])
+            jac = wgt[:, None] * (dgx[:, None] * j_col + dgy[:, None] * j_row - j_dist)
+            jac = jnp.where(depth_ok[:, None], jac, 0.0)
+            H = H + _mm(jac.T, jac)
+            g = g + _mm(jac.T, res)
         depth_err2 = jnp.sum(res * res)
         n_depth = jnp.sum(depth_ok.astype(jnp.int32))
         err2 += depth_err2
@@ -698,10 +707,16 @@ def align_level_sphere(
     )
     pose, state, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
     if exact_final and _use_warp_kernel(shape):
-        state = fused_sweep_sphere(
+        # stats-only: the acceptance-gate consumers (LC avDepthResidual<2,
+        # KF >=0.9) read the residual statistics; H/g at the accepted pose
+        # stay as the optimization sweep produced them (windowed — they feed
+        # entropy/info-matrix uses, tolerance-insensitive). Skipping the
+        # Jacobian/H/g recompute makes this re-sweep ~gather-bound.
+        exact = fused_sweep_sphere(
             gray_src_flat, packed, shape, xyz, valid,
-            pose, method, occlusion, two_pass=True,
+            pose, method, occlusion, two_pass=True, stats_only=True,
         )
+        state = exact[:1] + state[1:3] + exact[3:]
     error, H, g, sso, pe2, np_, de2, nd = state
     av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))
     av_depth = jnp.sqrt(de2 / jnp.maximum(nd, 1).astype(jnp.float32))
@@ -718,6 +733,7 @@ def align_frames360(
     min_depth: float = MIN_DEPTH,
     max_depth: float = MAX_DEPTH,
     occlusion: int = 0,
+    need_stats: bool = True,
 ) -> AlignResult:
     """Coarse-to-fine spherical alignment (reference RegisterPhotoICP.h:4519;
     occlusion 0/1/2 selects the plain, z-buffered, or dynamic-occlusion
@@ -725,6 +741,12 @@ def align_frames360(
 
     src_pyrs/trg_pyrs come from build_pyramid_set(..., sphere_seam_mask=True).
     The python level loop unrolls inside one jit.
+
+    need_stats: consumer-driven switch for the finest level's exact-final
+    stats re-sweep (kernel path only). Callers that read the acceptance-gate
+    quantities (avPhotoResidual / avDepthResidual / error / SSO — LC, KF
+    selection, odometry, graph edge gating) keep the default True; pure
+    pose consumers (calibration sweeps) may pass False and skip the cost.
     """
     n_levels = len(src_pyrs[0])
     pose = pose_guess
@@ -736,7 +758,9 @@ def align_frames360(
         pose_new, error, H, g, sso, av_p, av_d, it, ill = align_level_sphere(
             level, pose, method, max_iters=max_iters,
             min_depth=min_depth, max_depth=max_depth, occlusion=occlusion,
-            exact_final=(level_idx == 0),  # only the finest level's stats are reported
+            # only the finest level's stats are reported, and only when the
+            # caller consumes them
+            exact_final=(level_idx == 0 and need_stats),
         )
         # An ill-posed system aborts the whole alignment, keeping the steps
         # accepted so far (reference :4682-4690); levels after an ill-posed
@@ -764,14 +788,17 @@ def align_frames360(
 # called EAGERLY on the axon backend every op pays a ~30 ms dispatch RPC —
 # an unjitted align was minutes per pair instead of tens of milliseconds
 align_frames360_jit = functools.partial(
-    jax.jit, static_argnames=("method", "max_iters", "occlusion")
+    jax.jit, static_argnames=("method", "max_iters", "occlusion", "need_stats")
 )(align_frames360)
 build_pyramid_set_jit = functools.partial(
     jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
 )(build_pyramid_set)
 
 
-@functools.partial(jax.jit, static_argnames=("method", "n_levels", "max_iters", "occlusion"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "n_levels", "max_iters", "occlusion", "need_stats"),
+)
 def align_spheres_jit(
     gray_src,
     depth_src_m,
@@ -782,12 +809,14 @@ def align_spheres_jit(
     n_levels: int = 5,
     max_iters: int = MAX_ITERS,
     occlusion: int = 0,
+    need_stats: bool = True,
 ) -> AlignResult:
     """End-to-end jit: pyramids + gradients + coarse-to-fine alignment."""
     src_pyrs = build_pyramid_set(gray_src, depth_src_m, n_levels, is_target=False, sphere_seam_mask=True)
     trg_pyrs = build_pyramid_set(gray_trg, depth_trg_m, n_levels, is_target=True, sphere_seam_mask=True)
     return align_frames360(
-        src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters, occlusion=occlusion
+        src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters,
+        occlusion=occlusion, need_stats=need_stats,
     )
 
 

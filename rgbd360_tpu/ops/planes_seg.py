@@ -6,8 +6,15 @@ configuration (include/Frame360.h:958-977: min inliers 80, angular threshold
 the same planar region when their normals agree within the angular threshold
 and their plane offsets (n . p) differ by less than the distance threshold.
 Region growing — inherently sequential in PCL — becomes a fixed-point
-min-label flood fill (a lax.while_loop of vectorized 4-neighbour minima),
-converging in O(image diameter) sweeps.
+min-label flood fill. Each round propagates labels along entire connected
+row/column runs with segmented min-scans (lax.associative_scan — one round
+crosses any straight stretch of a region, log-depth, no gathers) and then
+pointer-jumps twice (label <- label[label], the label-doubling shortcut
+through already-learned minima). Plain one-pixel sweeps needed O(diameter)
+rounds (~280 on the half-res grid) and pointer-jumping alone still stalled
+on serpentine regions (64+ rounds measured on the bundled frame); the
+scan+jump rounds converge in a handful. The fixed point — min label per
+connected component — is identical whatever the schedule.
 """
 
 from __future__ import annotations
@@ -26,10 +33,10 @@ MIN_INLIERS = 80
 def segment_planes(
     xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
     normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
-    # min-label propagation moves one pixel per sweep: the half-res sensor
-    # grid is 120x160, so the worst-case distance is 120+160-2 = 278 plus
-    # slack for concave paths around depth holes — 512 bounds it comfortably
-    max_sweeps: int = 512,
+    # with pointer jumping each round roughly doubles the propagation
+    # radius: log2(120+160) ~ 8.2, so 24 rounds is a generous bound (the
+    # while_loop exits on convergence well before it)
+    max_sweeps: int = 24,
 ):
     """Returns labels (H, W) int32: -1 invalid, else the component id (the
     smallest flat pixel index in the component)."""
@@ -62,19 +69,41 @@ def segment_planes(
     BIG = h * w  # sentinel larger than any label
     labels0 = jnp.where(valid, idx, BIG)
 
+    def _seg_scan(vals, conn, axis, reverse):
+        """Segmented min-scan: propagate minima along runs of connected
+        elements (conn[i] = connected to the scan-order predecessor)."""
+
+        def comb(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, jnp.minimum(va, vb), vb), fa & fb
+
+        v, _ = jax.lax.associative_scan(comb, (vals, conn), axis=axis, reverse=reverse)
+        return v
+
+    false_col = jnp.zeros((h, 1), bool)
+    false_row = jnp.zeros((1, w), bool)
+    conn_lr = jnp.concatenate([false_col, right[:, :-1]], axis=1)
+    conn_rl = jnp.concatenate([right[:, :-1], false_col], axis=1)
+    conn_ud = jnp.concatenate([false_row, down[:-1, :]], axis=0)
+    conn_du = jnp.concatenate([down[:-1, :], false_row], axis=0)
+
     def sweep(lab):
-        # pull the min label across each connected edge, both directions
-        shift_l = jnp.pad(lab[:, 1:], ((0, 0), (0, 1)), constant_values=BIG)
-        shift_u = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=BIG)
-        from_right = jnp.where(right, shift_l, BIG)
-        from_down = jnp.where(down, shift_u, BIG)
-        from_left = jnp.pad(jnp.where(right, lab, BIG), ((0, 0), (1, 0)), constant_values=BIG)[:, :w]
-        from_up = jnp.pad(jnp.where(down, lab, BIG), ((1, 0), (0, 0)), constant_values=BIG)[:h, :]
-        new = jnp.minimum(
-            jnp.minimum(lab, from_right),
-            jnp.minimum(from_left, jnp.minimum(from_down, from_up)),
-        )
+        # whole-run propagation in all four directions
+        new = _seg_scan(lab, conn_lr, 1, False)
+        new = jnp.minimum(new, _seg_scan(lab, conn_rl, 1, True))
+        new = jnp.minimum(new, _seg_scan(new, conn_ud, 0, False))
+        new = jnp.minimum(new, _seg_scan(new, conn_du, 0, True))
         return jnp.where(valid, new, BIG)
+
+    def jump(lab):
+        # label <- min(label, label[label]): every label is a pixel index of
+        # a member of the same component (the sweep only pulls labels across
+        # connected edges), so chasing it stays inside the component while
+        # roughly doubling the distance information travels per round
+        flat = jnp.concatenate([lab.reshape(-1), jnp.full((1,), BIG, lab.dtype)])
+        chased = jnp.take(flat, jnp.minimum(lab.reshape(-1), BIG), mode="clip")
+        return jnp.minimum(lab, chased.reshape(h, w))
 
     def cond(state):
         labels, changed, it = state
@@ -82,7 +111,7 @@ def segment_planes(
 
     def body(state):
         labels, _, it = state
-        new = sweep(labels)
+        new = jump(jump(sweep(labels)))
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
@@ -124,12 +153,25 @@ def refine_plane_labels(
 
     NOLAB = jnp.int32(-1)
 
-    def neighbors(lab):
-        up = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=NOLAB)
-        down = jnp.pad(lab[:-1, :], ((1, 0), (0, 0)), constant_values=NOLAB)
-        left = jnp.pad(lab[:, 1:], ((0, 0), (0, 1)), constant_values=NOLAB)
-        right = jnp.pad(lab[:, :-1], ((0, 0), (1, 0)), constant_values=NOLAB)
-        return up, down, left, right
+    # per-pixel model of the pixel's OWN region (labeled pixels only): the
+    # region models are fixed for all sweeps, so each pixel carries its
+    # label's (normal, d) alongside the label — then every sweep's candidate
+    # models come from 1-pixel SHIFTS of these carried planes (pure
+    # elementwise work) instead of per-candidate gathers into the model
+    # tables, which dominated this function's device time (4 candidate
+    # labels x 2 gathers x 8 sweeps)
+    own = jnp.clip(jnp.where(labf >= 0, labf, 0), 0, hw - 1)
+    mod_n = jnp.take(n_mean, own, axis=0).reshape(h, w, 3)
+    mod_d = jnp.take(d_mean, own, axis=0).reshape(h, w)
+
+    def shift(arr, dr, dc, fill):
+        pad = [(max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0))] + [
+            (0, 0)
+        ] * (arr.ndim - 2)
+        out = jnp.pad(arr, pad, constant_values=fill)
+        return out[
+            max(-dr, 0) : max(-dr, 0) + h, max(-dc, 0) : max(-dc, 0) + w
+        ]
 
     lab = labels
     for _ in range(sweeps):
@@ -138,13 +180,19 @@ def refine_plane_labels(
         # still be absorbed (taking only the max label and testing that one
         # candidate left such pixels unlabeled forever)
         best = jnp.full_like(lab, NOLAB)
-        for cand in neighbors(lab):
-            safe = jnp.clip(cand, 0, hw - 1)
-            n_c = jnp.take(n_mean, safe.reshape(-1), axis=0).reshape(h, w, 3)
-            d_c = jnp.take(d_mean, safe.reshape(-1), axis=0).reshape(h, w)
+        best_n = jnp.zeros((h, w, 3), jnp.float32)
+        best_d = jnp.zeros((h, w), jnp.float32)
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            cand = shift(lab, dr, dc, NOLAB)
+            n_c = shift(mod_n, dr, dc, 0.0)
+            d_c = shift(mod_d, dr, dc, 0.0)
             fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < DISTANCE_THRESHOLD
-            cand_ok = (cand >= 0) & fit
-            best = jnp.where(cand_ok & (cand > best), cand, best)
+            take_it = (cand >= 0) & fit & (cand > best)
+            best = jnp.where(take_it, cand, best)
+            best_n = jnp.where(take_it[..., None], n_c, best_n)
+            best_d = jnp.where(take_it, d_c, best_d)
         grow = (lab < 0) & valid_xyz & (best >= 0)
         lab = jnp.where(grow, best, lab)
+        mod_n = jnp.where(grow[..., None], best_n, mod_n)
+        mod_d = jnp.where(grow, best_d, mod_d)
     return lab

@@ -15,13 +15,15 @@ import jax
 from rgbd360_tpu.ops import photoicp
 
 
-def _align_single(gray_src, depth_src, gray_trg, depth_trg, pose_guess, method, n_levels):
+def _align_single(
+    gray_src, depth_src, gray_trg, depth_trg, pose_guess, method, n_levels, need_stats
+):
     src = photoicp.build_pyramid_set(gray_src, depth_src, n_levels, is_target=False, sphere_seam_mask=True)
     trg = photoicp.build_pyramid_set(gray_trg, depth_trg, n_levels, is_target=True, sphere_seam_mask=True)
-    return photoicp.align_frames360(src, trg, pose_guess, method)
+    return photoicp.align_frames360(src, trg, pose_guess, method, need_stats=need_stats)
 
 
-@functools.partial(jax.jit, static_argnames=("method", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("method", "n_levels", "need_stats"))
 def align_batch(
     gray_src,  # (B, H, W) f32
     depth_src,  # (B, H, W) f32 metres
@@ -30,8 +32,11 @@ def align_batch(
     pose_guess,  # (B, 4, 4)
     method: int = photoicp.PHOTO_DEPTH,
     n_levels: int = 5,
+    need_stats: bool = True,
 ) -> photoicp.AlignResult:
     """Register B independent pairs in one fused program."""
     return jax.vmap(
-        lambda gs, ds, gt, dt, p: _align_single(gs, ds, gt, dt, p, method, n_levels)
+        lambda gs, ds, gt, dt, p: _align_single(
+            gs, ds, gt, dt, p, method, n_levels, need_stats
+        )
     )(gray_src, depth_src, gray_trg, depth_trg, pose_guess)

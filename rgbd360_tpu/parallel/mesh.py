@@ -35,14 +35,14 @@ def shard_pairs(mesh: Mesh, *arrays):
 
 
 @functools.lru_cache(maxsize=32)
-def _align_sharded_fn(mesh: Mesh, method: int, n_levels: int):
+def _align_sharded_fn(mesh: Mesh, method: int, n_levels: int, need_stats: bool = True):
     """jit caches on the function object — build one jitted callable per
-    (mesh, method, n_levels) so repeated calls with stable shapes reuse the
-    compiled executable instead of retracing."""
+    (mesh, method, n_levels, need_stats) so repeated calls with stable shapes
+    reuse the compiled executable instead of retracing."""
     data_spec = NamedSharding(mesh, P(PAIR_AXIS))
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        functools.partial(align_batch, method=method, n_levels=n_levels),
+        functools.partial(align_batch, method=method, n_levels=n_levels, need_stats=need_stats),
         in_shardings=(data_spec,) * 5,
         out_shardings=repl,
     )
@@ -57,6 +57,7 @@ def align_batch_sharded(
     pose_guess,
     method: int = photoicp.PHOTO_DEPTH,
     n_levels: int = 5,
+    need_stats: bool = True,
 ) -> photoicp.AlignResult:
     """Data-parallel batched registration: batch axis split over PAIR_AXIS.
 
@@ -64,7 +65,7 @@ def align_batch_sharded(
     steady state because pairs are independent (gradients/Hessians are
     per-pair 6x6 — they never cross chips).
     """
-    fn = _align_sharded_fn(mesh, method, n_levels)
+    fn = _align_sharded_fn(mesh, method, n_levels, need_stats)
     return fn(gray_src, depth_src, gray_trg, depth_trg, pose_guess)
 
 

@@ -9,6 +9,7 @@ import pytest
 from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
 from rgbd360_tpu.core.loop_closure import LoopClosure360
 from rgbd360_tpu.core.map360 import Map360
+from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH
 from rgbd360_tpu.core.relocalizer import Relocalizer360
 
 
@@ -144,3 +145,61 @@ def test_loop_closure_reference_gates_on_room(calib):
     # gate the full translation VECTOR: |t| alone is inversion-invariant and
     # silently accepted inverted loop-closure constraints
     np.testing.assert_allclose(rel_est[:3, 3], rel[:3, 3], atol=0.08)
+
+
+def test_loop_closure_batched_multi_candidate_matches_sequential(calib):
+    """Two surviving candidates route through the ONE vmapped align_batch
+    call (core/loop_closure._refine_batch); accepted edges must match the
+    sequential facade refinement (VERDICT r2 #6 'done' criterion)."""
+    import rgbd360_tpu.core.loop_closure as lc_mod
+    from room_scene import room_frame
+    from rgbd360_tpu.core.register_photoicp import RegisterPhotoICP
+
+    rel1 = np.eye(4)
+    rel1[1, 3] = 0.25
+    rel1[2, 3] = -0.1
+    rel2 = np.eye(4)
+    rel2[1, 3] = -0.2
+    rel2[0, 3] = 0.1
+    f_a = room_frame(calib, np.eye(4), 0)
+    f_b = room_frame(calib, rel2, 1)
+    f_new = room_frame(calib, rel1, 2)
+
+    world = Map360()
+    optimizer = GraphOptimizer()
+    world.add_keyframe(f_a, np.eye(4, dtype=np.float32))
+    optimizer.add_vertex(np.eye(4))
+    world.add_keyframe(f_b, rel2.astype(np.float32))
+    optimizer.add_vertex(rel2)
+    world.add_keyframe(f_new, rel1.astype(np.float32))
+    optimizer.add_vertex(rel1)
+    # both old KFs are far in trajectory but near in space
+    world.trajectory_increments[2] = 16.0
+    world.trajectory_increments[1] = 8.0
+
+    lc = LoopClosure360(world, optimizer)
+    with world.mutex:
+        cands = lc._candidates(2)
+    assert len(cands) == 2  # the batched path will engage
+
+    n = lc.process_new_keyframe(2)
+    assert n == 2
+    assert set(world.connection_kfs[2].keys()) == {0, 1}
+
+    # the batched poses equal the sequential facade refinement
+    aligner = RegisterPhotoICP(5)
+    for cand, truth in ((0, rel1), (1, np.linalg.inv(rel2) @ rel1)):
+        rel_est, info = world.connection_kfs[2][cand]
+        cand_kf = world.frames[cand]
+        aligner.set_target_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
+        aligner.set_source_frame(f_new.sphere_rgb, f_new.sphere_depth_mm)
+        # seed with the stored (already conjugated-back) relative pose
+        seq_guess = lc.rot_offset @ rel_est @ np.linalg.inv(lc.rot_offset)
+        aligner.align_frames360(seq_guess.astype(np.float32), PHOTO_DEPTH)
+        seq_rel = (
+            np.linalg.inv(lc.rot_offset)
+            @ aligner.get_optimal_pose().astype(np.float64)
+            @ lc.rot_offset
+        )
+        np.testing.assert_allclose(rel_est[:3, 3], seq_rel[:3, 3], atol=1e-3)
+        np.testing.assert_allclose(rel_est[:3, 3], truth[:3, 3], atol=0.08)
