@@ -154,7 +154,7 @@ class LoopClosure360:
             cand_kf = m.frames[cand]
             self.aligner.set_target_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
             self.aligner.set_source_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
-            self.aligner.align_frames360(guess, PHOTO_DEPTH)
+            self.aligner.align_frames360(guess, PHOTO_DEPTH, full_coverage=True)
             results = [
                 (
                     cand,
@@ -217,6 +217,7 @@ class LoopClosure360:
             jnp.asarray(np.stack(dt)),
             jnp.asarray(np.stack(seeds)),
             n_levels=self.aligner.n_pyr_levels,
+            full_coverage=True,  # LC-scale motion: banded re-gather in-loop
         )
         poses = np.asarray(res.pose)
         av_depth = np.asarray(res.av_depth_residual)

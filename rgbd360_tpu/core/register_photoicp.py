@@ -59,9 +59,12 @@ class RegisterPhotoICP:
         pose_guess: Optional[np.ndarray] = None,
         method: int = PHOTO_CONSISTENCY,
         occlusion: int = 0,
+        full_coverage: bool = False,
     ) -> np.ndarray:
         """occlusion: 0 plain, 1 z-buffered (Occ1), 2 +dynamic-occlusion (Occ2),
-        mirroring the reference parameter (RegisterPhotoICP.h:4519)."""
+        mirroring the reference parameter (RegisterPhotoICP.h:4519).
+        full_coverage: banded re-gather inside every GN sweep — for
+        large-motion callers (LC refinement, relocalization verify)."""
         assert self._src is not None and self._trg is not None, "set frames first"
         guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
         from rgbd360_tpu.utils.timing import stage
@@ -71,7 +74,8 @@ class RegisterPhotoICP:
             sync=lambda: np.asarray(self._result.pose) if self._result else None,
         ):
             self._result = photoicp.align_frames360_jit(
-                self._src, self._trg, guess, method, occlusion=occlusion
+                self._src, self._trg, guess, method, occlusion=occlusion,
+                full_coverage=full_coverage,
             )
         return self.get_optimal_pose()
 

@@ -56,44 +56,46 @@ def fast_bilateral_z(z: jnp.ndarray) -> jnp.ndarray:
     xi = jnp.broadcast_to(xi, (h, w))
 
     flat = (yi * gw + xi) * gd + di
-    wsum = jnp.zeros(gh * gw * gd, jnp.float32).at[flat.reshape(-1)].add(
-        jnp.where(valid, 1.0, 0.0).reshape(-1)
+    feat = jnp.stack(
+        [jnp.where(valid, zv, 0.0), jnp.where(valid, 1.0, 0.0)], axis=-1
+    ).reshape(-1, 2)
+    grid = (
+        jnp.zeros((gh * gw * gd, 2), jnp.float32)
+        .at[flat.reshape(-1)]
+        .add(feat)  # one (value, weight) scatter instead of two scalar ones
+        .reshape(gh, gw, gd, 2)
     )
-    vsum = jnp.zeros(gh * gw * gd, jnp.float32).at[flat.reshape(-1)].add(
-        jnp.where(valid, zv, 0.0).reshape(-1)
-    )
-    grid = jnp.stack([vsum, wsum], axis=-1).reshape(gh, gw, gd, 2)
     for axis in range(3):
         grid = _blur_axis(grid, axis)
 
-    # trilinear slice at the real-valued grid coordinates
-    def tri(grid_c):
-        gy = jnp.broadcast_to(yy, (h, w))
-        gx = jnp.broadcast_to(xx, (h, w))
-        gz = dd
-        y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, gh - 2)
-        x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, gw - 2)
-        z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, gd - 2)
-        fy = gy - y0
-        fx = gx - x0
-        fz = gz - z0
-        flatg = grid_c.reshape(-1)
+    # trilinear slice at the real-valued grid coordinates; the 8 corner
+    # fetches gather (value, weight) ROWS together — 8 takes, not 16
+    gy = jnp.broadcast_to(yy, (h, w))
+    gx = jnp.broadcast_to(xx, (h, w))
+    gz = dd
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, gh - 2)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, gw - 2)
+    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, gd - 2)
+    fy = gy - y0
+    fx = gx - x0
+    fz = gz - z0
+    flatg = grid.reshape(-1, 2)
 
-        def at(dy, dx, dz):
-            return jnp.take(flatg, ((y0 + dy) * gw + (x0 + dx)) * gd + (z0 + dz))
+    def at(dy, dx, dz):
+        idx = ((y0 + dy) * gw + (x0 + dx)) * gd + (z0 + dz)
+        return jnp.take(flatg, idx.reshape(-1), axis=0).reshape(h, w, 2)
 
-        return (
-            at(0, 0, 0) * (1 - fy) * (1 - fx) * (1 - fz)
-            + at(1, 0, 0) * fy * (1 - fx) * (1 - fz)
-            + at(0, 1, 0) * (1 - fy) * fx * (1 - fz)
-            + at(0, 0, 1) * (1 - fy) * (1 - fx) * fz
-            + at(1, 1, 0) * fy * fx * (1 - fz)
-            + at(1, 0, 1) * fy * (1 - fx) * fz
-            + at(0, 1, 1) * (1 - fy) * fx * fz
-            + at(1, 1, 1) * fy * fx * fz
-        )
-
-    num = tri(grid[..., 0])
-    den = tri(grid[..., 1])
+    acc = (
+        at(0, 0, 0) * ((1 - fy) * (1 - fx) * (1 - fz))[..., None]
+        + at(1, 0, 0) * (fy * (1 - fx) * (1 - fz))[..., None]
+        + at(0, 1, 0) * ((1 - fy) * fx * (1 - fz))[..., None]
+        + at(0, 0, 1) * ((1 - fy) * (1 - fx) * fz)[..., None]
+        + at(1, 1, 0) * (fy * fx * (1 - fz))[..., None]
+        + at(1, 0, 1) * (fy * (1 - fx) * fz)[..., None]
+        + at(0, 1, 1) * ((1 - fy) * fx * fz)[..., None]
+        + at(1, 1, 1) * (fy * fx * fz)[..., None]
+    )
+    num = acc[..., 0]
+    den = acc[..., 1]
     zf = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), z)
     return jnp.where(valid, zf, z)

@@ -92,16 +92,19 @@ def organized_normals(
     gy_m = jnp.where((gy_ok & clean)[..., None], gy, 0.0)
     cnt_x = (gx_ok & clean).astype(jnp.float32)
     cnt_y = (gy_ok & clean).astype(jnp.float32)
+    # one 8-channel feature image -> ONE integral image / box-sum pass per
+    # window type instead of four (the corner fetches gather 8-channel rows)
+    feats = jnp.concatenate(
+        [gx_m, gy_m, cnt_x[..., None], cnt_y[..., None]], axis=-1
+    )
 
     # Primary path: full fixed window of masked gradients, accepted when a
     # supermajority of the window is edge-free (the smoothest estimate a
     # window not dominated by discontinuities can give; measured on the
     # bundled pair this beats pure window-shrinking, which fragments regions
     # near edges — see tests/test_planes.py::test_normals_edge_fillin).
-    sum_gx = _box_sum(gx_m, r)
-    sum_gy = _box_sum(gy_m, r)
-    n_gx = _box_sum(cnt_x, r)
-    n_gy = _box_sum(cnt_y, r)
+    box = _box_sum(feats, r)
+    sum_gx, sum_gy, n_gx, n_gy = box[..., 0:3], box[..., 3:6], box[..., 6], box[..., 7]
     win = float((2 * r + 1) ** 2)
     normal = jnp.cross(sum_gx, sum_gy)
     norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
@@ -130,10 +133,9 @@ def organized_normals(
     for _ in range(r):
         dist = jnp.minimum(dist, min3x3(dist) + 1.0)
     r_px = jnp.clip(dist - 1.0, 1.0, float(r)).astype(jnp.int32)  # per-pixel radius
-    sum_gx_s = _box_sum_var(gx_m, r_px)
-    sum_gy_s = _box_sum_var(gy_m, r_px)
-    n_gx_s = _box_sum_var(cnt_x, r_px)
-    n_gy_s = _box_sum_var(cnt_y, r_px)
+    box_s = _box_sum_var(feats, r_px)
+    sum_gx_s, sum_gy_s = box_s[..., 0:3], box_s[..., 3:6]
+    n_gx_s, n_gy_s = box_s[..., 6], box_s[..., 7]
     normal_s = jnp.cross(sum_gx_s, sum_gy_s)
     norm_s = jnp.linalg.norm(normal_s, axis=-1, keepdims=True)
     ok_s = clean & (n_gx_s >= 2.0) & (n_gy_s >= 2.0) & (norm_s[..., 0] > 1e-12)

@@ -514,7 +514,21 @@ def fused_sweep_sphere(
             vis2d = visible.reshape(h, w)
             r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
             c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
-            visible = visible & window_mask_reference(r2d, c2d).reshape(-1)
+            mask = window_mask_reference(r2d, c2d)
+            if two_pass:
+                # banded re-gather coverage: the min- and max-anchored
+                # passes place their windows from the still-missed subset,
+                # exactly like warp_gather_masked/_masked_max (the values an
+                # XLA gather produces are exact wherever covered)
+                for policy in ("min", "max"):
+                    miss = vis2d & ~mask
+                    mask = mask | (
+                        window_mask_reference(
+                            r2d, c2d, active=miss, row_policy=policy
+                        )
+                        & miss
+                    )
+            visible = visible & mask.reshape(-1)
 
     if occlusion:
         # z-buffer: only the closest source point per target pixel survives
@@ -585,6 +599,100 @@ def fused_sweep_sphere(
 THRES_DEPTH_OUTLIERS = 0.3  # alignFrames360 sets this for Occ2 (:4525)
 
 
+def _exact_final_missed_stats(
+    gray_src_flat: jnp.ndarray,
+    packed: jnp.ndarray,  # kernel-path target layout (H, 4|8, W)
+    shape: Tuple[int, int],
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    method: int,
+):
+    """Residual statistics of ONLY the pixels the kernel's windows missed at
+    `pose`: the in-window mask is recomputed in pure XLA
+    (warp_gather.window_mask_reference mirrors the kernel's window selection
+    exactly), then the min- and max-anchored masked kernel passes re-gather
+    just the missed set. Combined with the optimization sweep's own windowed
+    sums (already evaluated at the accepted pose), this reproduces the
+    three-pass exact-final stats at two kernel passes instead of three.
+
+    Returns (photo_err2, n_photo, depth_err2, n_depth, n_extra_visible).
+    """
+    from rgbd360_tpu.ops.warp_gather import (
+        warp_gather_masked,
+        warp_gather_masked_max,
+        window_mask_reference,
+    )
+
+    h, w = shape
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p = _mm(xyz, R.T) + t
+    dist, r_int, c_int, inb = sphere_project(p, h, w)
+    visible = valid & inb
+    src_rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    vis2d = visible.reshape(h, w)
+    r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
+    c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
+
+    in_window = window_mask_reference(r2d, c2d)
+    planes_out = None
+    for gather_k in (warp_gather_masked, warp_gather_masked_max):
+        miss = vis2d & ~in_window
+        out_k, hit_k = gather_k(packed, r2d, c2d, miss)
+        if planes_out is None:
+            planes_out = out_k
+            covered = hit_k
+        else:
+            planes_out = jnp.where(covered[None], planes_out, out_k)
+            covered = covered | hit_k
+        in_window = in_window | hit_k
+
+    if packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
+        gray2, d_lo = _unpack2_f16_bits(planes_out[0].reshape(-1))
+        d_hi, _ = _unpack2_f16_bits(planes_out[1].reshape(-1))
+        depth2 = d_hi + d_lo
+        ggx, ggy = _unpack2_f16_bits(planes_out[2].reshape(-1))
+        dgx, dgy = _unpack2_f16_bits(planes_out[3].reshape(-1))
+    else:
+        gray2 = planes_out[0].reshape(-1)
+        depth2 = planes_out[1].reshape(-1)
+        ggx = planes_out[2].reshape(-1)
+        ggy = planes_out[3].reshape(-1)
+        dgx = planes_out[4].reshape(-1)
+        dgy = planes_out[5].reshape(-1)
+
+    extra = (visible & covered.reshape(-1)).astype(jnp.float32)
+    n_extra = jnp.sum(extra)
+    vis = visible & covered.reshape(-1)
+    photo_err2 = jnp.float32(0.0)
+    n_photo = jnp.int32(0)
+    depth_err2 = jnp.float32(0.0)
+    n_depth = jnp.int32(0)
+    photo_ok = None
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        salient = (jnp.abs(ggx) >= THRES_SALIENCY) | (jnp.abs(ggy) >= THRES_SALIENCY)
+        photo_ok = vis & salient
+        diff = gray2 - gray_src_flat
+        wgt = _huber_weight(diff, STD_DEV_PHOTO) * (1.0 / STD_DEV_PHOTO)
+        res = jnp.where(photo_ok, wgt * diff, 0.0)
+        photo_err2 = jnp.sum(res * res)
+        n_photo = jnp.sum(photo_ok.astype(jnp.int32))
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        salient = (jnp.abs(dgx) >= THRES_SALIENCY) | (jnp.abs(dgy) >= THRES_SALIENCY)
+        depth_ok = vis & jnp.isfinite(depth2) & salient
+        if method == PHOTO_DEPTH:
+            depth_ok = depth_ok & photo_ok
+        ddiff = depth2 - dist
+        reg = STD_DEV_DEPTH * jnp.maximum(depth2, 1e-20)
+        wgt = _huber_weight(ddiff, reg) / reg
+        res = jnp.where(depth_ok, wgt * ddiff, 0.0)
+        depth_err2 = jnp.sum(res * res)
+        n_depth = jnp.sum(depth_ok.astype(jnp.int32))
+    return photo_err2, n_photo, depth_err2, n_depth, n_extra
+
+
 def occlusion_mask_sphere(
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
@@ -633,6 +741,7 @@ def align_level_sphere(
     max_depth: float = MAX_DEPTH,
     occlusion: int = 0,
     exact_final: bool = False,
+    full_coverage: bool = False,
 ):
     """One pyramid level of alignFrames360's Gauss-Newton loop
     (reference RegisterPhotoICP.h:4589-4772).
@@ -665,8 +774,15 @@ def align_level_sphere(
         packed = pack_target_channels(level)
 
     def sweep(pose):
+        # full_coverage: large-motion callers (LC refinement, relocalization
+        # verify) run the banded min/max-anchored re-gathers inside EVERY GN
+        # sweep, not just at exact-final — the kernel's window mask then
+        # loses almost no pixels even at loop-closure-scale motion
+        # (VERDICT r2 #3; reference full-coverage semantics,
+        # RegisterPhotoICP.h:2678-2687)
         return fused_sweep_sphere(
-            gray_src_flat, packed, shape, xyz, valid, pose, method, occlusion
+            gray_src_flat, packed, shape, xyz, valid, pose, method, occlusion,
+            two_pass=full_coverage,
         )
 
     state0 = sweep(pose0)
@@ -707,16 +823,34 @@ def align_level_sphere(
     )
     pose, state, _, _, it, ill = jax.lax.while_loop(cond, body, carry0)
     if exact_final and _use_warp_kernel(shape):
-        # stats-only: the acceptance-gate consumers (LC avDepthResidual<2,
-        # KF >=0.9) read the residual statistics; H/g at the accepted pose
-        # stay as the optimization sweep produced them (windowed — they feed
-        # entropy/info-matrix uses, tolerance-insensitive). Skipping the
-        # Jacobian/H/g recompute makes this re-sweep ~gather-bound.
-        exact = fused_sweep_sphere(
-            gray_src_flat, packed, shape, xyz, valid,
-            pose, method, occlusion, two_pass=True, stats_only=True,
-        )
-        state = exact[:1] + state[1:3] + exact[3:]
+        # Exact-final stats: the acceptance-gate consumers (LC
+        # avDepthResidual<2, KF >=0.9) read the residual statistics; H/g at
+        # the accepted pose stay as the optimization sweep produced them
+        # (windowed — they feed entropy/info-matrix uses,
+        # tolerance-insensitive).
+        if occlusion == 0:
+            # fast path: the loop state's residual sums are already the
+            # in-window contributions at the accepted pose; add ONLY the
+            # missed pixels via the two masked re-gather passes (saves the
+            # full third kernel pass the previous formulation re-ran)
+            _e, H_s, g_s, sso_s, pe2_s, np_s, de2_s, nd_s = state
+            m_pe2, m_np, m_de2, m_nd, n_extra = _exact_final_missed_stats(
+                gray_src_flat, packed, shape, xyz, valid, pose, method
+            )
+            pe2 = pe2_s + m_pe2
+            np2 = np_s + m_np
+            de2 = de2_s + m_de2
+            nd2 = nd_s + m_nd
+            n_terms = jnp.maximum(np2 + nd2, 1).astype(jnp.float32)
+            error = jnp.sqrt((pe2 + de2) / n_terms)
+            sso = sso_s + n_extra / jnp.float32(shape[0] * shape[1])
+            state = (error, H_s, g_s, sso, pe2, np2, de2, nd2)
+        else:
+            exact = fused_sweep_sphere(
+                gray_src_flat, packed, shape, xyz, valid,
+                pose, method, occlusion, two_pass=True, stats_only=True,
+            )
+            state = exact[:1] + state[1:3] + exact[3:]
     error, H, g, sso, pe2, np_, de2, nd = state
     av_photo = jnp.sqrt(pe2 / jnp.maximum(np_, 1).astype(jnp.float32))
     av_depth = jnp.sqrt(de2 / jnp.maximum(nd, 1).astype(jnp.float32))
@@ -734,6 +868,7 @@ def align_frames360(
     max_depth: float = MAX_DEPTH,
     occlusion: int = 0,
     need_stats: bool = True,
+    full_coverage: bool = False,
 ) -> AlignResult:
     """Coarse-to-fine spherical alignment (reference RegisterPhotoICP.h:4519;
     occlusion 0/1/2 selects the plain, z-buffered, or dynamic-occlusion
@@ -759,8 +894,10 @@ def align_frames360(
             level, pose, method, max_iters=max_iters,
             min_depth=min_depth, max_depth=max_depth, occlusion=occlusion,
             # only the finest level's stats are reported, and only when the
-            # caller consumes them
-            exact_final=(level_idx == 0 and need_stats),
+            # caller consumes them; full-coverage loops already carry
+            # banded-coverage stats at the accepted pose
+            exact_final=(level_idx == 0 and need_stats and not full_coverage),
+            full_coverage=full_coverage,
         )
         # An ill-posed system aborts the whole alignment, keeping the steps
         # accepted so far (reference :4682-4690); levels after an ill-posed
@@ -788,7 +925,7 @@ def align_frames360(
 # called EAGERLY on the axon backend every op pays a ~30 ms dispatch RPC —
 # an unjitted align was minutes per pair instead of tens of milliseconds
 align_frames360_jit = functools.partial(
-    jax.jit, static_argnames=("method", "max_iters", "occlusion", "need_stats")
+    jax.jit, static_argnames=("method", "max_iters", "occlusion", "need_stats", "full_coverage")
 )(align_frames360)
 build_pyramid_set_jit = functools.partial(
     jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
@@ -797,7 +934,7 @@ build_pyramid_set_jit = functools.partial(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "n_levels", "max_iters", "occlusion", "need_stats"),
+    static_argnames=("method", "n_levels", "max_iters", "occlusion", "need_stats", "full_coverage"),
 )
 def align_spheres_jit(
     gray_src,
@@ -810,13 +947,14 @@ def align_spheres_jit(
     max_iters: int = MAX_ITERS,
     occlusion: int = 0,
     need_stats: bool = True,
+    full_coverage: bool = False,
 ) -> AlignResult:
     """End-to-end jit: pyramids + gradients + coarse-to-fine alignment."""
     src_pyrs = build_pyramid_set(gray_src, depth_src_m, n_levels, is_target=False, sphere_seam_mask=True)
     trg_pyrs = build_pyramid_set(gray_trg, depth_trg_m, n_levels, is_target=True, sphere_seam_mask=True)
     return align_frames360(
         src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters,
-        occlusion=occlusion, need_stats=need_stats,
+        occlusion=occlusion, need_stats=need_stats, full_coverage=full_coverage,
     )
 
 

@@ -16,14 +16,20 @@ from rgbd360_tpu.ops import photoicp
 
 
 def _align_single(
-    gray_src, depth_src, gray_trg, depth_trg, pose_guess, method, n_levels, need_stats
+    gray_src, depth_src, gray_trg, depth_trg, pose_guess, method, n_levels,
+    need_stats, full_coverage,
 ):
     src = photoicp.build_pyramid_set(gray_src, depth_src, n_levels, is_target=False, sphere_seam_mask=True)
     trg = photoicp.build_pyramid_set(gray_trg, depth_trg, n_levels, is_target=True, sphere_seam_mask=True)
-    return photoicp.align_frames360(src, trg, pose_guess, method, need_stats=need_stats)
+    return photoicp.align_frames360(
+        src, trg, pose_guess, method, need_stats=need_stats,
+        full_coverage=full_coverage,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("method", "n_levels", "need_stats"))
+@functools.partial(
+    jax.jit, static_argnames=("method", "n_levels", "need_stats", "full_coverage")
+)
 def align_batch(
     gray_src,  # (B, H, W) f32
     depth_src,  # (B, H, W) f32 metres
@@ -33,10 +39,11 @@ def align_batch(
     method: int = photoicp.PHOTO_DEPTH,
     n_levels: int = 5,
     need_stats: bool = True,
+    full_coverage: bool = False,
 ) -> photoicp.AlignResult:
     """Register B independent pairs in one fused program."""
     return jax.vmap(
         lambda gs, ds, gt, dt, p: _align_single(
-            gs, ds, gt, dt, p, method, n_levels, need_stats
+            gs, ds, gt, dt, p, method, n_levels, need_stats, full_coverage
         )
     )(gray_src, depth_src, gray_trg, depth_trg, pose_guess)
