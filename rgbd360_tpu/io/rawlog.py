@@ -16,8 +16,14 @@ container natively:
   intensityImage, sensorPose, sensorLabel, timestamp — LoadRawlog.cpp:247-283);
   sub-features the app never exercises (JPEG-compressed CImage payloads,
   points3D vectors, confidence images, externally-stored images) are refused
-  with a clear error instead of mis-parsed. Round-trip fidelity is gated by
-  tests against this module's writer.
+  with a clear error instead of mis-parsed, and stream versions whose layout
+  is not implemented are refused by _guard_version (no length prefix = no
+  safe skip). The READER is gated against an independently hand-assembled
+  byte fixture (tests/golden/minimal_v6.rawlog, built by
+  tests/make_rawlog_fixture.py without this module's writer) in addition to
+  round-trips against the writer. Outstanding: no archive written by real
+  MRPT exists in this image (no sources, no egress), so byte-level fidelity
+  against genuine MRPT output remains ungated — a real sample would close it.
 
 Primitive encodings (MRPT CStream): little-endian scalars; strings are
 `uint32 length` + raw bytes; timestamps are `uint64` (100 ns ticks).
@@ -102,10 +108,23 @@ def _expect_end(f: BinaryIO, classname: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _guard_version(name: str, version: int, implemented) -> None:
+    """MRPT payloads carry no length prefix, so a version whose layout we
+    do not know CANNOT be skipped or guessed at — fail loudly with the
+    version so the mismatch is diagnosable (version-tolerance guard)."""
+    if version not in implemented:
+        raise ValueError(
+            f"{name} stream version {version}: only version(s) "
+            f"{sorted(implemented)} layouts are implemented — a different "
+            f"version's field layout would be silently misparsed"
+        )
+
+
 def _read_pose3d(f: BinaryIO) -> np.ndarray:
     name, version = _read_header(f)
     if name != "CPose3D":
         raise ValueError(f"expected CPose3D, got {name}")
+    _guard_version(name, version, {1})
     # 3x4 [R|t] row-major f64 (the homogeneous-coordinates representation of
     # the reference-era CPose3D stream)
     vals = _read_fmt(f, "12d")
@@ -125,6 +144,7 @@ def _read_cmatrix(f: BinaryIO) -> np.ndarray:
     name, version = _read_header(f)
     if name not in ("CMatrix", "CMatrixF"):
         raise ValueError(f"expected CMatrix, got {name}")
+    _guard_version(name, version, {0})
     rows, cols = _read_fmt(f, "II")
     if rows * cols > 1 << 26:
         raise ValueError(f"implausible matrix {rows}x{cols}")
@@ -145,6 +165,7 @@ def _read_cimage(f: BinaryIO) -> np.ndarray:
     name, version = _read_header(f)
     if name != "CImage":
         raise ValueError(f"expected CImage, got {name}")
+    _guard_version(name, version, {9})
     (external,) = _read_fmt(f, "B")
     if external:
         raise ValueError("externally-stored CImage not supported")
@@ -260,8 +281,8 @@ def _write_obs2d(f: BinaryIO, obs: Obs2DRangeScan) -> None:
 
 
 _READERS = {
-    "CObservation3DRangeScan": _read_obs3d,
-    "CObservation2DRangeScan": _read_obs2d,
+    "CObservation3DRangeScan": (_read_obs3d, {6}),
+    "CObservation2DRangeScan": (_read_obs2d, {7}),
 }
 
 
@@ -283,10 +304,11 @@ def read_rawlog(path: str) -> Iterator[object]:
             if header is None:
                 return
             name, version = header
-            reader = _READERS.get(name)
+            reader, versions = _READERS.get(name, (None, None))
             if reader is None:
                 # no length prefix: an unknown class cannot be skipped
                 raise ValueError(f"unsupported rawlog object class {name!r}")
+            _guard_version(name, version, versions)
             obs = reader(f)
             _expect_end(f, name)
             yield obs
