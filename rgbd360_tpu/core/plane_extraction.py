@@ -58,11 +58,15 @@ def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
 # Stats-buffer layout (one packed u8 array — the axon tunnel charges ~25 ms
 # per transferred ARRAY plus ~25 ms/MB, so everything rides in one buffer):
 #   A: per-pixel (label+1)<<1 | candidate  (u16, or u32 for >2^15-px sensors)
-#   B: per-pixel half-res cloud, f16 (hull vertices tolerate ~1-3 mm)
+#   B: compacted hull candidates: indices (8, C) u16/u32 (pad = h*w) and
+#      coordinates (8, C, 3) f16 (hull vertices tolerate ~1-3 mm) — only the
+#      ~5% octagon-boundary pixels cross the wire instead of the full cloud
 #   C: per-label stats f32 (8, MAX_LABELS, _NF):
 #      [label_id, count, mean(3), cov6(6), evals(3), normal(3), curvature,
 #       hist(74), sum_rgb(3)]
+#   D: per-sensor candidate counts (8,) i32 (overflow detection)
 _NF = 95
+MAX_CANDIDATES = 4096  # ~2.5x the max observed on the bundled frames (1607)
 
 
 @jax.jit
@@ -83,11 +87,27 @@ def build_sensor_plane_stats(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
 
     st, xyz2 = jax.vmap(one)(depth_undist_m, rgb)
     h, w = st.labels.shape[1:]
+    hw = h * w
     labpack = ((st.labels + 1) << 1) | st.candidate.astype(jnp.int32)
-    if h * w * 2 + 1 < 2**16:
+    idx_dtype = jnp.uint16 if hw < 2**16 else jnp.uint32
+    if hw * 2 + 1 < 2**16:
         labpack = labpack.astype(jnp.uint16)
     else:
         labpack = labpack.astype(jnp.uint32)
+
+    # compacted candidates: top-C by (candidate, ascending pixel index)
+    C = MAX_CANDIDATES
+    candf = st.candidate.reshape(8, hw)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
+    key = jnp.where(candf, hw - pix, -1)
+    _vals, cidx = jax.lax.top_k(key, C)  # (8, C) pixel indices, pad where key<0
+    slot_ok = _vals > 0
+    cidx_out = jnp.where(slot_ok, cidx, hw).astype(idx_dtype)
+    cxyz = jnp.take_along_axis(
+        xyz2.reshape(8, hw, 3), jnp.minimum(cidx, hw - 1)[..., None], axis=1
+    )
+    cxyz = jnp.where(slot_ok[..., None], cxyz, jnp.nan).astype(jnp.float16)
+    n_cand = jnp.sum(candf, axis=1).astype(jnp.int32)  # true counts (overflow check)
     cov6 = st.cov.reshape(*st.cov.shape[:-2], 9)[..., jnp.array([0, 1, 2, 4, 5, 8])]
     stats = jnp.concatenate(
         [
@@ -105,30 +125,40 @@ def build_sensor_plane_stats(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
     )  # (8, K, _NF)
     bufs = [
         jax.lax.bitcast_convert_type(labpack, jnp.uint8).reshape(-1),
-        jax.lax.bitcast_convert_type(xyz2.astype(jnp.float16), jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(cidx_out, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(cxyz, jnp.uint8).reshape(-1),
         jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(n_cand, jnp.uint8).reshape(-1),
     ]
     return jnp.concatenate(bufs)
 
 
 def _unpack_stats_buffer(buf: np.ndarray, h: int, w: int):
     """Host-side views into the packed stats buffer (no copies)."""
-    lab_dtype = np.uint16 if h * w * 2 + 1 < 2**16 else np.uint32
-    nA = 8 * h * w * lab_dtype().itemsize
-    nB = 8 * h * w * 3 * 2
+    hw = h * w
+    C = MAX_CANDIDATES
+    lab_dtype = np.uint16 if hw * 2 + 1 < 2**16 else np.uint32
+    idx_dtype = np.uint16 if hw < 2**16 else np.uint32
+    nA = 8 * hw * lab_dtype().itemsize
+    nI = 8 * C * idx_dtype().itemsize
+    nX = 8 * C * 3 * 2
+    nS = 8 * MAX_LABELS * _NF * 4
     lab = buf[:nA].view(lab_dtype).reshape(8, h, w)
     labels = (lab >> 1).astype(np.int32) - 1
-    cand = (lab & 1).astype(bool)
-    xyz = buf[nA : nA + nB].view(np.float16).reshape(8, h, w, 3)
-    stats = buf[nA + nB :].view(np.float32).reshape(8, MAX_LABELS, _NF)
-    return labels, cand, xyz, stats
+    cand_idx = buf[nA : nA + nI].view(idx_dtype).reshape(8, C)
+    cand_xyz = buf[nA + nI : nA + nI + nX].view(np.float16).reshape(8, C, 3)
+    stats = buf[nA + nI + nX : nA + nI + nX + nS].view(np.float32).reshape(
+        8, MAX_LABELS, _NF
+    )
+    n_cand = buf[nA + nI + nX + nS :].view(np.int32)
+    return labels, cand_idx, cand_xyz, stats, n_cand
 
 
 def _planes_from_stats(
     stats: np.ndarray,  # (MAX_LABELS, _NF) one sensor's stat rows
     labels: np.ndarray,  # (H, W) i32
-    cand: np.ndarray,  # (H, W) bool
-    xyz16: np.ndarray,  # (H, W, 3) f16
+    cand_idx: np.ndarray,  # (C,) compacted candidate pixel indices (pad=h*w)
+    cand_xyz: np.ndarray,  # (C, 3) f16 candidate coordinates
     sensor_id: int,
 ) -> List[Plane]:
     """Device stats -> Plane objects (the fast path of the reference
@@ -138,8 +168,6 @@ def _planes_from_stats(
     area/elongation filters and the local merge."""
     h, w = labels.shape
     flat = labels.reshape(-1)
-    candf = cand.reshape(-1)
-    xyzf = xyz16.reshape(-1, 3)
     valid = flat >= 0
     px = np.flatnonzero(valid)
     lv = flat[valid]
@@ -147,6 +175,13 @@ def _planes_from_stats(
     sorted_px = px[order]
     sorted_lab = lv[order]
     single_cloud_size = h * w
+    # group candidate points by their pixel's label
+    slot_ok = cand_idx < h * w
+    clab = flat[cand_idx[slot_ok].astype(np.int64)]
+    cxyz = cand_xyz[slot_ok].astype(np.float64)
+    corder = np.argsort(clab, kind="stable")
+    sorted_cl = clab[corder]
+    sorted_cxyz = cxyz[corder]
 
     label_id = stats[:, 0].astype(np.int64)
     count = stats[:, 1].astype(np.int64)
@@ -179,8 +214,9 @@ def _planes_from_stats(
             n_pts=n,
             cov=cov,
         )
-        cand_pts = xyzf[inl[candf[inl]]].astype(np.float64)
-        plane.compute_hull_area(cand_pts)
+        ca = np.searchsorted(sorted_cl, label_id[k], side="left")
+        cb = np.searchsorted(sorted_cl, label_id[k], side="right")
+        plane.compute_hull_area(sorted_cxyz[ca:cb])
         if plane.area_hull < MIN_AREA:  # discard small planes (:1034)
             continue
         plane.d = float(-plane.normal @ plane.center)
@@ -371,17 +407,23 @@ def extract_frame_planes(frame) -> Tuple[PbMap, List[List[Plane]]]:
     """Full getPlanes pipeline for a Frame360 (device-stats fast path)."""
     buf = np.asarray(build_sensor_plane_stats(frame.depth_undistorted_m, frame.rgb))
     h, w = frame.depth_undistorted_m.shape[1] // 2, frame.depth_undistorted_m.shape[2] // 2
-    labels, cand, xyz16, stats = _unpack_stats_buffer(buf, h, w)
+    labels, cand_idx, cand_xyz, stats, n_cand = _unpack_stats_buffer(buf, h, w)
     if stats[:, -1, 1].max() >= MIN_INLIERS:
         print(
             "[plane_extraction] WARNING: >MAX_LABELS plane components on a "
             "sensor — smallest ones dropped (raise ops/plane_stats.MAX_LABELS)"
         )
+    if n_cand.max() > MAX_CANDIDATES:
+        print(
+            f"[plane_extraction] WARNING: {int(n_cand.max())} hull candidates "
+            f"on a sensor exceed the {MAX_CANDIDATES} shipping budget — hulls "
+            "may shrink slightly (raise MAX_CANDIDATES)"
+        )
     rt = frame.calib.Rt
 
     local: List[List[Plane]] = []
     for s in range(8):
-        planes = _planes_from_stats(stats[s], labels[s], cand[s], xyz16[s], s)
+        planes = _planes_from_stats(stats[s], labels[s], cand_idx[s], cand_xyz[s], s)
         for p in planes:
             p.transform(rt[s].astype(np.float64))
         local.append(planes)

@@ -37,6 +37,10 @@ def segment_planes(
     # radius: log2(120+160) ~ 8.2, so 24 rounds is a generous bound (the
     # while_loop exits on convergence well before it)
     max_sweeps: int = 24,
+    # thresholds default to the QVGA Frame360 configuration; the stereo
+    # variant passes its own (reference Frame360_stereo.h:865-867)
+    angular_threshold: float = ANGULAR_THRESHOLD,
+    distance_threshold: float = DISTANCE_THRESHOLD,
 ):
     """Returns labels (H, W) int32: -1 invalid, else the component id (the
     smallest flat pixel index in the component)."""
@@ -45,7 +49,7 @@ def segment_planes(
     n = jnp.where(valid[..., None], normals, 0.0)
     p = jnp.where(valid[..., None], xyz, 0.0)
     d = jnp.sum(n * p, axis=-1)  # plane offset per pixel
-    cos_thr = jnp.cos(ANGULAR_THRESHOLD)
+    cos_thr = jnp.cos(angular_threshold)
 
     def connected(sl_a, sl_b):
         """Edge predicate between two equally-shaped pixel slabs."""
@@ -54,7 +58,7 @@ def segment_planes(
             sl_a[2]
             & sl_b[2]
             & (dot > cos_thr)
-            & (jnp.abs(sl_a[1] - sl_b[1]) < DISTANCE_THRESHOLD)
+            & (jnp.abs(sl_a[1] - sl_b[1]) < distance_threshold)
         )
 
     a = (n, d, valid)
@@ -124,6 +128,7 @@ def refine_plane_labels(
     xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
     normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
     sweeps: int = 8,
+    distance_threshold: float = DISTANCE_THRESHOLD,
 ):
     """Boundary refinement after the flood fill — the 'refine' half of PCL's
     segmentAndRefine (reference include/Frame360.h:977): valid pixels left
@@ -186,7 +191,7 @@ def refine_plane_labels(
             cand = shift(lab, dr, dc, NOLAB)
             n_c = shift(mod_n, dr, dc, 0.0)
             d_c = shift(mod_d, dr, dc, 0.0)
-            fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < DISTANCE_THRESHOLD
+            fit = jnp.abs(jnp.sum(n_c * p, axis=-1) - d_c) < distance_threshold
             take_it = (cand >= 0) & fit & (cand > best)
             best = jnp.where(take_it, cand, best)
             best_n = jnp.where(take_it[..., None], n_c, best_n)

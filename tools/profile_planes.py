@@ -75,10 +75,10 @@ def main():
     rt = frame.calib.Rt
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        labels, cand, xyz16, stats = pe._unpack_stats_buffer(buf, h, w)
+        labels, cand_idx, cand_xyz, stats, n_cand = pe._unpack_stats_buffer(buf, h, w)
         local = []
         for s in range(8):
-            planes = pe._planes_from_stats(stats[s], labels[s], cand[s], xyz16[s], s)
+            planes = pe._planes_from_stats(stats[s], labels[s], cand_idx[s], cand_xyz[s], s)
             for p in planes:
                 p.transform(rt[s].astype(np.float64))
             local.append(planes)

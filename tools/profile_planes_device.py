@@ -1,0 +1,105 @@
+"""Bisect the plane-extraction DEVICE program's 8 stages on the real TPU.
+
+Each probe is a chained fori_loop (PERF.md methodology) over a prefix of the
+pipeline, so stage cost = difference between consecutive probes.
+
+Usage: python tools/profile_planes_device.py [--k 20]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.io.calib import Calib360
+    from rgbd360_tpu.ops.bilateral import fast_bilateral_z
+    from rgbd360_tpu.ops.normals import organized_normals
+    from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
+    from rgbd360_tpu.ops.plane_stats import sensor_plane_stats
+    from rgbd360_tpu.ops.planes_seg import refine_plane_labels, segment_planes
+
+    ref = os.environ.get("RGBD360_REFERENCE", "/root/reference")
+    calib = Calib360.load(ref)
+    frame = Frame360(calib)
+    frame.load_frame(os.path.join(ref, "samples/sphere_images_1.bin"))
+    frame.undistort()
+
+    depth = jnp.asarray(frame.depth_undistorted_m)
+    rgb = jnp.asarray(frame.rgb)
+
+    def sync():
+        np.asarray(jnp.zeros(()) + 1.0)
+
+    def cloud_stage(d, rgb_s):
+        xyz = backproject_organized(d)
+        xyz2, rgb2 = downsample_median2(xyz, rgb_s)
+        zf = fast_bilateral_z(xyz2[..., 2])
+        xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
+        return xyz2, rgb2
+
+    def upto(stage):
+        def one(d, rgb_s):
+            xyz2, rgb2 = cloud_stage(d, rgb_s)
+            out = jnp.nansum(xyz2)
+            if stage >= 1:
+                normals = organized_normals(xyz2)
+                out = out + jnp.nansum(normals)
+            if stage >= 2:
+                labels = segment_planes(xyz2, normals)
+                out = out + jnp.sum(labels)
+            if stage >= 3:
+                labels = refine_plane_labels(labels, xyz2, normals)
+                out = out + jnp.sum(labels)
+            if stage >= 4:
+                st = sensor_plane_stats(xyz2, rgb2, labels)
+                out = out + jnp.sum(st.count) + jnp.nansum(st.mean)
+            if stage >= 5:
+                hw = labels.size
+                candf = st.candidate.reshape(hw)
+                pix = jax.lax.iota(jnp.int32, hw)
+                key = jnp.where(candf, hw - pix, -1)
+                _vals, cidx = jax.lax.top_k(key, 4096)
+                out = out + jnp.sum(cidx)
+            return out.astype(jnp.float32)
+
+        @jax.jit
+        def chain(d, k):
+            def body(_, carry):
+                v, acc = carry
+                out = jnp.sum(jax.vmap(one)(v, rgb)) * 1e-9
+                return depth + (out * 1e-12).astype(jnp.float32), acc + out
+
+            _, acc = jax.lax.fori_loop(0, k, body, (d, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    names = ["cloud", "+normals", "+segment", "+refine", "+stats", "+topk_cand"]
+    prev = 0.0
+    for stage, name in enumerate(names):
+        chain = upto(stage)
+        np.asarray(chain(depth, args.k))  # warm
+        sync()
+        t0 = time.perf_counter()
+        np.asarray(chain(depth, args.k))
+        ms = (time.perf_counter() - t0) / args.k * 1e3
+        print(f"{name:12s}: {ms:7.1f} ms cumulative ({ms - prev:+6.1f} ms stage)")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
