@@ -60,6 +60,107 @@ class Frame360Stereo(Frame360):
         self.load_depth(depth_bin)
         return self
 
+    def get_planes_stereo(self, start_phi: int = 166, max_depth: float = 15.0):
+        """Plane segmentation over the stereo panorama cloud (reference
+        Frame360_stereo.h:847-986 getPlanesStereo): the variant's own PCL
+        configuration — maxDepthChange 0.05, smoothing 8, minInliers 40,
+        angular threshold 0.05 rad, distance threshold 0.05 m (:859-867) —
+        over the ORGANIZED stereo cloud, no per-sensor split, no rig
+        transform; same area/elongation filters and local same-plane merge
+        as Frame360 (:938-978). Sets and returns self.planes."""
+        import jax
+
+        from rgbd360_tpu.config import default_params
+        from rgbd360_tpu.core.pbmap import PbMap, Plane
+        from rgbd360_tpu.ops.normals import organized_normals
+        from rgbd360_tpu.ops.plane_stats import sensor_plane_stats
+        from rgbd360_tpu.ops.planes_seg import refine_plane_labels, segment_planes
+
+        MIN_INLIERS_STEREO = 40  # :865
+        ANGULAR, DIST, MAX_DEPTH_CHANGE = 0.05, 0.05, 0.05  # :859-867
+
+        depth_m = self.sphere_depth_mm.astype(jnp.float32) * 1e-3
+        h, w = depth_m.shape
+
+        @jax.jit
+        def device(depth, rgb):
+            step = 2.0 * jnp.pi / w
+            phi = (jnp.arange(h, dtype=jnp.float32) + start_phi) * step - jnp.pi / 2
+            theta = jnp.arange(w, dtype=jnp.float32) * step - jnp.pi
+            cph, sph = jnp.cos(phi)[:, None], jnp.sin(phi)[:, None]
+            sth, cth = jnp.sin(theta)[None, :], jnp.cos(theta)[None, :]
+            valid = (depth > 0.0) & (depth < max_depth)
+            d = jnp.where(valid, depth, jnp.nan)
+            xyz = jnp.stack([sth * cph * d, sph * d, cth * cph * d], axis=-1)
+            normals = organized_normals(xyz, max_depth_change=MAX_DEPTH_CHANGE)
+            labels = segment_planes(
+                xyz, normals, angular_threshold=ANGULAR, distance_threshold=DIST
+            )
+            labels = refine_plane_labels(labels, xyz, normals, distance_threshold=DIST)
+            st = sensor_plane_stats(xyz, rgb, labels)
+            return st, xyz
+
+        st, xyz = device(depth_m, self.sphere_rgb)
+        labels = np.asarray(st.labels)
+        cand = np.asarray(st.candidate)
+        xyzf = np.asarray(xyz).reshape(-1, 3)
+        count = np.asarray(st.count)
+        mean = np.asarray(st.mean, np.float64)
+        cov = np.asarray(st.cov, np.float64)
+        normal = np.asarray(st.normal, np.float64)
+        curvature = np.asarray(st.curvature, np.float64)
+        hist = np.asarray(st.hist, np.float64)
+        sum_rgb = np.asarray(st.sum_rgb, np.float64)
+        label_id = np.asarray(st.label_id)
+
+        flat = labels.reshape(-1)
+        candf = cand.reshape(-1)
+        planes = []
+        for k in range(len(label_id)):
+            n = int(count[k])
+            if n < MIN_INLIERS_STEREO:
+                break  # counts sorted descending
+            inl = np.flatnonzero(flat == label_id[k])
+            plane = Plane(
+                id=len(planes),
+                normal=normal[k].copy(),
+                center=mean[k].copy(),
+                curvature=float(curvature[k]),
+                inliers=inl,
+                n_pts=n,
+                cov=cov[k].copy(),
+            )
+            plane.compute_hull_area(xyzf[inl[candf[inl]]].astype(np.float64))
+            if plane.area_hull < default_params.min_area_plane:  # :938
+                continue
+            plane.d = float(-plane.normal @ plane.center)
+            if plane.elongation > default_params.max_elongation_plane:  # :945
+                continue
+            total = hist[k].sum()
+            plane.hist_counts = hist[k].copy()
+            plane.hist_h = hist[k] / total if total > 0 else hist[k]
+            plane.main_color = sum_rgb[k] / max(n, 1) / 255.0
+            planes.append(plane)
+
+        # local same-plane merge (:959-978)
+        merged = []
+        max_curv = default_params.max_curvature_plane
+        for plane in planes:
+            absorbed = False
+            if plane.curvature < max_curv:
+                for prev in merged:
+                    if prev.curvature < max_curv and prev.is_same_plane(
+                        plane, 0.99, 0.05, 0.2
+                    ):
+                        prev.merge_plane(plane)
+                        absorbed = True
+                        break
+            if not absorbed:
+                plane.id = len(merged)
+                merged.append(plane)
+        self.planes = PbMap(merged)
+        return self.planes
+
     def build_sphere_cloud(self, start_phi: int = 166, max_depth: float = 15.0):
         """The stereo variant's own spherical backprojection (reference
         Frame360_stereo.h:454-517): a different convention from Frame360 —

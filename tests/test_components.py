@@ -167,3 +167,53 @@ def test_construction_specs_match_shipped_rig(reference_root):
         rel = rts[s - 1, :3, :3].T @ rts[s, :3, :3]
         ang = np.degrees(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
         assert abs(ang - 45.0) < 1e-9
+
+
+def test_stereo_get_planes_end_to_end(tmp_path, rng):
+    """build -> cloud -> getPlanesStereo on an analytic two-plane scene
+    (reference Frame360_stereo.h:847-986): depth synthesized from known
+    plane equations must come back as planes with the right (sensor-
+    oriented) normals and offsets."""
+    from PIL import Image
+
+    h, w, start_phi = 64, 256, 166
+    step = 2 * np.pi / w
+    phi = (np.arange(h) + start_phi) * step - np.pi / 2
+    theta = np.arange(w) * step - np.pi
+    u = np.stack(
+        [
+            np.sin(theta)[None, :] * np.cos(phi)[:, None],
+            np.broadcast_to(np.sin(phi)[:, None], (h, w)),
+            np.cos(theta)[None, :] * np.cos(phi)[:, None],
+        ],
+        axis=-1,
+    )
+    # two walls: n.x = D on each theta half-space
+    planes_gt = [
+        (np.array([0.0, 0.0, 1.0]), 2.0),
+        (np.array([0.0, 0.0, -1.0]), 2.5),
+    ]
+    depth = np.zeros((h, w), np.float32)
+    for half, (n, D) in enumerate(planes_gt):
+        sel = (theta >= 0) == bool(half)
+        proj = u[:, sel] @ n
+        d = np.where(proj > 0.15, D / np.maximum(proj, 0.15), 0.0)
+        depth[:, sel] = np.where(d < 14.0, d, 0.0).astype(np.float32)
+
+    rgb = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "pano.png")
+    write_stereo_depth(str(tmp_path / "pano_d.bin"), depth)
+    f = Frame360Stereo().build_stereo(
+        str(tmp_path / "pano.png"), str(tmp_path / "pano_d.bin")
+    )
+    pbmap = f.get_planes_stereo(start_phi=start_phi)
+    assert f.planes is pbmap
+    assert len(pbmap.planes) >= 2
+    for n, D in planes_gt:
+        # sensor-oriented convention: normal = -n, d = +D
+        hits = [
+            p
+            for p in pbmap.planes
+            if p.normal @ (-n) > 0.99 and abs(p.d - D) < 0.05 and p.n_pts >= 40
+        ]
+        assert hits, f"plane n={n} D={D} not recovered"
