@@ -64,6 +64,11 @@ def main(argv=None) -> int:
         if world.optimized_poses:
             save_trajectory(os.path.join(args.out, "trajectory_optimized.txt"), world.optimized_poses)
         slam.optimizer.save_graph(os.path.join(args.out, "pose_graph.g2o"))
+        from rgbd360_tpu.utils.map_html import map_to_html
+
+        map_to_html(
+            os.path.join(args.out, "map.html"), world, title="KF-SLAM map"
+        )
         print(f"artifacts -> {args.out}")
     if args.save_map:
         from rgbd360_tpu.core.map_io import save_map

@@ -185,6 +185,11 @@ def main(argv=None) -> int:
         if world.optimized_poses:
             save_trajectory(os.path.join(args.out, "trajectory_optimized.txt"), world.optimized_poses)
         optimizer.save_graph(os.path.join(args.out, "pose_graph.g2o"))
+        from rgbd360_tpu.utils.map_html import map_to_html
+
+        map_to_html(
+            os.path.join(args.out, "map.html"), world, title="SphereGraphSLAM map"
+        )
         print(f"artifacts -> {args.out}")
     return 0
 

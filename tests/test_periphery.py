@@ -331,3 +331,77 @@ def test_stage_timing_brackets(calib, reference_root, capsys):
     Frame360(calib, 0).build(path)
     assert "took" not in capsys.readouterr().out
     assert not timing_summary()
+
+
+def test_load_stereo_app_smoke(tmp_path, capsys, rng):
+    """LoadFrame360_stereo app end-to-end: PNG + raw depth -> artifacts +
+    getPlanesStereo table (reference Visualization/LoadFrame360_stereo.cpp)."""
+    from PIL import Image
+
+    from rgbd360_tpu.apps.load_stereo import main as stereo_main
+    from rgbd360_tpu.core.frame360_stereo import write_stereo_depth
+
+    h, w = 64, 256
+    rgb = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "pano.png")
+    depth = np.full((h, w), 3.0, np.float32)
+    depth[:20] = 1.5
+    write_stereo_depth(str(tmp_path / "pano_d.bin"), depth)
+    out = tmp_path / "out"
+    assert (
+        stereo_main(
+            [str(tmp_path / "pano.png"), str(tmp_path / "pano_d.bin"),
+             "--out", str(out), "--planes"]
+        )
+        == 0
+    )
+    assert (out / "stereo_cloud.pcd").exists()
+    assert (out / "stereo_rgb.png").exists()
+    text = capsys.readouterr().out
+    assert "planes:" in text and "depth coverage" in text
+
+
+def test_map_html_viewer(tmp_path):
+    """Explorable offline map artifact (replacement for the reference's live
+    viewer, Map360_Visualizer.h:95-319): trajectory, frusta, plane hulls,
+    LC edges and a cloud all embedded in one self-contained HTML file."""
+    from types import SimpleNamespace
+
+    from rgbd360_tpu.core.map360 import Map360
+    from rgbd360_tpu.core.pbmap import PbMap, Plane
+    from rgbd360_tpu.utils.map_html import map_to_html
+
+    world = Map360()
+    hull = np.array([[0, 0, 2.0], [1, 0, 2.0], [1, 1, 2.0], [0, 1, 2.0]])
+    for i in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = i * 0.5
+        plane = Plane(
+            id=0, normal=np.array([0.0, 0.0, -1.0]), center=hull.mean(0),
+            curvature=0.01, hull=hull, area_hull=1.0,
+            main_color=np.array([0.2, 0.4, 0.6]),
+        )
+        xyz = np.zeros((100, 3), np.float32)
+        frame = SimpleNamespace(
+            planes=PbMap([plane]),
+            sphere_cloud=(xyz, np.full((100, 3), 128, np.uint8)),
+        )
+        world.add_keyframe(frame, T)
+    world.add_connection(0, 1, np.eye(4), np.eye(6))
+    world.add_connection(0, 3, np.eye(4), np.eye(6))  # the LC edge
+    world.optimized_poses = list(world.trajectory_poses)
+
+    out = tmp_path / "map.html"
+    map_to_html(str(out), world, cloud_stride=10)
+    text = out.read_text()
+    assert "<canvas" in text and "http" not in text.split("</title>")[1]
+    import json as _json
+
+    data = _json.loads(text.split("const D=")[1].split(";\n")[0])
+    assert len(data["traj"]) == 4 and len(data["opt"]) == 4
+    assert len(data["planes"]) == 4 and len(data["lc"]) == 1
+    assert data["lc"][0] == [[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]]
+    # world-frame hulls: kf1's plane shifted by +0.5 in x
+    assert data["planes"][1]["hull"][0][0] == 0.5
+    assert len(data["pts"]) == 4 * 10 and len(data["ptc"]) == 4 * 10
+    assert len(data["frusta"]) == 4 * 8
