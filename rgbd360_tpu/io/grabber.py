@@ -21,11 +21,44 @@ from rgbd360_tpu.io.boost_archive import RawFrame360, read_frame360_bin, write_f
 
 
 class Grabber:
-    """Interface: init() -> grab() stream -> close()
-    (reference RGBDGrabber_OpenNI2.h:84-214)."""
+    """Interface: init() -> grab() stream -> close(), plus the camera
+    control surface of the reference's OpenNI2 grabber
+    (RGBDGrabber_OpenNI2.h:84-214): setResolution mode 0=VGA/1=QVGA
+    (:133-150, invalid modes keep the previous value), shutter in
+    milliseconds (:153-171) and gain in percent, 100 = default (:173-189).
+    Software sources store the values; a hardware binding would forward
+    them to the camera stream."""
+
+    VGA = 0  # 640x480 (RGBDGrabber_OpenNI2.h:137-140)
+    QVGA = 1  # 320x240 (:141-145, the device default)
+
+    def __init__(self) -> None:
+        self.height, self.width = 240, 320
+        self._shutter_ms = 10  # the reference ctor default exposure (:84)
+        self._gain = 100
 
     def init(self) -> None:  # pragma: no cover - interface
         pass
+
+    def set_resolution(self, mode: int) -> None:
+        if mode == self.VGA:
+            self.height, self.width = 480, 640
+        elif mode == self.QVGA:
+            self.height, self.width = 240, 320
+        else:  # invalid mode: previous value left (:147-149)
+            print("Error: grabber mode not valid! -> Previous value left")
+
+    def set_shutter(self, exposure_ms: int) -> None:
+        self._shutter_ms = int(exposure_ms)
+
+    def get_shutter(self) -> int:
+        return self._shutter_ms
+
+    def set_gain(self, gain_percent: int) -> None:
+        self._gain = int(gain_percent)
+
+    def get_gain(self) -> int:
+        return self._gain
 
     def grab(self) -> Optional[RawFrame360]:
         raise NotImplementedError
@@ -43,6 +76,7 @@ class Grabber:
 
 class ReplaySource(Grabber):
     def __init__(self, dataset_dir: str, first: int = 1, sample: int = 1):
+        super().__init__()
         self.dir = dataset_dir
         self.n = first
         self.sample = sample
@@ -57,6 +91,7 @@ class ReplaySource(Grabber):
 
 class SyntheticSource(Grabber):
     def __init__(self, num_frames: int = 3, seed: int = 0):
+        super().__init__()
         self.remaining = num_frames
         # the seed shifts the texture phases so differently-seeded sources
         # genuinely differ (it was previously stored but unused)

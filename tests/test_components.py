@@ -217,3 +217,23 @@ def test_stereo_get_planes_end_to_end(tmp_path, rng):
             if p.normal @ (-n) > 0.99 and abs(p.d - D) < 0.05 and p.n_pts >= 40
         ]
         assert hits, f"plane n={n} D={D} not recovered"
+
+
+def test_grabber_control_surface():
+    """Camera control API parity with the reference OpenNI2 grabber
+    (RGBDGrabber_OpenNI2.h:84-189): resolution modes, shutter (ms), gain
+    (percent), invalid mode keeps previous value."""
+    src = SyntheticSource(num_frames=1)
+    assert (src.height, src.width) == (240, 320)  # QVGA default
+    src.set_resolution(src.VGA)
+    assert (src.height, src.width) == (480, 640)
+    src.set_resolution(7)  # invalid: previous value left
+    assert (src.height, src.width) == (480, 640)
+    src.set_resolution(src.QVGA)
+    assert (src.height, src.width) == (240, 320)
+    assert src.get_shutter() == 10  # reference ctor default exposure
+    src.set_shutter(33)
+    assert src.get_shutter() == 33
+    assert src.get_gain() == 100
+    src.set_gain(50)
+    assert src.get_gain() == 50
