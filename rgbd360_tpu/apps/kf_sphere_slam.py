@@ -49,7 +49,7 @@ def main(argv=None) -> int:
 
     n_frames = 0
     for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
-        frame.get_planes()
+        frame.get_planes(need_inliers=False)
         status = slam.process_frame(frame)
         n_frames += 1
         print(f"frame {frame_no}: {status}  (kf={slam.n_keyframes_selected}, "

@@ -140,7 +140,7 @@ def main(argv=None) -> int:
             )
         else:  # save: the mode-4 keyframe dump (:339)
             frame.undistort()
-            frame.get_planes()
+            frame.get_planes(need_inliers=False)
             frame.build_sphere_cloud_from_image()
             frame.save(args.out, frame_no)
         count += 1

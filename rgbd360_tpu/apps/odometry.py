@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
         t0 = time.time()
         if args.with_planes:
-            frame.get_planes()
+            frame.get_planes(need_inliers=False)
         if prev is None:
             prev = frame
             print(f"frame {frame_no}: reference")

@@ -205,7 +205,7 @@ def main(argv=None) -> int:
     frames = []
     for frame_no, path in sequence_files(args.dataset, args.first, args.sample):
         f = Frame360(calib, frame_no).build(path)
-        f.get_planes()
+        f.get_planes(need_inliers=False)
         frames.append(f)
         print(f"loaded frame {frame_no} ({len(f.planes)} planes)")
         if len(frames) >= args.max_frames:

@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     n_lc = 0
 
     for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
-        frame.get_planes()
+        frame.get_planes(need_inliers=False)
 
         if len(world) == 0:
             world.add_keyframe(frame, current_pose)

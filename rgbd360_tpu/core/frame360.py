@@ -142,14 +142,18 @@ class Frame360:
         )
         return self.sphere_cloud
 
-    def get_planes(self):
+    def get_planes(self, need_inliers: bool = True):
         """Segment + merge the planar patches of the spherical frame
         (reference include/Frame360.h:615-638). Implemented in core/pbmap.py;
-        bound lazily to avoid importing the plane stack for dense-only use."""
+        bound lazily to avoid importing the plane stack for dense-only use.
+        need_inliers=False skips shipping per-pixel labels off-device
+        (Plane.inliers stays None) — the faster SLAM-loop configuration."""
         from rgbd360_tpu.core.plane_extraction import extract_frame_planes
 
         with stage("Frame360.getPlanes (segmentation)"):
-            self.planes, self.local_planes = extract_frame_planes(self)
+            self.planes, self.local_planes = extract_frame_planes(
+                self, need_inliers=need_inliers
+            )
         return self.planes
 
     def get_planar_area(self) -> float:

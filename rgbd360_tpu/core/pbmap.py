@@ -356,7 +356,10 @@ class Plane:
         the additive parallel-axis combination — numerically identical to
         re-estimating from concatenated points, without materializing them.
         """
-        self.inliers = np.concatenate([self.inliers, other.inliers])
+        if self.inliers is not None and other.inliers is not None:
+            self.inliers = np.concatenate([self.inliers, other.inliers])
+        else:  # need_inliers=False extraction: indices were never shipped
+            self.inliers = None
         use_moments = (
             self.cov is not None and other.cov is not None
             and self.n_pts > 0 and other.n_pts > 0

@@ -68,33 +68,38 @@ def fast_bilateral_z(z: jnp.ndarray) -> jnp.ndarray:
     for axis in range(3):
         grid = _blur_axis(grid, axis)
 
-    # trilinear slice at the real-valued grid coordinates; the 8 corner
-    # fetches gather (value, weight) ROWS together — 8 takes, not 16
-    gy = jnp.broadcast_to(yy, (h, w))
-    gx = jnp.broadcast_to(xx, (h, w))
-    gz = dd
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, gh - 2)
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, gw - 2)
-    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, gd - 2)
-    fy = gy - y0
-    fx = gx - x0
-    fz = gz - z0
-    flatg = grid.reshape(-1, 2)
-
-    def at(dy, dx, dz):
-        idx = ((y0 + dy) * gw + (x0 + dx)) * gd + (z0 + dz)
-        return jnp.take(flatg, idx.reshape(-1), axis=0).reshape(h, w, 2)
-
-    acc = (
-        at(0, 0, 0) * ((1 - fy) * (1 - fx) * (1 - fz))[..., None]
-        + at(1, 0, 0) * (fy * (1 - fx) * (1 - fz))[..., None]
-        + at(0, 1, 0) * ((1 - fy) * fx * (1 - fz))[..., None]
-        + at(0, 0, 1) * ((1 - fy) * (1 - fx) * fz)[..., None]
-        + at(1, 1, 0) * (fy * fx * (1 - fz))[..., None]
-        + at(1, 0, 1) * (fy * (1 - fx) * fz)[..., None]
-        + at(0, 1, 1) * ((1 - fy) * fx * fz)[..., None]
-        + at(1, 1, 1) * (fy * fx * fz)[..., None]
+    # trilinear slice = fixed spatial bilinear x data-dependent depth linear.
+    # The spatial corner positions/weights depend only on the PIXEL GRID, so
+    # the (y, x) half is a static bilinear resize — two tiny dense matmuls —
+    # and only the depth axis needs per-pixel gathers: 2 takes instead of 8
+    # (XLA TPU gathers are per-element priced; this was the hottest op of
+    # the whole plane-extraction device program, ~15 -> ~4 ms/frame)
+    y1d = yy[:, 0]
+    x1d = xx[0, :]
+    y0r = jnp.clip(jnp.floor(y1d).astype(jnp.int32), 0, gh - 2)
+    x0c = jnp.clip(jnp.floor(x1d).astype(jnp.int32), 0, gw - 2)
+    fy1 = y1d - y0r
+    fx1 = x1d - x0c
+    wy = (
+        jax.nn.one_hot(y0r, gh, dtype=jnp.float32) * (1 - fy1)[:, None]
+        + jax.nn.one_hot(y0r + 1, gh, dtype=jnp.float32) * fy1[:, None]
     )
+    wx = (
+        jax.nn.one_hot(x0c, gw, dtype=jnp.float32) * (1 - fx1)[:, None]
+        + jax.nn.one_hot(x0c + 1, gw, dtype=jnp.float32) * fx1[:, None]
+    )
+    # precision=HIGHEST: TPU matmuls default to bf16, whose ~2 significant
+    # digits on metre-scale z swamp the 0.02 m segmentation threshold
+    # downstream (observed: 15 -> 7 merged planes on the bundled frame)
+    hp = jax.lax.Precision.HIGHEST
+    up = jnp.einsum("rg,gwdc->rwdc", wy, grid, precision=hp)
+    up = jnp.einsum("xw,rwdc->rxdc", wx, up, precision=hp)  # (h, w, gd, 2)
+
+    z0 = jnp.clip(jnp.floor(dd).astype(jnp.int32), 0, gd - 2)
+    fz = dd - z0
+    g0 = jnp.take_along_axis(up, z0[..., None, None], axis=2)[:, :, 0]
+    g1 = jnp.take_along_axis(up, (z0 + 1)[..., None, None], axis=2)[:, :, 0]
+    acc = g0 * (1 - fz)[..., None] + g1 * fz[..., None]
     num = acc[..., 0]
     den = acc[..., 1]
     zf = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), z)

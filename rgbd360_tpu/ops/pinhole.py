@@ -45,12 +45,23 @@ def backproject_organized(depth_m: jnp.ndarray) -> jnp.ndarray:
 
 
 def _median_of_block(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """vals/valid: (..., 4). Per-coordinate median as sorted_valid[n//2]."""
+    """vals/valid: (..., 4). Per-coordinate median as sorted_valid[n//2].
+
+    Explicit 4-element min/max sorting network + select chain — the generic
+    jnp.sort + take_along_axis this replaces lowered to a comparator sort
+    plus a per-element-priced gather, 2 of the 7 ms of the downsample stage."""
     big = jnp.where(valid, vals, jnp.float32(jnp.inf))
-    s = jnp.sort(big, axis=-1)
-    n = jnp.sum(valid, axis=-1)
-    idx = jnp.clip(n // 2, 0, 3)
-    return jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+    v0, v1, v2, v3 = (big[..., i] for i in range(4))
+    a, b = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+    c, d = jnp.minimum(v2, v3), jnp.maximum(v2, v3)
+    lo = jnp.minimum(a, c)
+    m1 = jnp.minimum(jnp.maximum(a, c), jnp.minimum(b, d))
+    m2 = jnp.maximum(jnp.maximum(a, c), jnp.minimum(b, d))
+    hi = jnp.maximum(b, d)
+    idx = jnp.sum(valid, axis=-1) // 2
+    return jnp.where(
+        idx == 0, lo, jnp.where(idx == 1, m1, jnp.where(idx == 2, m2, hi))
+    )
 
 
 def downsample_median2(xyz: jnp.ndarray, rgb: jnp.ndarray):

@@ -29,18 +29,26 @@ DISTANCE_THRESHOLD = 0.02  # m
 MIN_INLIERS = 80
 
 
-@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+@functools.partial(jax.jit, static_argnames=("max_sweeps", "jumps"))
 def segment_planes(
     xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
     normals: jnp.ndarray,  # (H, W, 3) NaN-invalid
-    # with pointer jumping each round roughly doubles the propagation
-    # radius: log2(120+160) ~ 8.2, so 24 rounds is a generous bound (the
-    # while_loop exits on convergence well before it)
-    max_sweeps: int = 24,
+    # each scan round propagates along ENTIRE connected runs in all four
+    # directions, so rounds-to-converge is bounded by the bend count of the
+    # most serpentine region path, not the grid diameter; 4-9 rounds on real
+    # frames, 64 is the pathological-spiral safety bound (the while_loop
+    # exits on convergence well before it)
+    max_sweeps: int = 64,
     # thresholds default to the QVGA Frame360 configuration; the stereo
     # variant passes its own (reference Frame360_stereo.h:865-867)
     angular_threshold: float = ANGULAR_THRESHOLD,
     distance_threshold: float = DISTANCE_THRESHOLD,
+    # pointer-jumps per round (schedule knob; every value reaches the same
+    # fixed point). 0 measured FASTEST on TPU (17.8 / 21.3 / 31.8 ms for
+    # 0/1/2 — tools/profile_seg_variants.py): the jump's label-chase is an
+    # XLA gather, per-element priced, and whole-run scans already cross any
+    # straight stretch in one round, so the doubling shortcut never pays.
+    jumps: int = 0,
 ):
     """Returns labels (H, W) int32: -1 invalid, else the component id (the
     smallest flat pixel index in the component)."""
@@ -115,7 +123,9 @@ def segment_planes(
 
     def body(state):
         labels, _, it = state
-        new = jump(jump(sweep(labels)))
+        new = sweep(labels)
+        for _ in range(jumps):
+            new = jump(new)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))

@@ -188,3 +188,23 @@ def test_sample_frame_planes(sample_frames):
         assert abs(np.linalg.norm(p.normal) - 1) < 1e-5
         assert p.d == pytest.approx(-float(p.normal @ p.center), abs=1e-4)
         assert len(p.inliers) >= 80
+
+
+def test_extract_planes_need_inliers_false_parity(sample_frames):
+    """need_inliers=False (the SLAM-loop transfer configuration) must yield
+    the same plane set as the default — only Plane.inliers becomes None."""
+    from rgbd360_tpu.core.plane_extraction import extract_frame_planes
+
+    frame, _ = sample_frames
+    frame.undistort()
+    pb_full, local_full = extract_frame_planes(frame, need_inliers=True)
+    pb_fast, local_fast = extract_frame_planes(frame, need_inliers=False)
+    assert len(pb_fast.planes) == len(pb_full.planes)
+    for a, b in zip(pb_full.planes, pb_fast.planes):
+        np.testing.assert_allclose(a.normal, b.normal, atol=1e-6)
+        np.testing.assert_allclose(a.center, b.center, atol=1e-6)
+        assert abs(a.area_hull - b.area_hull) < 1e-6
+        assert a.n_pts == b.n_pts
+        assert b.inliers is None and a.inliers is not None
+    for lf, lq in zip(local_full, local_fast):
+        assert len(lf) == len(lq)

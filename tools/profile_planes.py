@@ -75,10 +75,12 @@ def main():
     rt = frame.calib.Rt
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        labels, cand_idx, cand_xyz, stats, n_cand = pe._unpack_stats_buffer(buf, h, w)
+        labels, cand_lab, cand_xyz, stats, n_cand = pe._unpack_stats_buffer(buf, h, w)
         local = []
         for s in range(8):
-            planes = pe._planes_from_stats(stats[s], labels[s], cand_idx[s], cand_xyz[s], s)
+            planes = pe._planes_from_stats(
+                stats[s], labels[s], cand_lab[s], cand_xyz[s], s, h * w
+            )
             for p in planes:
                 p.transform(rt[s].astype(np.float64))
             local.append(planes)
@@ -94,12 +96,17 @@ def main():
             f" | group+merge {(t3 - t2) * 1e3:6.1f} ms | planes {len(pbmap.planes)}"
         )
 
-    # --- end-to-end ---
-    for rep in range(args.reps):
-        t0 = time.perf_counter()
-        pbmap, local = pe.extract_frame_planes(frame)
-        t1 = time.perf_counter()
-        print(f"end-to-end      : {(t1 - t0) * 1e3:8.1f} ms/frame")
+    # --- end-to-end, both configurations ---
+    for need_inliers in (True, False):
+        pe.extract_frame_planes(frame, need_inliers=need_inliers)  # warm
+        for rep in range(args.reps):
+            t0 = time.perf_counter()
+            pbmap, local = pe.extract_frame_planes(frame, need_inliers=need_inliers)
+            t1 = time.perf_counter()
+            print(
+                f"end-to-end      : {(t1 - t0) * 1e3:8.1f} ms/frame "
+                f"(need_inliers={need_inliers})"
+            )
 
 
 if __name__ == "__main__":
