@@ -48,8 +48,11 @@ def main(argv=None) -> int:
     )
 
     n_frames = 0
-    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
-        frame.get_planes(need_inliers=False)
+    from rgbd360_tpu.core.plane_extraction import planes_pipeline
+
+    for frame_no, frame in planes_pipeline(
+        sequence_frames(calib, args.dataset, args.first, args.sample)
+    ):
         status = slam.process_frame(frame)
         n_frames += 1
         print(f"frame {frame_no}: {status}  (kf={slam.n_keyframes_selected}, "

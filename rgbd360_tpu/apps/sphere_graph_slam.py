@@ -66,9 +66,13 @@ def main(argv=None) -> int:
     current_pose = np.eye(4, dtype=np.float64)
     n_lc = 0
 
-    for frame_no, frame in sequence_frames(calib, args.dataset, args.first, args.sample):
-        frame.get_planes(need_inliers=False)
+    from rgbd360_tpu.core.plane_extraction import planes_pipeline
 
+    # one-frame-lookahead extraction: frame N+1's plane program runs on the
+    # device while the host does frame N's PbMap/graph work
+    for frame_no, frame in planes_pipeline(
+        sequence_frames(calib, args.dataset, args.first, args.sample)
+    ):
         if len(world) == 0:
             world.add_keyframe(frame, current_pose)
             world.optimized_poses.append(current_pose.astype(np.float32))

@@ -288,11 +288,24 @@ class Plane:
         self.area_hull = float(area)
         self.mass_center = self.center + c2[0] * u + c2[1] * v
         # elongation: principal second moments of the hull polygon vertices
+        # (closed-form 2x2 eigenpair; np.linalg.eigh cost ~40 us/call at the
+        # ~60 hulls/frame of the extraction hot path)
         m = poly - poly.mean(axis=0)
-        cov = m.T @ m / max(len(m), 1)
-        w, vec = np.linalg.eigh(cov)
-        self.elongation = float(np.sqrt(max(w[1], 1e-12) / max(w[0], 1e-12)))
-        self.ppal_dir = vec[:, 1][0] * u + vec[:, 1][1] * v
+        n_m = len(m)
+        a = float(m[:, 0] @ m[:, 0]) / n_m
+        b = float(m[:, 0] @ m[:, 1]) / n_m
+        c = float(m[:, 1] @ m[:, 1]) / n_m
+        half_tr = 0.5 * (a + c)
+        disc = np.sqrt(max(half_tr * half_tr - (a * c - b * b), 0.0))
+        w_max, w_min = half_tr + disc, half_tr - disc
+        self.elongation = float(np.sqrt(max(w_max, 1e-12) / max(w_min, 1e-12)))
+        if abs(b) > 1e-18:
+            e0, e1 = b, w_max - a
+        else:  # diagonal covariance: principal axis is a coordinate axis
+            e0, e1 = (1.0, 0.0) if a >= c else (0.0, 1.0)
+        nrm = np.hypot(e0, e1)
+        e0, e1 = e0 / nrm, e1 / nrm
+        self.ppal_dir = e0 * u + e1 * v
 
     def compute_colors(self) -> None:
         if self.colors is not None and len(self.colors):

@@ -480,5 +480,67 @@ def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[
     # reference's value-semantics copies (Frame360.h:742-832) — the
     # calibration apps derive adjacent-sensor correspondences from them, and
     # aliased merged planes would bias the solve toward the current Rt
+    if not need_inliers:
+        # SLAM-loop configuration: nothing consumes per-sensor observations
+        # (only calibrate_rig does, and it runs the default mode), so merge
+        # the originals and skip the pristine copies
+        return merge_planes(group_planes(local)), None
     pbmap = merge_planes(group_planes([[copy.deepcopy(p) for p in l] for l in local]))
     return pbmap, local
+
+
+def planes_pipeline(frames_iter, need_inliers: bool = False):
+    """One-frame-lookahead plane extraction over a (frame_no, frame)
+    iterator: frame N+1's device program is dispatched BEFORE frame N's
+    buffer is collected and host-fitted, so the ~45 ms of device+transfer
+    and the ~25 ms of host fitting overlap (the axon dispatch is async —
+    measured: 60 ms of injected host work costs only ~13 ms end-to-end).
+    Yields (frame_no, frame) with frame.planes / frame.local_planes set,
+    exactly as the sequential frame.get_planes(need_inliers=...) would."""
+
+    def dispatch(frame):
+        return build_sensor_plane_stats(
+            frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
+        )
+
+    def collect(frame_no, frame, fut):
+        buf = np.asarray(fut)
+        h = frame.depth_undistorted_m.shape[1] // 2
+        w = frame.depth_undistorted_m.shape[2] // 2
+        labels, cand_lab, cand_xyz, stats, n_cand = _unpack_stats_buffer(
+            buf, h, w, ship_labels=need_inliers
+        )
+        rt = frame.calib.Rt
+        local: List[List[Plane]] = []
+        for s in range(8):
+            planes = _planes_from_stats(
+                stats[s],
+                labels[s] if labels is not None else None,
+                cand_lab[s],
+                cand_xyz[s],
+                s,
+                h * w,
+            )
+            for p in planes:
+                p.transform(rt[s].astype(np.float64))
+            local.append(planes)
+        if need_inliers:
+            import copy
+
+            frame.planes = merge_planes(
+                group_planes([[copy.deepcopy(p) for p in l] for l in local])
+            )
+            frame.local_planes = local
+        else:
+            frame.planes = merge_planes(group_planes(local))
+            frame.local_planes = None
+        return frame_no, frame
+
+    pending = None
+    for frame_no, frame in frames_iter:
+        fut = dispatch(frame)
+        if pending is not None:
+            yield collect(*pending)
+        pending = (frame_no, frame, fut)
+    if pending is not None:
+        yield collect(*pending)

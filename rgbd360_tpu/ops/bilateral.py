@@ -55,16 +55,19 @@ def fast_bilateral_z(z: jnp.ndarray) -> jnp.ndarray:
     yi = jnp.broadcast_to(yi, (h, w))
     xi = jnp.broadcast_to(xi, (h, w))
 
-    flat = (yi * gw + xi) * gd + di
-    feat = jnp.stack(
-        [jnp.where(valid, zv, 0.0), jnp.where(valid, 1.0, 0.0)], axis=-1
-    ).reshape(-1, 2)
-    grid = (
-        jnp.zeros((gh * gw * gd, 2), jnp.float32)
-        .at[flat.reshape(-1)]
-        .add(feat)  # one (value, weight) scatter instead of two scalar ones
-        .reshape(gh, gw, gd, 2)
-    )
+    # splat WITHOUT a scatter (XLA TPU scatters are per-element priced —
+    # 7 ms/frame measured): the spatial cell (yi, xi) of every pixel is
+    # FIXED by the pixel grid, only the depth bin is data-dependent. So bin
+    # densely over depth (one compare per (pixel, bin)) and contract the
+    # pixel axes with static 0/1 cell-membership matrices on the MXU.
+    hp = jax.lax.Precision.HIGHEST  # bf16 would swamp metre-scale z sums
+    oh = (di[..., None] == jnp.arange(gd, dtype=jnp.int32)) & valid[..., None]
+    ohf = oh.astype(jnp.float32)
+    dense = jnp.stack([ohf * zv[..., None], ohf], axis=-1)  # (h, w, gd, 2)
+    sy = (yi[:, 0, None] == jnp.arange(gh, dtype=jnp.int32)).astype(jnp.float32)
+    sx = (xi[0, :, None] == jnp.arange(gw, dtype=jnp.int32)).astype(jnp.float32)
+    grid = jnp.einsum("rg,rwdc->gwdc", sy, dense, precision=hp)
+    grid = jnp.einsum("wx,gwdc->gxdc", sx, grid, precision=hp)
     for axis in range(3):
         grid = _blur_axis(grid, axis)
 
@@ -88,18 +91,22 @@ def fast_bilateral_z(z: jnp.ndarray) -> jnp.ndarray:
         jax.nn.one_hot(x0c, gw, dtype=jnp.float32) * (1 - fx1)[:, None]
         + jax.nn.one_hot(x0c + 1, gw, dtype=jnp.float32) * fx1[:, None]
     )
-    # precision=HIGHEST: TPU matmuls default to bf16, whose ~2 significant
-    # digits on metre-scale z swamp the 0.02 m segmentation threshold
-    # downstream (observed: 15 -> 7 merged planes on the bundled frame)
-    hp = jax.lax.Precision.HIGHEST
+    # precision=HIGHEST everywhere: TPU matmuls default to bf16, whose ~2
+    # significant digits on metre-scale z swamp the 0.02 m segmentation
+    # threshold downstream (observed: 15 -> 7 merged planes on the frame)
     up = jnp.einsum("rg,gwdc->rwdc", wy, grid, precision=hp)
     up = jnp.einsum("xw,rwdc->rxdc", wx, up, precision=hp)  # (h, w, gd, 2)
 
+    # depth slice, also gather-free: a per-pixel two-hot weight row over the
+    # depth bins contracted against the upsampled profiles (the two
+    # take_along_axis this replaces cost 5.4 ms/frame)
     z0 = jnp.clip(jnp.floor(dd).astype(jnp.int32), 0, gd - 2)
     fz = dd - z0
-    g0 = jnp.take_along_axis(up, z0[..., None, None], axis=2)[:, :, 0]
-    g1 = jnp.take_along_axis(up, (z0 + 1)[..., None, None], axis=2)[:, :, 0]
-    acc = g0 * (1 - fz)[..., None] + g1 * fz[..., None]
+    bins = jnp.arange(gd, dtype=jnp.int32)
+    wz = (z0[..., None] == bins) * (1 - fz)[..., None] + (
+        (z0 + 1)[..., None] == bins
+    ) * fz[..., None]
+    acc = jnp.einsum("rwd,rwdc->rwc", wz, up, precision=hp)
     num = acc[..., 0]
     den = acc[..., 1]
     zf = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), z)

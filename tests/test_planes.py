@@ -206,5 +206,28 @@ def test_extract_planes_need_inliers_false_parity(sample_frames):
         assert abs(a.area_hull - b.area_hull) < 1e-6
         assert a.n_pts == b.n_pts
         assert b.inliers is None and a.inliers is not None
-    for lf, lq in zip(local_full, local_fast):
-        assert len(lf) == len(lq)
+    # fast mode skips the pristine per-sensor copies entirely
+    assert local_fast is None and local_full is not None
+
+
+def test_planes_pipeline_matches_sequential(sample_frames):
+    """planes_pipeline (one-frame-lookahead overlap) must produce the same
+    plane sets as sequential get_planes(need_inliers=False)."""
+    from rgbd360_tpu.core.plane_extraction import extract_frame_planes, planes_pipeline
+
+    f1, f2 = sample_frames
+    f1.undistort()
+    f2.undistort()
+    expected = []
+    for f in (f1, f2):
+        pb, _ = extract_frame_planes(f, need_inliers=False)
+        expected.append(pb)
+
+    out = list(planes_pipeline(iter([(1, f1), (10, f2)])))
+    assert [no for no, _ in out] == [1, 10]
+    for (_, frame), exp in zip(out, expected):
+        assert frame.local_planes is None
+        assert len(frame.planes.planes) == len(exp.planes)
+        for a, b in zip(frame.planes.planes, exp.planes):
+            np.testing.assert_allclose(a.normal, b.normal, atol=1e-6)
+            assert a.n_pts == b.n_pts

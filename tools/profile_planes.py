@@ -108,6 +108,17 @@ def main():
                 f"(need_inliers={need_inliers})"
             )
 
+    # --- steady-state pipelined rate (the SLAM-loop configuration):
+    # one-frame lookahead overlaps device+transfer with host fitting ---
+    n_stream = 4 * args.reps
+    stream = [(i, frame) for i in range(n_stream)]
+    list(pe.planes_pipeline(iter(stream[:2])))  # warm
+    t0 = time.perf_counter()
+    out = list(pe.planes_pipeline(iter(stream)))
+    dt = (time.perf_counter() - t0) / n_stream * 1e3
+    print(f"pipelined       : {dt:8.1f} ms/frame steady-state "
+          f"({n_stream} frames, {len(out[-1][1].planes.planes)} planes)")
+
 
 if __name__ == "__main__":
     main()
