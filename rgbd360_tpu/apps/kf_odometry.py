@@ -49,6 +49,7 @@ def main(argv=None) -> int:
 
     calib = load_calib(args.calib_root)
     aligner = RegisterPhotoICP(n_pyr_levels=5)
+    aligner.prewarm()  # overlap align compile/load with the first frames
     off = rot_offset()
 
     keyframe = None

@@ -46,6 +46,7 @@ def main(argv=None) -> int:
         topo=topo,
         matcher_config=default_matcher_config(args.calib_root),
     )
+    slam.aligner.prewarm()  # overlap align compile/load with the first frames
 
     n_frames = 0
     from rgbd360_tpu.core.plane_extraction import planes_pipeline

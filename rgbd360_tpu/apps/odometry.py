@@ -43,6 +43,7 @@ def main(argv=None) -> int:
     calib = load_calib(args.calib_root)
     registerer = RegisterRGBD360(default_matcher_config(args.calib_root))
     aligner = RegisterPhotoICP(n_pyr_levels=5)
+    aligner.prewarm()  # overlap align compile/load with the first frames
     off = rot_offset()
 
     current_pose = np.eye(4, dtype=np.float64)

@@ -54,6 +54,7 @@ def main(argv=None) -> int:
     cfg = default_matcher_config(args.calib_root)
     registerer = RegisterRGBD360(cfg)
     aligner = RegisterPhotoICP(n_pyr_levels=5)
+    aligner.prewarm()  # overlap align compile/load with the first frames
     off = rot_offset()
 
     world = Map360()

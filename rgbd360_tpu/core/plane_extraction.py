@@ -124,7 +124,7 @@ def build_sensor_plane_stats(
     clab = jnp.take_along_axis(st.labels.reshape(8, hw), cidx_safe, axis=1)
     clab = jnp.where(slot_ok, clab + 1, 0).astype(idx_dtype)
     n_cand = jnp.sum(candf, axis=1).astype(jnp.int32)  # true counts (overflow check)
-    cov6 = st.cov.reshape(*st.cov.shape[:-2], 9)[..., jnp.array([0, 1, 2, 4, 5, 8])]
+    cov6 = st.cov.reshape(*st.cov.shape[:-2], 9)[..., np.array([0, 1, 2, 4, 5, 8])]
     stats = jnp.concatenate(
         [
             st.label_id[..., None].astype(jnp.float32),

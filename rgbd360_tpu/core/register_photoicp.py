@@ -79,6 +79,48 @@ class RegisterPhotoICP:
             )
         return self.get_optimal_pose()
 
+    def prewarm(
+        self,
+        method: int = PHOTO_DEPTH,
+        occlusion: int = 0,
+        full_coverage: bool = False,
+        background: bool = True,
+    ):
+        """Force trace + compile (or cached-executable load) of the
+        pyramid-build and alignment programs for the standard 320x1920
+        panorama, on a daemon thread by default. Over the axon tunnel the
+        first real alignment otherwise blocks ~30-45 s on compile/load
+        (PERF.md); streaming apps call this at startup so that cost overlaps
+        the first frames' plane-stack warmup instead of stalling the first
+        keyframe. Best-effort: failures surface on the real call."""
+
+        def _go():
+            try:
+                gray = jnp.zeros((320, 1920), jnp.float32)
+                depth = jnp.full((320, 1920), 2.0, jnp.float32)
+                src = photoicp.build_pyramid_set_jit(
+                    gray, depth, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
+                )
+                trg = photoicp.build_pyramid_set_jit(
+                    gray, depth, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
+                )
+                res = photoicp.align_frames360_jit(
+                    src, trg, jnp.eye(4), method, occlusion=occlusion,
+                    full_coverage=full_coverage,
+                )
+                np.asarray(res.pose)  # force completion (axon: block_until_ready lies)
+            except Exception:
+                pass
+
+        if background:
+            import threading
+
+            t = threading.Thread(target=_go, daemon=True, name="photoicp-prewarm")
+            t.start()
+            return t
+        _go()
+        return None
+
     # -- accessors -------------------------------------------------------------
     @property
     def result(self) -> photoicp.AlignResult:

@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgbd360_tpu.ops import linalg6, se3
 from rgbd360_tpu.ops.image import round_half_away
@@ -196,7 +197,7 @@ def fused_sweep_pinhole(
         wgt = _huber_weight(ddiff, reg) / reg
         res = jnp.where(depth_ok, wgt * ddiff, 0.0)
         # d z / d twist = chain of e_z
-        j_z = chain(jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (q.shape[0], 3)))
+        j_z = chain(jnp.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32), (q.shape[0], 3)))
         jac = wgt[:, None] * (
             dgx[:, None] * chain(j_u) + dgy[:, None] * chain(j_v) - j_z
         )

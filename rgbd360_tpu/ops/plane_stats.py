@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgbd360_tpu.ops.planes_seg import MIN_INLIERS  # noqa: F401  (re-export)
 
@@ -113,7 +114,7 @@ def _eigh3x3(cov: jnp.ndarray):
     vec = best / nrm
     # degenerate (isotropic) fallback: z axis
     iso = (n0 < 1e-30) & (n1 < 1e-30) & (n2 < 1e-30)
-    vec = jnp.where(iso[..., None], jnp.array([0.0, 0.0, 1.0], vec.dtype), vec)
+    vec = jnp.where(iso[..., None], np.array([0.0, 0.0, 1.0], vec.dtype), vec)
     return evals, vec
 
 
@@ -122,8 +123,8 @@ def _plane_basis(n: jnp.ndarray):
     a = x if |n_x|<0.9 else y;  u = normalize(n x a);  v = n x u."""
     ax = jnp.where(
         (jnp.abs(n[..., 0]) < 0.9)[..., None],
-        jnp.array([1.0, 0.0, 0.0], n.dtype),
-        jnp.array([0.0, 1.0, 0.0], n.dtype),
+        np.array([1.0, 0.0, 0.0], n.dtype),
+        np.array([0.0, 1.0, 0.0], n.dtype),
     )
     u = jnp.cross(n, ax)
     u = u / jnp.sqrt(jnp.maximum(jnp.sum(u * u, axis=-1, keepdims=True), 1e-30))
@@ -154,8 +155,13 @@ def _hue_bins(rgb_bgr_u8: jnp.ndarray) -> jnp.ndarray:
 
 # 8 directions at 45 degrees, in angular (CCW) order — their per-label
 # extreme points form a convex polygon whose vertices are dataset points.
+# NUMPY on purpose: a module-level DEVICE array would be captured as a jaxpr
+# constant whose value lowering must fetch back from the device — over the
+# axon tunnel that single (8,2) fetch measured 40-270 s (it blocks on the
+# backend's eager-op queue), dominating the app's first-frame warmup. A host
+# constant lowers instantly.
 _SQ2 = 0.7071067811865476
-_OCT_DIRS = jnp.array(
+_OCT_DIRS = np.array(
     [
         [1.0, 0.0],
         [_SQ2, _SQ2],
@@ -166,7 +172,7 @@ _OCT_DIRS = jnp.array(
         [0.0, -1.0],
         [_SQ2, -_SQ2],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 

@@ -11,6 +11,7 @@ SE(3) exponential (reference include/RegisterPhotoICP.h:4358).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -70,7 +71,7 @@ def exp_se3(xi: jnp.ndarray, pseudo: bool = True) -> jnp.ndarray:
         t = (V @ v[..., None])[..., 0]
     top = jnp.concatenate([R, t[..., None]], axis=-1)
     bottom = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=xi.dtype), top.shape[:-2] + (1, 4)
+        np.array([0.0, 0.0, 0.0, 1.0], dtype=xi.dtype), top.shape[:-2] + (1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
 
@@ -96,7 +97,7 @@ def inverse(pose: jnp.ndarray) -> jnp.ndarray:
     ti = -(Rt @ t[..., None])[..., 0]
     top = jnp.concatenate([Rt, ti[..., None]], axis=-1)
     bottom = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), top.shape[:-2] + (1, 4)
+        np.array([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), top.shape[:-2] + (1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
 
