@@ -184,7 +184,16 @@ class KFSphereSLAM:
             seed2 = self.off @ relative @ self.off_inv
             ref2, rel_kf = self._dense_align(kf, frame, seed2)
             self.seed_ref = ref2
-            if not is_continuous_motion(prev2, ref2):
+            # reference :430 SKIPS when the new result sits WITHIN 0.2 m of
+            # the previous one (the opposite sense of the skip-frame gate at
+            # :388): prev2 is relative to the nearest KF and ref2 to the
+            # scanned kf, so a near-zero difference means the aligner never
+            # left the neighbourhood of the previous solution — a stuck /
+            # degenerate result, not a genuine registration to kf. Round 3
+            # fix: this was inverted (`if not is_continuous_motion`), which
+            # rejected every scan candidate (the two KFs are necessarily
+            # > 0.2 m apart) and made loop-closure connections unreachable.
+            if is_continuous_motion(prev2, ref2):
                 continue
             resid = self.aligner.av_depth_residual
             if resid < SELECT_KF_ICP_DIST:

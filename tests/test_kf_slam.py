@@ -131,15 +131,20 @@ def test_kf_selection_scenario():
         pb_script[(kf6, f)] = strong
     pb_script[(kf6, 10)] = weak
     dense_script[(kf6, 10)] = (1.0, _pose(0.3))  # keyframe candidate
-    # nearby scan hits kf0 (within 2.5 m): dense connection + PbMap LC edge
-    dense_script[(kf0, 10)] = (1.5, _pose(0.5))
-    pb_script[(kf0, 10)] = (True, 6, 30.0, _pose(0.5))  # > 5 matches, area > 25
+    # nearby scan hits kf0 (within 2.5 m): dense connection + PbMap LC edge.
+    # The scan result must differ from the previous dense result by > 0.2 m
+    # (reference :430 SKIPS near-identical consecutive results as degenerate
+    # — the round-3 fix of the previously inverted check): 0.55 vs 0.3.
+    dense_script[(kf0, 10)] = (1.5, _pose(0.55))
+    pb_script[(kf0, 10)] = (True, 6, 30.0, _pose(0.55))  # > 5 matches, area > 25
     for f in (11, 12, 13, 14):
         pb_script[(kf10, f)] = strong
     pb_script[(kf10, 15)] = weak
     dense_script[(kf10, 15)] = (1.1, _pose(0.05))  # candidate...
-    dense_script[(kf0, 15)] = (0.4, _pose(0.1))  # ...but actually near kf0: skip+switch
-    dense_script[(kf6, 15)] = (1.9, _pose(0.1))  # nearby but residual >= 1.8: no edge
+    # ...but actually near kf0: skip+switch (0.4 differs from 0.05 by > 0.2,
+    # so the :430 degenerate-result skip does not engage)
+    dense_script[(kf0, 15)] = (0.4, _pose(0.4))
+    dense_script[(kf6, 15)] = (1.9, _pose(0.1))  # unreachable: the kf0 hit returns first
     for f in (16, 17, 18, 19):
         pb_script[(kf0, f)] = strong  # nearest switched to kf0
 

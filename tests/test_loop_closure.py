@@ -195,11 +195,24 @@ def test_loop_closure_batched_multi_candidate_matches_sequential(calib):
         aligner.set_source_frame(f_new.sphere_rgb, f_new.sphere_depth_mm)
         # seed with the stored (already conjugated-back) relative pose
         seq_guess = lc.rot_offset @ rel_est @ np.linalg.inv(lc.rot_offset)
-        aligner.align_frames360(seq_guess.astype(np.float32), PHOTO_DEPTH)
+        # full_coverage=True is the LC configuration (both the batched and
+        # the sequential-fallback paths in core/loop_closure.py use it);
+        # omitting it here compares a DIFFERENT gather schedule whose
+        # last-ulp drift the accept/reject cascade amplifies past atol
+        aligner.align_frames360(
+            seq_guess.astype(np.float32), PHOTO_DEPTH, full_coverage=True
+        )
         seq_rel = (
             np.linalg.inv(lc.rot_offset)
             @ aligner.get_optimal_pose().astype(np.float64)
             @ lc.rot_offset
         )
-        np.testing.assert_allclose(rel_est[:3, 3], seq_rel[:3, 3], atol=1e-3)
+        # the batched (vmapped) and single-pair programs are DIFFERENT XLA
+        # executables; their last-ulp differences are amplified by the
+        # accept/reject stopping rule (PERF.md "Accuracy note": the same
+        # pair's |t| spreads over ~0.1 m across batch sizes/backends), so
+        # equality holds only to mm-scale — 5 mm is ~20x tighter than the
+        # documented cross-program spread, and the ground-truth gate below
+        # independently bounds correctness
+        np.testing.assert_allclose(rel_est[:3, 3], seq_rel[:3, 3], atol=5e-3)
         np.testing.assert_allclose(rel_est[:3, 3], truth[:3, 3], atol=0.08)

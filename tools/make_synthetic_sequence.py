@@ -14,6 +14,10 @@ partitioning — with known ground-truth poses for gating.
 The loop: a radius-r circle in the ground (y-z) plane around the room
 centre with tangential yaw, closing after --frames steps (circumference
 2*pi*r > the 6 m loop-closure trajectory-gap gate at the default r=1.1).
+Two interior pillars (off the rig's path) occlude the walls differently
+from different viewpoints — the empty box is visible in full from
+everywhere, so without them the keyframe criterion never trips and the
+whole loop tracks against one keyframe.
 Ground-truth rig poses are saved alongside as poses_gt.txt (one 4x4
 row-major per line).
 
@@ -52,12 +56,22 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--loops", type=float, default=1.0,
+                    help="total turns around the circle (e.g. 1.4 revisits "
+                         "the start with >6 m trajectory gap, triggering the "
+                         "loop-closure gates)")
     ap.add_argument("--radius", type=float, default=1.1)
     ap.add_argument("--start", type=int, default=1, help="first frame number")
     ap.add_argument("--calib-root", default=os.environ.get("RGBD360_REFERENCE", "/root/reference"))
     args = ap.parse_args(argv)
 
     from room_scene import raycast_room_sensor
+
+    # pillars clear of the default radius-1.1 circle around (y,z)=(0.6,-0.3)
+    obstacles = (
+        (-1.5, 0.5, 2.0, 2.6, -2.2, -1.6),
+        (-1.5, 0.5, -1.8, -1.2, -1.4, -0.8),
+    )
 
     from rgbd360_tpu.io.boost_archive import RawFrame360, write_frame360_bin
     from rgbd360_tpu.io.calib import Calib360
@@ -67,13 +81,13 @@ def main(argv=None) -> int:
 
     poses = []
     for i in range(args.frames):
-        theta = 2.0 * np.pi * i / args.frames
+        theta = 2.0 * np.pi * args.loops * i / args.frames
         pose = loop_pose(theta, args.radius)
         poses.append(pose)
         rgbs, depths = [], []
         for s in range(8):
             rt = pose @ np.asarray(calib.Rt[s], np.float64)
-            rgb, depth = raycast_room_sensor(rt)
+            rgb, depth = raycast_room_sensor(rt, obstacles=obstacles)
             rgbs.append(rgb)
             depths.append(depth)
         raw = RawFrame360(

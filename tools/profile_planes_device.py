@@ -68,11 +68,18 @@ def main():
                 st = sensor_plane_stats(xyz2, rgb2, labels)
                 out = out + jnp.sum(st.count) + jnp.nansum(st.mean)
             if stage >= 5:
+                # the production compaction (prefix-sum + scatter, what
+                # plane_extraction.build_sensor_plane_stats ships) — NOT the
+                # k=4096 top_k it replaced (top_k measured 10.2 ms vs ~1 ms)
                 hw = labels.size
+                C = 4096
                 candf = st.candidate.reshape(hw)
                 pix = jax.lax.iota(jnp.int32, hw)
-                key = jnp.where(candf, hw - pix, -1)
-                _vals, cidx = jax.lax.top_k(key, 4096)
+                pos = jnp.cumsum(candf.astype(jnp.int32)) - 1
+                tgt = jnp.where(candf & (pos < C), pos, C)
+                cidx = (
+                    jnp.full((C + 1,), hw, jnp.int32).at[tgt].set(pix, mode="drop")[:C]
+                )
                 out = out + jnp.sum(cidx)
             return out.astype(jnp.float32)
 
