@@ -143,7 +143,7 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
 
     # --- graph assembly + optimization + partitioning -----------------------
     poses = [np.eye(4) for _ in range(n)]
-    optimizer = GraphOptimizer()
+    optimizer = GraphOptimizer(robust=True)
     sso = np.zeros((n, n))
     edges = []
     chain = {}

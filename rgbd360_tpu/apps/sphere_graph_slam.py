@@ -59,7 +59,11 @@ def main(argv=None) -> int:
 
     world = Map360()
     topo = TopologicalMap360(world)
-    optimizer = GraphOptimizer()
+    # robust=True: Huber-weighted pose-graph LM — guards against
+    # false-positive loop closures the avDepthResidual<2.0 accept gate
+    # lets through (an improvement over the reference, whose g2o
+    # robustification is disabled)
+    optimizer = GraphOptimizer(robust=True)
     loop_closer = LoopClosure360(world, optimizer, cfg)
     if args.lc_thread:
         loop_closer.start()

@@ -121,13 +121,38 @@ class GraphOptimizer:
     the PLANAR_3DoF registration modes constrain, ops/sphere.py docstring).
     """
 
-    def __init__(self, rigidity: int = 6, planar_axis: str = "z"):
+    def __init__(self, rigidity: int = 6, planar_axis: str = "z",
+                 robust: bool = False):
         assert rigidity in (3, 6), "3-DoF (SE2) or 6-DoF (SE3)"
         assert planar_axis in ("x", "z")
         self.rigidity = rigidity
         self.planar_axis = planar_axis
+        # robust=True: self-scaling Huber kernel (IRLS) — an improvement
+        # OVER the reference, whose g2o robustification (RRR) is disabled
+        # (GraphOptimizer.h:29), leaving it defenceless against
+        # false-positive loop closures: the LC accept gate
+        # (avDepthResidual < 2.0) is loose by design, and one bad edge
+        # measurably drags its vertex (observed 1.1 m on a 56-KF synthetic
+        # loop whose other 145 edges were good). The kernel's scale is set
+        # per iteration from the median edge chi2, so it needs no manual
+        # tuning against the Hessian-scaled information matrices. Default
+        # False = reference-parity plain quadratic.
+        self.robust = robust
         self.vertices: List[np.ndarray] = []
         self.edges: List[Edge] = []
+
+    @staticmethod
+    def _robust_weights(chi2s: np.ndarray) -> np.ndarray:
+        """Dynamic Covariance Scaling weights (Agarwal et al., ICRA'13):
+        w = min(1, 2*phi/(phi + chi2))^2 — redescending, so a grossly wrong
+        edge's influence goes to ~zero instead of Huber's linear tail. The
+        scale phi adapts to the graph (median edge chi2) with a floor of 1
+        whitened unit: a floor is required because a freshly-integrated
+        odometry chain satisfies its own edges EXACTLY (median chi2 = 0),
+        and a purely median-scaled kernel would then also reject the good
+        loop-closure edges, freezing the optimization at its start."""
+        phi = max(float(np.median(chi2s)), 1.0)
+        return np.minimum(1.0, 2.0 * phi / (phi + np.maximum(chi2s, 0.0))) ** 2
 
     # -- SE2 projection helpers (rigidity=3) -----------------------------------
     def _t2v(self, T: np.ndarray) -> np.ndarray:
@@ -194,19 +219,33 @@ class GraphOptimizer:
                 c += float(err @ e.info @ err)
             return c
 
-        current = chi2(X)
+        def edge_chi2s(Xs):
+            out = np.empty(len(self.edges))
+            for k, e in enumerate(self.edges):
+                err = _log_se3(np.linalg.inv(e.z) @ np.linalg.inv(Xs[e.i]) @ Xs[e.j])
+                out[k] = float(err @ e.info @ err)
+            return out
+
         for _ in range(iterations):
+            # IRLS: weights from the per-edge chi2 at the linearization
+            # point, held fixed for this step's build AND accept decision
+            w = (
+                self._robust_weights(edge_chi2s(X))
+                if self.robust
+                else np.ones(len(self.edges))
+            )
             H = np.zeros((6 * n, 6 * n))
             b = np.zeros(6 * n)
-            for e in self.edges:
+            for k, e in enumerate(self.edges):
                 Xi, Xj = X[e.i], X[e.j]
                 err = _log_se3(np.linalg.inv(e.z) @ np.linalg.inv(Xi) @ Xj)
+                info_w = w[k] * e.info
                 Jj = np.eye(6)
                 Ji = -_adjoint(np.linalg.inv(Xj) @ Xi)
                 for (a, Ja) in ((e.i, Ji), (e.j, Jj)):
                     for (c_, Jc) in ((e.i, Ji), (e.j, Jj)):
-                        H[6 * a : 6 * a + 6, 6 * c_ : 6 * c_ + 6] += Ja.T @ e.info @ Jc
-                    b[6 * a : 6 * a + 6] += Ja.T @ e.info @ err
+                        H[6 * a : 6 * a + 6, 6 * c_ : 6 * c_ + 6] += Ja.T @ info_w @ Jc
+                    b[6 * a : 6 * a + 6] += Ja.T @ info_w @ err
             # fix vertex 0
             H = H[6:, 6:] + lam * np.diag(np.diag(H[6:, 6:]) + 1e-12)
             b = b[6:]
@@ -217,18 +256,17 @@ class GraphOptimizer:
             Xnew = [X[0]] + [
                 X[k] @ _exp_se3(delta[6 * (k - 1) : 6 * k]) for k in range(1, n)
             ]
-            new = chi2(Xnew)
-            if new <= current:
+            cur_w = float(w @ edge_chi2s(X))
+            new_w = float(w @ edge_chi2s(Xnew))
+            if new_w <= cur_w:
                 X = Xnew
-                if current - new < 1e-12:
-                    current = new
+                if cur_w - new_w < 1e-12:
                     break
-                current = new
                 lam = max(lam / 10, 1e-12)
             else:
                 lam *= 10
         self.vertices = X
-        return current
+        return chi2(X)
 
     def _optimize_se2(self, iterations: int, lam: float) -> float:
         """Planar (SE2) Gauss-Newton/LM, the rigidity=3 path (reference
@@ -255,11 +293,17 @@ class GraphOptimizer:
         def chi2(Vs):
             return float(sum(err(Vs, i, j, zv) @ info @ err(Vs, i, j, zv) for i, j, zv, info in Z))
 
-        current = chi2(V)
+        def edge_chi2s(Vs):
+            return np.array(
+                [err(Vs, i, j, zv) @ info @ err(Vs, i, j, zv) for i, j, zv, info in Z]
+            )
+
         for _ in range(iterations):
+            w = self._robust_weights(edge_chi2s(V)) if self.robust else np.ones(len(Z))
             H = np.zeros((3 * n, 3 * n))
             b = np.zeros(3 * n)
-            for i, j, zv, info in Z:
+            for k_e, (i, j, zv, info) in enumerate(Z):
+                info = w[k_e] * info
                 Ri = rot2(V[i][2])
                 Rz = rot2(zv[2])
                 dt = V[j][:2] - V[i][:2]
@@ -294,18 +338,17 @@ class GraphOptimizer:
                 )
                 for k in range(1, n)
             ]
-            new = chi2(Vnew)
-            if new <= current:
+            cur_w = float(w @ edge_chi2s(V))
+            new_w = float(w @ edge_chi2s(Vnew))
+            if new_w <= cur_w:
                 V = Vnew
-                if current - new < 1e-14:
-                    current = new
+                if cur_w - new_w < 1e-14:
                     break
-                current = new
                 lam = max(lam / 10, 1e-12)
             else:
                 lam *= 10
         self.vertices = [self._v2t(v) for v in V]
-        return current
+        return chi2(V)
 
     # -- accessors -----------------------------------------------------------------
     def get_poses(self) -> List[np.ndarray]:

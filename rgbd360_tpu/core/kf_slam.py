@@ -97,7 +97,7 @@ class KFSphereSLAM:
         # (core/map_io.load_map_full) — a fresh TopologicalMap360 over a
         # populated map has empty v_sso and crashes on the first connection
         self.topo = topo if topo is not None else TopologicalMap360(self.world)
-        self.optimizer = optimizer if optimizer is not None else GraphOptimizer()
+        self.optimizer = optimizer if optimizer is not None else GraphOptimizer(robust=True)
         self.registerer = registerer if registerer is not None else RegisterRGBD360(matcher_config)
         self.aligner = aligner if aligner is not None else RegisterPhotoICP(n_pyr_levels=n_pyr_levels)
         from rgbd360_tpu.apps.common import rot_offset

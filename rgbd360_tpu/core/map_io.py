@@ -98,7 +98,7 @@ def load_map_full(
     persisted fall back to correctly-sized zero matrices (degraded
     affinities, no crash)."""
     world = Map360()
-    optimizer = GraphOptimizer()
+    optimizer = GraphOptimizer(robust=True)  # match the SLAM apps' default
     with np.load(os.path.join(out_dir, "map_state.npz"), allow_pickle=True) as z:
         payload = {k: z[k] for k in z.files}
 

@@ -355,3 +355,47 @@ def test_partitioner_sso_rows_follow_local_index():
         for a, b in ((kfs[0], kfs[1]), (kfs[1], kfs[2])):
             ia, ib = m.local_index(a), m.local_index(b)
             assert topo.v_sso[area][ia, ib] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_robust_kernel_rejects_false_loop_closure(rng):
+    """robust=True (self-scaling Huber IRLS) must keep one grossly wrong
+    loop-closure edge from dragging its vertex, while the reference-parity
+    plain optimizer is measurably corrupted by it. Scenario from the
+    synthetic 56-KF loop run: 145 good edges + 1 false LC accepted by the
+    loose avDepthResidual<2.0 gate pulled its vertex 1.1 m off."""
+    gt, odo = _circle_graph(rng=rng)
+    n = len(gt)
+
+    def build(robust, with_outlier):
+        opt = GraphOptimizer(robust=robust)
+        pose = np.eye(4)
+        opt.add_vertex(pose)
+        for z in odo:
+            pose = pose @ z
+            opt.add_vertex(pose)
+        # realistic information scales: odometry edges carry dense-align
+        # Hessians an order stronger than LC edges (deforming the chain to
+        # satisfy one outlier must be expensive, as in the real graphs —
+        # with weaker-than-LC odometry a flexible chain lets the outlier
+        # ratchet itself back to full weight)
+        for k, z in enumerate(odo):
+            opt.add_edge(k, k + 1, z, 100 * np.eye(6))
+        # good loop closure last->first
+        opt.add_edge(n - 1, 0, np.linalg.inv(gt[-1]) @ gt[0], 10 * np.eye(6))
+        if with_outlier:
+            # FALSE loop closure: claims vertex n//2 sits 1.5 m off
+            bad = np.linalg.inv(gt[0]) @ gt[n // 2]
+            bad[:3, 3] += np.array([1.5, -0.8, 0.4])
+            opt.add_edge(0, n // 2, bad, 10 * np.eye(6))
+        opt.optimize_graph(iterations=25)
+        return max(
+            np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(opt.get_poses(), gt)
+        )
+
+    err_clean = build(robust=False, with_outlier=False)  # intrinsic drift floor
+    err_plain = build(robust=False, with_outlier=True)
+    err_robust = build(robust=True, with_outlier=True)
+    # the plain solve is visibly dragged; the robust one recovers the
+    # outlier-free solution (measured: clean 0.252, plain 1.344, robust 0.240)
+    assert err_plain > 2 * err_clean, (err_plain, err_clean)
+    assert err_robust < 1.1 * err_clean, (err_robust, err_clean)
