@@ -94,6 +94,53 @@ def test_rawlog_roundtrip(tmp_path, rng):
             np.testing.assert_allclose(a.sensor_pose, b.sensor_pose)
 
 
+def test_rawlog_roundtrip_full_v6_fields(tmp_path, rng):
+    """The writer emits the complete v6 layout (TCamera blocks, quaternion
+    CPose3D, extrinsic, trailing scalars); a rotated pose gates that
+    _rot_to_quat/_quat_to_rot are exact inverses."""
+    from rgbd360_tpu.io.rawlog import (
+        Obs3DRangeScan, TCamera, read_rawlog, write_rawlog,
+    )
+
+    th = 0.7
+    rot = np.eye(4)
+    rot[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    ) @ np.array(
+        [[1, 0, 0], [0, np.cos(0.3), -np.sin(0.3)], [0, np.sin(0.3), np.cos(0.3)]]
+    )
+    rot[:3, 3] = (1.0, -2.0, 0.5)
+    cam = TCamera(
+        intrinsics=np.array([[300.0, 0, 160], [0, 301.0, 120], [0, 0, 1]]),
+        dist=np.array([0.1, 0.2, 0.3, 0.4, 0.5]),
+        nrows=12,
+        ncols=16,
+    )
+    obs = Obs3DRangeScan(
+        sensor_label="RGBD3",
+        timestamp=42,
+        sensor_pose=rot,
+        range_image=rng.random((12, 16)).astype(np.float32),
+        intensity_image=rng.integers(0, 255, (12, 16, 3), np.uint8),
+        confidence_image=rng.integers(0, 255, (12, 16), np.uint8),
+        camera_params=cam,
+        points3d=rng.random((5, 3)).astype(np.float32),
+        rel_pose_intensity_wrt_depth=np.diag([1.0, 1, 1, 1]),
+        range_is_depth=False,
+        intensity_image_channel=1,
+    )
+    path = tmp_path / "full.rawlog"
+    write_rawlog(str(path), [obs])
+    (back,) = list(read_rawlog(str(path)))
+    np.testing.assert_allclose(back.sensor_pose, rot, atol=1e-12)
+    np.testing.assert_array_equal(back.confidence_image, obs.confidence_image)
+    np.testing.assert_allclose(back.points3d, obs.points3d)
+    np.testing.assert_allclose(back.camera_params.intrinsics, cam.intrinsics)
+    np.testing.assert_allclose(back.camera_params.dist, cam.dist)
+    assert (back.camera_params.nrows, back.camera_params.ncols) == (12, 16)
+    assert back.range_is_depth is False and back.intensity_image_channel == 1
+
+
 def test_rawlog_rejects_garbage(tmp_path):
     import gzip
 
@@ -258,6 +305,35 @@ def test_rawlog_reader_parses_independent_fixture():
     np.testing.assert_array_equal(
         a.intensity_image, rng.integers(0, 255, (6, 8, 3), np.uint8)
     )
+    # full-v6 fields: quaternion sensorPose, both TCamera blocks, the
+    # intensity-vs-depth extrinsic, trailing v5/v6 scalars
+    np.testing.assert_allclose(b.sensor_pose[:3, 3], [0.5, -0.25, 1.5])
+    np.testing.assert_allclose(b.sensor_pose[:3, :3], np.eye(3), atol=1e-12)
+    assert a.camera_params is not None and a.camera_params.nrows == 6
+    np.testing.assert_allclose(
+        a.camera_params.intrinsics[0], [525.0 * 8 / 640, 0.0, 4.0]
+    )
+    np.testing.assert_allclose(a.camera_params.dist[:2], [0.1, -0.05])
+    assert a.camera_params_intensity.intrinsics[0, 0] == 520.0
+    np.testing.assert_allclose(
+        a.rel_pose_intensity_wrt_depth[:3, 3], [-0.025, 0.0, 0.0]
+    )
+    assert a.range_is_depth and a.intensity_image_channel == 0
+    # the second record's intensity image is a JPEG blob encoded by cv2 in
+    # the fixture generator (independent of io/rawlog.py) — the reader must
+    # decode it to within JPEG quantization error
+    yy, xx = np.mgrid[0:6, 0:8]
+    rgb2 = np.stack(
+        [128 + 10 * xx, 100 + 8 * yy, 90 + 5 * (xx + yy)], axis=-1
+    ).astype(np.uint8)
+    assert b.intensity_image.shape == (6, 8, 3)
+    assert np.abs(b.intensity_image.astype(int) - rgb2.astype(int)).max() <= 16
+    # full v7 laser traversal (every field must be walked to find the next
+    # record — MRPT payloads carry no length prefix)
+    np.testing.assert_allclose(laser.ranges, [1.5, 2.5, 3.5])
+    np.testing.assert_array_equal(laser.valid, [1, 1, 1])
+    np.testing.assert_allclose(laser.sensor_pose[:3, 3], [0.0, 0.0, 0.3])
+    assert laser.right_to_left and laser.max_range == 80.0
     np.testing.assert_allclose(b.sensor_pose[:3, 3], [0.5, -0.25, 1.5])
     assert isinstance(laser, Obs2DRangeScan)
     np.testing.assert_allclose(laser.ranges, [1.5, 2.5, 3.5])
