@@ -17,6 +17,50 @@ from rgbd360_tpu.io.calib import Calib360
 from rgbd360_tpu.ops.image import gray_f32
 
 
+# stereo PCL segmentation configuration (Frame360_stereo.h:859-867)
+_ANGULAR, _DIST, _MAX_DEPTH_CHANGE = 0.05, 0.05, 0.05
+
+
+def _stereo_device_stats_impl(depth, rgb, start_phi, max_depth):
+    """Device program for getPlanesStereo: backproject the organized stereo
+    panorama, segment planes, reduce per-label stats. Module-level and
+    jitted once so a per-frame call re-uses the compiled executable instead
+    of re-tracing (and, over axon, re-loading) the program every frame."""
+    from rgbd360_tpu.ops.normals import organized_normals
+    from rgbd360_tpu.ops.plane_stats import sensor_plane_stats
+    from rgbd360_tpu.ops.planes_seg import refine_plane_labels, segment_planes
+
+    h, w = depth.shape
+    step = 2.0 * jnp.pi / w
+    phi = (jnp.arange(h, dtype=jnp.float32) + start_phi) * step - jnp.pi / 2
+    theta = jnp.arange(w, dtype=jnp.float32) * step - jnp.pi
+    cph, sph = jnp.cos(phi)[:, None], jnp.sin(phi)[:, None]
+    sth, cth = jnp.sin(theta)[None, :], jnp.cos(theta)[None, :]
+    valid = (depth > 0.0) & (depth < max_depth)
+    d = jnp.where(valid, depth, jnp.nan)
+    xyz = jnp.stack([sth * cph * d, sph * d, cth * cph * d], axis=-1)
+    normals = organized_normals(xyz, max_depth_change=_MAX_DEPTH_CHANGE)
+    labels = segment_planes(
+        xyz, normals, angular_threshold=_ANGULAR, distance_threshold=_DIST
+    )
+    labels = refine_plane_labels(labels, xyz, normals, distance_threshold=_DIST)
+    st = sensor_plane_stats(xyz, rgb, labels)
+    return st, xyz
+
+
+_stereo_device_stats = None  # jitted lazily: jax.jit at import time would
+# bind the backend before tests can force the CPU platform
+
+
+def _get_stereo_device_stats():
+    global _stereo_device_stats
+    if _stereo_device_stats is None:
+        import jax
+
+        _stereo_device_stats = jax.jit(_stereo_device_stats_impl)
+    return _stereo_device_stats
+
+
 def read_stereo_depth(path: str) -> np.ndarray:
     """Raw stereo depth panorama: [u16 h][u16 w][h*w f32 column-major]
     (reference Frame360_stereo.h:268-305) -> (h, w) f32 metres."""
@@ -68,39 +112,18 @@ class Frame360Stereo(Frame360):
         over the ORGANIZED stereo cloud, no per-sensor split, no rig
         transform; same area/elongation filters and local same-plane merge
         as Frame360 (:938-978). Sets and returns self.planes."""
-        import jax
-
         from rgbd360_tpu.config import default_params
         from rgbd360_tpu.core.pbmap import PbMap, Plane
-        from rgbd360_tpu.ops.normals import organized_normals
-        from rgbd360_tpu.ops.plane_stats import sensor_plane_stats
-        from rgbd360_tpu.ops.planes_seg import refine_plane_labels, segment_planes
 
         MIN_INLIERS_STEREO = 40  # :865
-        ANGULAR, DIST, MAX_DEPTH_CHANGE = 0.05, 0.05, 0.05  # :859-867
 
         depth_m = self.sphere_depth_mm.astype(jnp.float32) * 1e-3
-        h, w = depth_m.shape
-
-        @jax.jit
-        def device(depth, rgb):
-            step = 2.0 * jnp.pi / w
-            phi = (jnp.arange(h, dtype=jnp.float32) + start_phi) * step - jnp.pi / 2
-            theta = jnp.arange(w, dtype=jnp.float32) * step - jnp.pi
-            cph, sph = jnp.cos(phi)[:, None], jnp.sin(phi)[:, None]
-            sth, cth = jnp.sin(theta)[None, :], jnp.cos(theta)[None, :]
-            valid = (depth > 0.0) & (depth < max_depth)
-            d = jnp.where(valid, depth, jnp.nan)
-            xyz = jnp.stack([sth * cph * d, sph * d, cth * cph * d], axis=-1)
-            normals = organized_normals(xyz, max_depth_change=MAX_DEPTH_CHANGE)
-            labels = segment_planes(
-                xyz, normals, angular_threshold=ANGULAR, distance_threshold=DIST
-            )
-            labels = refine_plane_labels(labels, xyz, normals, distance_threshold=DIST)
-            st = sensor_plane_stats(xyz, rgb, labels)
-            return st, xyz
-
-        st, xyz = device(depth_m, self.sphere_rgb)
+        st, xyz = _get_stereo_device_stats()(
+            depth_m,
+            self.sphere_rgb,
+            jnp.float32(start_phi),
+            jnp.float32(max_depth),
+        )
         labels = np.asarray(st.labels)
         cand = np.asarray(st.candidate)
         xyzf = np.asarray(xyz).reshape(-1, 3)

@@ -212,13 +212,6 @@ class GraphOptimizer:
             return self._optimize_se2(iterations, lam)
         X = [v.copy() for v in self.vertices]
 
-        def chi2(Xs):
-            c = 0.0
-            for e in self.edges:
-                err = _log_se3(np.linalg.inv(e.z) @ np.linalg.inv(Xs[e.i]) @ Xs[e.j])
-                c += float(err @ e.info @ err)
-            return c
-
         def edge_chi2s(Xs):
             out = np.empty(len(self.edges))
             for k, e in enumerate(self.edges):
@@ -226,14 +219,14 @@ class GraphOptimizer:
                 out[k] = float(err @ e.info @ err)
             return out
 
+        # per-edge chi2 at the current linearization point, carried across
+        # iterations so each LM step evaluates the edge set once (for Xnew)
+        # instead of three times
+        cs = edge_chi2s(X)
         for _ in range(iterations):
             # IRLS: weights from the per-edge chi2 at the linearization
             # point, held fixed for this step's build AND accept decision
-            w = (
-                self._robust_weights(edge_chi2s(X))
-                if self.robust
-                else np.ones(len(self.edges))
-            )
+            w = self._robust_weights(cs) if self.robust else np.ones(len(self.edges))
             H = np.zeros((6 * n, 6 * n))
             b = np.zeros(6 * n)
             for k, e in enumerate(self.edges):
@@ -256,17 +249,19 @@ class GraphOptimizer:
             Xnew = [X[0]] + [
                 X[k] @ _exp_se3(delta[6 * (k - 1) : 6 * k]) for k in range(1, n)
             ]
-            cur_w = float(w @ edge_chi2s(X))
-            new_w = float(w @ edge_chi2s(Xnew))
+            new_cs = edge_chi2s(Xnew)
+            cur_w = float(w @ cs)
+            new_w = float(w @ new_cs)
             if new_w <= cur_w:
                 X = Xnew
+                cs = new_cs
                 if cur_w - new_w < 1e-12:
                     break
                 lam = max(lam / 10, 1e-12)
             else:
                 lam *= 10
         self.vertices = X
-        return chi2(X)
+        return float(cs.sum())
 
     def _optimize_se2(self, iterations: int, lam: float) -> float:
         """Planar (SE2) Gauss-Newton/LM, the rigidity=3 path (reference
@@ -290,16 +285,14 @@ class GraphOptimizer:
             e_th = wrap(Vs[j][2] - Vs[i][2] - zv[2])
             return np.array([e_t[0], e_t[1], e_th])
 
-        def chi2(Vs):
-            return float(sum(err(Vs, i, j, zv) @ info @ err(Vs, i, j, zv) for i, j, zv, info in Z))
-
         def edge_chi2s(Vs):
             return np.array(
                 [err(Vs, i, j, zv) @ info @ err(Vs, i, j, zv) for i, j, zv, info in Z]
             )
 
+        cs = edge_chi2s(V)  # carried: one edge sweep per iteration, not three
         for _ in range(iterations):
-            w = self._robust_weights(edge_chi2s(V)) if self.robust else np.ones(len(Z))
+            w = self._robust_weights(cs) if self.robust else np.ones(len(Z))
             H = np.zeros((3 * n, 3 * n))
             b = np.zeros(3 * n)
             for k_e, (i, j, zv, info) in enumerate(Z):
@@ -338,17 +331,19 @@ class GraphOptimizer:
                 )
                 for k in range(1, n)
             ]
-            cur_w = float(w @ edge_chi2s(V))
-            new_w = float(w @ edge_chi2s(Vnew))
+            new_cs = edge_chi2s(Vnew)
+            cur_w = float(w @ cs)
+            new_w = float(w @ new_cs)
             if new_w <= cur_w:
                 V = Vnew
+                cs = new_cs
                 if cur_w - new_w < 1e-14:
                     break
                 lam = max(lam / 10, 1e-12)
             else:
                 lam *= 10
         self.vertices = [self._v2t(v) for v in V]
-        return chi2(V)
+        return float(cs.sum())
 
     # -- accessors -----------------------------------------------------------------
     def get_poses(self) -> List[np.ndarray]:

@@ -191,7 +191,6 @@ class LoopClosure360:
         the same compiled executable."""
         import jax.numpy as jnp
 
-        from rgbd360_tpu.ops.image import gray_f32
         from rgbd360_tpu.parallel.batch import align_batch
 
         m = self.map
@@ -199,7 +198,11 @@ class LoopClosure360:
         bucket = 2
         while bucket < b:
             bucket *= 2
-        src_gray = np.asarray(gray_f32(jnp.asarray(new_kf.sphere_rgb)))
+        # every keyframe carries its grayscale panorama from build time
+        # (frame360.py sets sphere_gray once) — re-deriving it here with
+        # eager gray_f32 would cost unjitted device ops plus a host round
+        # trip per candidate on every LC sweep (CLAUDE.md: keep under jit)
+        src_gray = np.asarray(new_kf.sphere_gray)
         src_depth = np.asarray(new_kf.sphere_depth_mm, np.float32) * 0.001
         gs, ds, gt, dt, seeds = [], [], [], [], []
         for k in range(bucket):
@@ -207,7 +210,7 @@ class LoopClosure360:
             cand_kf = m.frames[cand]
             gs.append(src_gray)
             ds.append(src_depth)
-            gt.append(np.asarray(gray_f32(jnp.asarray(cand_kf.sphere_rgb))))
+            gt.append(np.asarray(cand_kf.sphere_gray))
             dt.append(np.asarray(cand_kf.sphere_depth_mm, np.float32) * 0.001)
             seeds.append(guess.astype(np.float32))
         res = align_batch(

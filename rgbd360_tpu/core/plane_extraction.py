@@ -429,18 +429,11 @@ def merge_planes(pbmap: PbMap) -> PbMap:
     return pbmap
 
 
-def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[List[Plane]]]:
-    """Full getPlanes pipeline for a Frame360 (device-stats fast path).
-
-    need_inliers=False skips shipping the per-pixel label image (Plane.inliers
-    stays None) — the SLAM/odometry-loop configuration, where only plane
-    geometry, hulls and histograms are consumed; calibration and labelization
-    keep the default."""
-    buf = np.asarray(
-        build_sensor_plane_stats(
-            frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
-        )
-    )
+def _fit_from_stats_buffer(frame, buf: np.ndarray, need_inliers: bool):
+    """Host half of the getPlanes pipeline: unpack a fetched device stats
+    buffer, fit per-sensor planes, transform to rig frame, group and merge.
+    Shared by extract_frame_planes and planes_pipeline.collect so the
+    overflow warnings and merge semantics exist exactly once."""
     h, w = frame.depth_undistorted_m.shape[1] // 2, frame.depth_undistorted_m.shape[2] // 2
     labels, cand_lab, cand_xyz, stats, n_cand = _unpack_stats_buffer(
         buf, h, w, ship_labels=need_inliers
@@ -489,6 +482,21 @@ def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[
     return pbmap, local
 
 
+def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[List[Plane]]]:
+    """Full getPlanes pipeline for a Frame360 (device-stats fast path).
+
+    need_inliers=False skips shipping the per-pixel label image (Plane.inliers
+    stays None) — the SLAM/odometry-loop configuration, where only plane
+    geometry, hulls and histograms are consumed; calibration and labelization
+    keep the default."""
+    buf = np.asarray(
+        build_sensor_plane_stats(
+            frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
+        )
+    )
+    return _fit_from_stats_buffer(frame, buf, need_inliers)
+
+
 def planes_pipeline(frames_iter, need_inliers: bool = False):
     """One-frame-lookahead plane extraction over a (frame_no, frame)
     iterator: frame N+1's device program is dispatched BEFORE frame N's
@@ -504,36 +512,9 @@ def planes_pipeline(frames_iter, need_inliers: bool = False):
         )
 
     def collect(frame_no, frame, fut):
-        buf = np.asarray(fut)
-        h = frame.depth_undistorted_m.shape[1] // 2
-        w = frame.depth_undistorted_m.shape[2] // 2
-        labels, cand_lab, cand_xyz, stats, n_cand = _unpack_stats_buffer(
-            buf, h, w, ship_labels=need_inliers
+        frame.planes, frame.local_planes = _fit_from_stats_buffer(
+            frame, np.asarray(fut), need_inliers
         )
-        rt = frame.calib.Rt
-        local: List[List[Plane]] = []
-        for s in range(8):
-            planes = _planes_from_stats(
-                stats[s],
-                labels[s] if labels is not None else None,
-                cand_lab[s],
-                cand_xyz[s],
-                s,
-                h * w,
-            )
-            for p in planes:
-                p.transform(rt[s].astype(np.float64))
-            local.append(planes)
-        if need_inliers:
-            import copy
-
-            frame.planes = merge_planes(
-                group_planes([[copy.deepcopy(p) for p in l] for l in local])
-            )
-            frame.local_planes = local
-        else:
-            frame.planes = merge_planes(group_planes(local))
-            frame.local_planes = None
         return frame_no, frame
 
     pending = None

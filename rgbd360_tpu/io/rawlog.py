@@ -443,14 +443,14 @@ def _read_obs3d(f: BinaryIO, version: int) -> Obs3DRangeScan:
     obs.sensor_label = _read_string(f)
     if version >= 3:
         # externally-stored payload markers (flag + relative file name) for
-        # points3D and rangeImage; the pixels stay in-stream in our use
+        # points3D and rangeImage; when a flag is set the pixels live in a
+        # side file that is not part of the stream — refuse rather than hand
+        # the caller an observation with silently-missing depth
         (pts_ext,) = _read_fmt(f, "B")
         pts_file = _read_string(f)
         (rng_ext,) = _read_fmt(f, "B")
         rng_file = _read_string(f)
-        if (pts_ext and obs.points3d is None and has_points) or (
-            rng_ext and obs.range_image is None and has_range
-        ):
+        if pts_ext or rng_ext:
             raise ValueError(
                 f"externally-stored 3D-scan payloads ({pts_file!r}, "
                 f"{rng_file!r}) are not available in this stream"

@@ -36,9 +36,11 @@ def segment_planes(
     # each scan round propagates along ENTIRE connected runs in all four
     # directions, so rounds-to-converge is bounded by the bend count of the
     # most serpentine region path, not the grid diameter; 4-9 rounds on real
-    # frames, 64 is the pathological-spiral safety bound (the while_loop
-    # exits on convergence well before it)
-    max_sweeps: int = 64,
+    # frames. The while_loop exits on convergence (labels are monotone
+    # non-increasing ints, so convergence is guaranteed); the cap is only a
+    # runaway backstop and costs nothing when converged — keep it far above
+    # any physical scene's bend count so a region is never silently split
+    max_sweeps: int = 512,
     # thresholds default to the QVGA Frame360 configuration; the stereo
     # variant passes its own (reference Frame360_stereo.h:865-867)
     angular_threshold: float = ANGULAR_THRESHOLD,

@@ -347,8 +347,9 @@ def warp_gather_batched(
         jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.float32),
         jax.ShapeDtypeStruct((bsz, hop, wop), jnp.float32),
     ]
+    # fallback kernel tiles single BR rows; pipelined steps take VR at once
+    grid = (bsz, hop // (BR * VR if PIPELINE_KERNEL else BR), wop // BC)
     if PIPELINE_KERNEL:
-        grid = (bsz, hop // (BR * VR), wop // BC)
         # the pipelined kernel moves data as i32 bit patterns (see _kernel_pipelined)
         planes_bits = (
             planes

@@ -82,8 +82,11 @@ def planes_payload(frames: Sequence, poses: Sequence[np.ndarray]) -> list:
         for p in pb.planes:
             if p.hull is None or len(p.hull) < 3:
                 continue
+            # main_color is already RGB: both producers convert from the
+            # sensor BGR before averaging (ops/plane_stats.sensor_plane_stats
+            # and Plane.compute_colors)
             col = p.main_color if p.main_color is not None else [0.6, 0.6, 0.6]
-            rgb = [int(255 * float(c)) for c in np.asarray(col)[::-1]]  # BGR->RGB
+            rgb = [int(255 * float(c)) for c in np.asarray(col)]
             out.append(
                 {
                     "hull": (np.asarray(p.hull, float) @ R.T + t).round(4).tolist(),

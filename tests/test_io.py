@@ -141,6 +141,66 @@ def test_rawlog_roundtrip_full_v6_fields(tmp_path, rng):
     assert back.range_is_depth is False and back.intensity_image_channel == 1
 
 
+def test_rawlog_cimage_gray_zip_and_jpeg_paths(tmp_path, rng):
+    """CImage wire forms beyond raw color: grayscale raw (4-byte-aligned
+    stride), grayscale zlib block, writer-side JPEG (MRPT's default color
+    form) decoded back within quantization error, and the
+    externally-stored refusal."""
+    import io as _io
+    import struct
+    import zlib
+
+    import pytest
+
+    from rgbd360_tpu.io.rawlog import _read_cimage, _write_cimage
+
+    def obj_bytes(payload):
+        return (
+            struct.pack("<B", len("CImage") | 0x80)
+            + b"CImage"
+            + struct.pack("<b", 9)
+            + payload
+            + b"\x88"
+        )
+
+    # grayscale via the writer: odd width forces stride padding
+    g = rng.integers(0, 255, (5, 7), np.uint8)
+    buf = _io.BytesIO()
+    _write_cimage(buf, g)
+    buf.seek(0)
+    np.testing.assert_array_equal(_read_cimage(buf), g)
+
+    # grayscale zlib block, hand-assembled (stride 8 for width 7)
+    rows = np.zeros((5, 8), np.uint8)
+    rows[:, :7] = g
+    z = zlib.compress(rows.tobytes())
+    payload = (
+        struct.pack("<BB", 0, 0)
+        + struct.pack("<iiii", 7, 5, 0, 40)
+        + struct.pack("<B", 1)
+        + struct.pack("<I", len(z))
+        + z
+    )
+    np.testing.assert_array_equal(
+        _read_cimage(_io.BytesIO(obj_bytes(payload))), g
+    )
+
+    # color JPEG through the writer (lossy -> tolerance)
+    yy, xx = np.mgrid[0:16, 0:24]
+    c = np.stack([100 + 4 * xx, 80 + 3 * yy, 60 + 2 * (xx + yy)], -1).astype(np.uint8)
+    buf = _io.BytesIO()
+    _write_cimage(buf, c, jpeg=True)
+    buf.seek(0)
+    back = _read_cimage(buf)
+    assert back.shape == c.shape
+    assert np.abs(back.astype(int) - c.astype(int)).max() <= 12
+
+    # externally-stored images are refused loudly
+    ext = struct.pack("<B", 1) + struct.pack("<I", 5) + b"a.png"
+    with pytest.raises(ValueError, match="externally-stored"):
+        _read_cimage(_io.BytesIO(obj_bytes(ext)))
+
+
 def test_rawlog_rejects_garbage(tmp_path):
     import gzip
 
