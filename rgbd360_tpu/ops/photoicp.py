@@ -150,22 +150,39 @@ NUM_CH = 4
 
 
 def _pack2_f16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pack two f32 arrays as an f16 pair in an **i32** slot (low = a).
+    i32, never f32: a pair whose high half is zero IS an f32 denormal, and
+    TPU f32 data movement (stack/concatenate/gather) flushes denormals —
+    the value never exists as f32 on the way in (PERF.md probe)."""
     ab = jnp.stack([a.astype(jnp.float16), b.astype(jnp.float16)], axis=-1)
-    return jax.lax.bitcast_convert_type(ab, jnp.float32)
+    return jax.lax.bitcast_convert_type(ab, jnp.int32)
 
 
 def _unpack2_f16(x: jnp.ndarray):
+    """Inverse of _pack2_f16; accepts any 32-bit slot dtype (i32 or f32)."""
     ab = jax.lax.bitcast_convert_type(x, jnp.float16)
     return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
 
 
+def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _bits_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
 def pack_target_channels(level: LevelData) -> jnp.ndarray:
-    """(H*W, 4) f32: all per-pixel target data touched by a sweep."""
+    """(H*W, 4) **i32** rows: gray/depth as raw f32 bit patterns, gradient
+    pairs as packed f16 — all per-pixel target data touched by a sweep.
+    The rows stay i32 end-to-end for the same reason pack_target_planes4
+    does: moving f16 pairs in f32 slots through the stack/gather would
+    flush the pair to zero whenever the high half is zero."""
     h, w = level.gray_trg.shape
     return jnp.stack(
         [
-            level.gray_trg,
-            level.depth_trg,
+            _f32_bits(level.gray_trg),
+            _f32_bits(level.depth_trg),
             _pack2_f16(level.gray_trg_gx, level.gray_trg_gy),
             _pack2_f16(level.depth_trg_gx, level.depth_trg_gy),
         ],
@@ -209,29 +226,17 @@ def pack_target_planes4(level: LevelData) -> jnp.ndarray:
     h, w = level.gray_trg.shape
     d = level.depth_trg
     d_hi = d.astype(jnp.float16)
-    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float16)
-
-    def pk(a16, b16):
-        # f16 stack + direct bitcast to i32: the value never moves as f32
-        pair = jnp.stack([a16, b16], axis=-1)
-        return jax.lax.bitcast_convert_type(pair, jnp.int32)
-
-    zeros = jnp.zeros((h, w), jnp.float16)
+    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float32)
+    zeros = jnp.zeros((h, w), jnp.float32)
     return jnp.stack(
         [
-            pk(level.gray_trg.astype(jnp.float16), d_lo),
-            pk(d_hi, zeros),
-            pk(level.gray_trg_gx.astype(jnp.float16), level.gray_trg_gy.astype(jnp.float16)),
-            pk(level.depth_trg_gx.astype(jnp.float16), level.depth_trg_gy.astype(jnp.float16)),
+            _pack2_f16(level.gray_trg, d_lo),
+            _pack2_f16(d_hi.astype(jnp.float32), zeros),
+            _pack2_f16(level.gray_trg_gx, level.gray_trg_gy),
+            _pack2_f16(level.depth_trg_gx, level.depth_trg_gy),
         ],
         axis=1,
     )
-
-
-def _unpack2_f16_bits(x_i32: jnp.ndarray):
-    """i32 bit pattern -> (low f16, high f16) as f32 values."""
-    ab = jax.lax.bitcast_convert_type(x_i32, jnp.float16)
-    return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
 
 
 # Use the Mosaic block-warp kernel for levels at least this large when
@@ -420,7 +425,8 @@ def hess_grad_sphere(level: LevelData, xyz, valid, pose, method: int):
 
 def fused_sweep_sphere(
     gray_src_flat: jnp.ndarray,  # (N,) f32
-    target_packed: jnp.ndarray,  # (N, 8) f32 from pack_target_channels
+    target_packed: jnp.ndarray,  # (H*W, 4) i32 rows (pack_target_channels)
+    #                              or (H, 4|8, W) kernel planes (pack_target_planes*)
     shape: Tuple[int, int],
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
@@ -487,11 +493,11 @@ def fused_sweep_sphere(
                 planes_out = jnp.where(in_window[None], planes_out, out_k)
                 in_window = in_window | hit_k
         if target_packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
-            gray2, d_lo = _unpack2_f16_bits(planes_out[0].reshape(-1))
-            d_hi, _ = _unpack2_f16_bits(planes_out[1].reshape(-1))
+            gray2, d_lo = _unpack2_f16(planes_out[0].reshape(-1))
+            d_hi, _ = _unpack2_f16(planes_out[1].reshape(-1))
             depth2 = d_hi + d_lo
-            ggx, ggy = _unpack2_f16_bits(planes_out[2].reshape(-1))
-            dgx, dgy = _unpack2_f16_bits(planes_out[3].reshape(-1))
+            ggx, ggy = _unpack2_f16(planes_out[2].reshape(-1))
+            dgx, dgy = _unpack2_f16(planes_out[3].reshape(-1))
         else:
             gray2 = planes_out[0].reshape(-1)
             depth2 = planes_out[1].reshape(-1)
@@ -502,8 +508,8 @@ def fused_sweep_sphere(
         visible = visible & in_window.reshape(-1)
     else:
         tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
-        gray2 = tgt[:, CH_GRAY]
-        depth2 = tgt[:, CH_DEPTH]
+        gray2 = _bits_f32(tgt[:, CH_GRAY])
+        depth2 = _bits_f32(tgt[:, CH_DEPTH])
         ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
         dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
         if EMULATE_KERNEL_WINDOW_MASK and h * w >= WARP_KERNEL_MIN_PIXELS:
@@ -658,11 +664,11 @@ def _exact_final_missed_stats(
         in_window = in_window | hit_k
 
     if packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
-        gray2, d_lo = _unpack2_f16_bits(planes_out[0].reshape(-1))
-        d_hi, _ = _unpack2_f16_bits(planes_out[1].reshape(-1))
+        gray2, d_lo = _unpack2_f16(planes_out[0].reshape(-1))
+        d_hi, _ = _unpack2_f16(planes_out[1].reshape(-1))
         depth2 = d_hi + d_lo
-        ggx, ggy = _unpack2_f16_bits(planes_out[2].reshape(-1))
-        dgx, dgy = _unpack2_f16_bits(planes_out[3].reshape(-1))
+        ggx, ggy = _unpack2_f16(planes_out[2].reshape(-1))
+        dgx, dgy = _unpack2_f16(planes_out[3].reshape(-1))
     else:
         gray2 = planes_out[0].reshape(-1)
         depth2 = planes_out[1].reshape(-1)
@@ -811,7 +817,9 @@ def align_level_sphere(
         x, solve_ok = linalg6.solve6_sym(H + (~ok) * jnp.eye(6, dtype=H.dtype), g)
         ok = ok & solve_ok
         update = -x
-        new_pose = se3.exp_se3(update, pseudo=True) @ pose
+        # compose in full f32 (_mm): the default bf16 matmul would quantize
+        # every accepted pose ~10x coarser than tol_update itself
+        new_pose = _mm(se3.exp_se3(update, pseudo=True), pose)
         new_state = sweep(new_pose)
         diff = error - new_state[0]
         accept = ok & (diff > tol_residual)
@@ -968,8 +976,10 @@ def align_spheres_jit(
 
 def calc_entropy(hessian: jnp.ndarray) -> jnp.ndarray:
     """Differential entropy of the pose estimate (Kerl IROS13 formula,
-    reference RegisterPhotoICP.h:4789-4797)."""
-    cov = jnp.linalg.inv(hessian)
+    reference RegisterPhotoICP.h:4789-4797). log|cov| == -log|H|, so use
+    the closed-form 6x6 Cholesky (ops/linalg6.py) instead of a generic
+    inverse + slogdet — the generic LU path costs ~1 ms/op on TPU and this
+    is called eagerly per pair (CLAUDE.md)."""
     dof = 6.0
-    sign, logdet = jnp.linalg.slogdet(cov)
-    return 0.5 * (dof * (1.0 + jnp.log(2.0 * jnp.pi)) + logdet)
+    logdet_h, _ok = linalg6.logdet6_sym(hessian)
+    return 0.5 * (dof * (1.0 + jnp.log(2.0 * jnp.pi)) - logdet_h)

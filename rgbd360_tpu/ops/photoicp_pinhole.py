@@ -48,6 +48,7 @@ from rgbd360_tpu.ops.photoicp import (
     _gather_rows,
     _huber_weight,
     _mm,
+    _bits_f32,
     _unpack2_f16,
     build_pyramid_set,
     make_level_data,
@@ -131,8 +132,8 @@ def fused_sweep_pinhole(
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
 
     tgt = _gather_rows(target_packed, flat)
-    gray2 = tgt[:, CH_GRAY]
-    depth2 = tgt[:, CH_DEPTH]
+    gray2 = _bits_f32(tgt[:, CH_GRAY])
+    depth2 = _bits_f32(tgt[:, CH_DEPTH])
     ggx, ggy = _unpack2_f16(tgt[:, CH_GG])
     dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
 
@@ -287,7 +288,9 @@ def _align_level_pinhole(level, k_full, lvl_idx, pose0, method, *, max_iters, to
         def try_step(damp):
             x, sok = linalg6.solve6_sym(H + damp * (eye * H) + (~ok) * eye, g)
             update = -x
-            new_pose = se3.exp_se3(update, pseudo=False) @ pose
+            # full-f32 compose: default bf16 matmul quantizes the accepted
+            # pose below the loop's own tolerances (see photoicp.py)
+            new_pose = _mm(se3.exp_se3(update, pseudo=False), pose)
             new_state = sweep(new_pose)
             dstep = error_of(state) - error_of(new_state)
             return new_pose, new_state, dstep, update, sok

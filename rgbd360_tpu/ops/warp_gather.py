@@ -326,7 +326,18 @@ def warp_gather_batched(
     htp = max(ht, PR)
     if wrap:
         # theta-wrap halo: replicate the first PC true columns after column
-        # wt so seam-straddling tiles gather through one contiguous window
+        # wt so seam-straddling tiles gather through one contiguous window.
+        # Precondition: the halo only covers remapped coordinates up to
+        # wt + PC, so a width that both exceeds 2*PC (straddle remap active)
+        # and is not BC-aligned (zero-pad band after the halo) could let a
+        # max-anchored window gather padding flagged as in-window — refuse
+        # rather than corrupt (panorama widths 1920/960/480/240 all pass)
+        if wt > 2 * PC and wt % BC != 0:
+            raise ValueError(
+                f"wrap=True needs width % {BC} == 0 (or width <= {2 * PC}); "
+                f"got {wt} — the wrap halo would leave a zero-pad band that "
+                "seam-straddling windows can gather as valid data"
+            )
         planes = jnp.concatenate([planes, planes[..., : min(PC, wt)]], axis=3)
         w_eff = wt  # straddle threshold = half the true width
     else:

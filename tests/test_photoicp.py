@@ -225,12 +225,12 @@ def test_pack_target_planes4_roundtrip():
     )
     pk = photoicp.pack_target_planes4(lvl)
     assert pk.shape == (h, 4, w) and pk.dtype == jnp.int32
-    g_, d_lo = photoicp._unpack2_f16_bits(pk[:, 0])
-    d_hi, flag = photoicp._unpack2_f16_bits(pk[:, 1])
+    g_, d_lo = photoicp._unpack2_f16(pk[:, 0])
+    d_hi, flag = photoicp._unpack2_f16(pk[:, 1])
     np.testing.assert_allclose(np.asarray(g_), gray, atol=5e-4)
     np.testing.assert_array_equal(np.asarray(flag), 0.0)  # reserved slot
     rec = np.asarray(d_hi + d_lo)
     assert np.abs(rec - depth).max() < 1e-3
-    ggx, ggy = photoicp._unpack2_f16_bits(pk[:, 2])
+    ggx, ggy = photoicp._unpack2_f16(pk[:, 2])
     np.testing.assert_allclose(np.asarray(ggx), gx, atol=1e-3)
     np.testing.assert_allclose(np.asarray(ggy), gx * 2, atol=2e-3)

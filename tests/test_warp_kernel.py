@@ -206,8 +206,8 @@ def test_kernel_packed16_values_and_flag_on_tpu():
     exact_lo16 = exact[1] & 0xFFFF
     np.testing.assert_array_equal(lo16[m], exact_lo16[m])
     # depth reconstruction accuracy
-    d_hi, _f = photoicp._unpack2_f16_bits(out[1].reshape(-1))
-    _g, d_lo = photoicp._unpack2_f16_bits(out[0].reshape(-1))
+    d_hi, _f = photoicp._unpack2_f16(out[1].reshape(-1))
+    _g, d_lo = photoicp._unpack2_f16(out[0].reshape(-1))
     rec = np.asarray(d_hi + d_lo).reshape(h, w)
     warped_depth = depth[r, c]
     assert np.abs(rec[m] - warped_depth[m]).max() < 1e-3
