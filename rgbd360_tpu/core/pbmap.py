@@ -428,6 +428,33 @@ class PbMap:
         return float(sum(p.area_hull for p in self.planes))
 
 
+def get_vertical_planes(pbmap: PbMap, min_area: float = 2.0) -> List[np.ndarray]:
+    """2D wall segments from large planes whose normal is nearly parallel to
+    the rig x-axis: for each, the hull vertices' (y, z) coordinates farthest
+    from the centroid on either side of the centroid's z become the segment
+    endpoints (y_r, z_r, y_l, z_l). Reference include/Miscellaneous.h:208-257
+    getVerticalPlanes — dead code there (its only call,
+    RegisterGraphSphere.cpp:996, is commented out), provided for API parity.
+    Unlike the C++ (whose one-sided hulls read uninitialized extremes), an
+    empty side degrades to the centroid."""
+    out: List[np.ndarray] = []
+    for p in pbmap.planes:
+        if p.normal is None or p.normal[0] < 0.98:
+            continue
+        if p.area_hull < min_area or p.hull is None or len(p.hull) == 0:
+            continue
+        c2 = np.array([p.center[1], p.center[2]], np.float64)
+        v2 = np.asarray(p.hull, np.float64)[:, 1:3]
+        dist = np.linalg.norm(v2 - c2, axis=1)
+        right_side = v2[:, 1] > c2[1]
+        extremes = []
+        for side in (right_side, ~right_side):
+            d_side = np.where(side, dist, -1.0)
+            extremes.append(v2[int(np.argmax(d_side))] if side.any() else c2)
+        out.append(np.concatenate(extremes).astype(np.float32))
+    return out
+
+
 # -- (de)serialization ---------------------------------------------------------
 
 

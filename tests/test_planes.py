@@ -231,3 +231,45 @@ def test_planes_pipeline_matches_sequential(sample_frames):
         for a, b in zip(frame.planes.planes, exp.planes):
             np.testing.assert_allclose(a.normal, b.normal, atol=1e-6)
             assert a.n_pts == b.n_pts
+
+
+def test_get_vertical_planes_segments():
+    """getVerticalPlanes parity (Miscellaneous.h:208-257): near-x-normal
+    large planes yield a (y_r, z_r, y_l, z_l) wall segment from the hull
+    extremes; tilted or small planes are skipped."""
+    from rgbd360_tpu.core.pbmap import PbMap, Plane, get_vertical_planes
+
+    wall = Plane(
+        id=0,
+        normal=np.array([1.0, 0.0, 0.0]),
+        center=np.array([0.0, 1.0, 2.0]),
+        area_hull=4.0,
+        hull=np.array(
+            [[0.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 2.0, 4.0], [0.0, 0.0, 4.0]]
+        ),
+    )
+    small = Plane(
+        id=1,
+        normal=np.array([1.0, 0.0, 0.0]),
+        center=np.array([0.0, 0.0, 0.0]),
+        area_hull=0.5,
+        hull=wall.hull,
+    )
+    tilted = Plane(
+        id=2,
+        normal=np.array([0.0, 1.0, 0.0]),
+        center=np.array([0.0, 0.0, 0.0]),
+        area_hull=9.0,
+        hull=wall.hull,
+    )
+    segs = get_vertical_planes(PbMap(planes=[wall, small, tilted]))
+    assert len(segs) == 1
+    (seg,) = segs
+    # right extreme: z > 2 side, farthest from (1,2) -> (0,4); left -> (2,0)
+    # ((0,4) and (2,4) tie in distance on the right side; argmax picks the
+    # first hull vertex with z>2, which is (2,4))
+    assert seg.shape == (4,)
+    r, l = seg[:2], seg[2:]
+    assert r[1] > 2.0 and l[1] < 2.0  # opposite z sides of the centroid
+    np.testing.assert_allclose(np.linalg.norm(r - [1, 2]), np.sqrt(5))
+    np.testing.assert_allclose(np.linalg.norm(l - [1, 2]), np.sqrt(5))
