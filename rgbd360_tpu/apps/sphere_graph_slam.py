@@ -139,7 +139,8 @@ def main(argv=None) -> int:
             # invoked from the tracking-lost path, KFsphere_SLAM.cpp:728+)
             from rgbd360_tpu.core.relocalizer import Relocalizer360
 
-            reloc = Relocalizer360(world, cfg).relocalize(frame)
+            relocalizer = Relocalizer360(world, cfg)
+            reloc = relocalizer.relocalize(frame)
             if reloc is None:
                 print(f"frame {frame_no}: TRACKING LOST (no PbMap match, no relocalization)")
                 continue
@@ -148,6 +149,12 @@ def main(argv=None) -> int:
             kf_id = world.add_keyframe(frame, current_pose)
             world.optimized_poses.append(current_pose.astype(np.float32))
             topo.add_keyframe(world.current_area)
+            # SSO entry like the tracked path writes — without it the
+            # relocalized keyframe is an all-zero affinity row and the next
+            # partition splits it away from the keyframe it registered to
+            reloc_reg = relocalizer.registerer
+            sso_reloc = reloc_reg.get_area_matched() / max(reloc_reg.area_source, 1e-9)
+            topo.add_connection(ref_id, kf_id, float(sso_reloc))
             optimizer.add_vertex(current_pose)
             # the relocalized vertex must be CONSTRAINED: an edge-less vertex
             # has an all-zero Hessian block and wrecks the next optimization

@@ -36,9 +36,25 @@ MAX_PLANES = 48  # pad bound for one keyframe's plane set
 
 
 def pack_pbmap(pbmap: PbMap, k: int = MAX_PLANES):
-    """Plane parameters as fixed-shape arrays (pad/truncate to k planes,
-    keeping the largest by hull area like the subgraph selection)."""
-    planes = sorted(pbmap.planes, key=lambda p: -p.area_hull)[:k]
+    """Plane parameters as fixed-shape arrays (pad/truncate to k planes).
+
+    Ordering must keep the packed set a SUPERSET of the exact matcher's
+    subgraph selection (RegisterRGBD360._select: curvature-filtered, labeled
+    planes force-promoted with area key 10.0, top max_match_planes=25) or
+    the 'strict relaxation' guarantee breaks — a plane the tree search would
+    match could be truncated out of the prefilter's k=48 and the candidate
+    wrongly pruned. So: curvature-passing planes first, then _select's own
+    label-forced area key; the exact top-25 is always a prefix."""
+    from rgbd360_tpu.config import default_params
+
+    planes = sorted(
+        pbmap.planes,
+        key=lambda p: (
+            p.curvature < default_params.max_curvature_plane,
+            10.0 if p.label else p.area_hull,
+        ),
+        reverse=True,
+    )[:k]
     n = len(planes)
     normals = np.zeros((k, 3), np.float32)
     d = np.zeros(k, np.float32)

@@ -40,7 +40,6 @@ from rgbd360_tpu.core.matcher import PLANAR_3DOF
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
 from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
 from rgbd360_tpu.core.topological import TopologicalMap360
-from rgbd360_tpu.ops import se3
 
 # Reference constants (KFsphere_SLAM.cpp:284-287, 354, 437, 452, 546-547, 710)
 SELECT_KF_ICP_DIST = 0.9
@@ -66,10 +65,11 @@ def is_continuous_motion(prev_pose: np.ndarray, curr_pose: np.ndarray,
 
 
 def diff_rotation_deg(pose_a: np.ndarray, pose_b: np.ndarray) -> float:
-    """diffRotation (reference include/Miscellaneous.h:127-140)."""
-    import jax.numpy as jnp
-
-    return float(se3.rot_angle_deg(jnp.asarray(pose_a[:3, :3]), jnp.asarray(pose_b[:3, :3])))
+    """diffRotation (reference include/Miscellaneous.h:127-140). Pure NumPy:
+    this is a per-keyframe host scalar, and each eager jax op over the axon
+    tunnel costs a ~30 ms dispatch round trip (CLAUDE.md)."""
+    cos = (np.trace(pose_a[:3, :3].T @ pose_b[:3, :3]) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
 
 
 def dif_translation(pose_a: np.ndarray, pose_b: np.ndarray) -> float:
@@ -110,15 +110,29 @@ class KFSphereSLAM:
         self.n_keyframes_selected = 0
         self.n_loop_closures = 0
         if len(self.world):  # resuming from a loaded map (core/map_io.py)
+            # a resumed map needs a graph with matching vertices: a fresh
+            # optimizer would hand out vertex ids starting at 0 while edges
+            # reference keyframe ids up to len(world), crashing the first
+            # optimize_graph — the same hazard the topo guard above covers
+            assert self.optimizer.vertex_count() == len(self.world), (
+                f"optimizer has {self.optimizer.vertex_count()} vertices for a "
+                f"{len(self.world)}-keyframe map — resume via "
+                "core/map_io.load_map_full, which restores the graph too"
+            )
             self.nearest_kf = len(self.world) - 1
             self.current_pose = self.world.trajectory_poses[-1].astype(np.float64)
             self.n_keyframes_selected = len(self.world)
 
     # ------------------------------------------------------------------ dense
-    def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray):
+    def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray,
+                     reuse_source: bool = False):
+        """reuse_source: the nearby-KF scan aligns the SAME source frame
+        against several targets — rebuild only the target pyramid then
+        (the source pyramid build is a full jitted dispatch per call)."""
         kf = self.world.frames[kf_id]
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
-        self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
+        if not reuse_source:
+            self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
         self.aligner.align_frames360(seed_sphere.astype(np.float32), PHOTO_DEPTH)
         ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
         rel_cloud = self.off_inv @ ref_pose @ self.off
@@ -182,7 +196,7 @@ class KFSphereSLAM:
                 continue
             prev2 = self.seed_ref
             seed2 = self.off @ relative @ self.off_inv
-            ref2, rel_kf = self._dense_align(kf, frame, seed2)
+            ref2, rel_kf = self._dense_align(kf, frame, seed2, reuse_source=True)
             self.seed_ref = ref2
             # reference :430 SKIPS when the new result sits WITHIN 0.2 m of
             # the previous one (the opposite sense of the skip-frame gate at
@@ -204,8 +218,11 @@ class KFSphereSLAM:
                 else:
                     # tracking stays on the old nearest keyframe — ref2 is
                     # relative to the scanned kf and would poison the next
-                    # frame's dense seed
-                    self.seed_ref = prev2
+                    # frame's dense seed. Restore the STEP-2 result (relative
+                    # to nearest_kf): prev2 would be the previous scan
+                    # candidate's pose for the 2nd+ iteration, which is
+                    # relative to the wrong keyframe too
+                    self.seed_ref = ref_pose
                 return "skip_near_kf"
             if resid < KEEP_CONNECTION_RESIDUAL:
                 connections.append(

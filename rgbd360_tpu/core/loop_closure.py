@@ -80,7 +80,13 @@ class LoopClosure360:
         for other_area, selected in enumerate(m.selected_kfs):
             if other_area == area or other_area >= len(m.areas) or not m.areas[other_area]:
                 continue
-            if selected >= len(m.frames):
+            if selected >= kf_id:
+                # threaded mode: the SLAM loop may have added keyframes (and
+                # the partitioner elected them selected-KFs) after kf_id was
+                # enqueued; a closure against a NEWER keyframe belongs to
+                # that keyframe's own scan — and Map360.add_connection
+                # requires kf1 < kf2, so accepting one here would abort
+                # phase 3 mid-drain
                 continue
             dist = float(
                 np.linalg.norm(
@@ -125,9 +131,10 @@ class LoopClosure360:
         for cand in cands:
             cand_kf = m.frames[cand]
             ok = self.registerer.register_pbmap(cand_kf, new_kf, 25, PLANAR_3DOF)
+            # reference gates STRICTLY greater than the thresholds (:297-298)
             if (
                 not ok
-                or len(self.registerer.get_matched_planes()) < MIN_MATCHES
+                or len(self.registerer.get_matched_planes()) <= MIN_MATCHES
                 or self.registerer.get_area_matched() <= MIN_AREA_MATCHED
             ):
                 continue
@@ -155,15 +162,18 @@ class LoopClosure360:
             self.aligner.set_target_frame(cand_kf.sphere_rgb, cand_kf.sphere_depth_mm)
             self.aligner.set_source_frame(new_kf.sphere_rgb, new_kf.sphere_depth_mm)
             self.aligner.align_frames360(guess, PHOTO_DEPTH, full_coverage=True)
-            results = [
-                (
-                    cand,
-                    self.aligner.get_optimal_pose(),
-                    float(self.aligner.av_depth_residual),
-                    self.aligner.get_hessian(),
-                    float(self.aligner.sso),
-                )
-            ]
+            # same ill-posed filter _refine_batch applies: a singular system
+            # leaves the pose at the PbMap seed with a degenerate Hessian
+            if not self.aligner.ill_posed:
+                results = [
+                    (
+                        cand,
+                        self.aligner.get_optimal_pose(),
+                        float(self.aligner.av_depth_residual),
+                        self.aligner.get_hessian(),
+                        float(self.aligner.sso),
+                    )
+                ]
 
         # phase 3 (host): acceptance + graph wiring (:316-323)
         for cand, pose_sphere, av_depth, info, sso in results:

@@ -152,5 +152,9 @@ class RegisterPhotoICP:
         return float(self.result.av_depth_residual)
 
     @property
+    def ill_posed(self) -> bool:
+        return bool(np.asarray(self.result.ill_posed))
+
+    @property
     def num_iterations(self) -> np.ndarray:
         return np.asarray(self.result.num_iterations)

@@ -218,9 +218,16 @@ class TopologicalMap360:
             for aid in area_ids:
                 for idx, kf in enumerate(sorted(m.areas[aid])):
                     new_of[kf] = (aid, idx)
+            # NOT the inter-part blocks just built above: a block between a
+            # reused vicinity id and a NEW area id has exactly one side in
+            # `vicinity` (new ids never are), but it is already correctly
+            # indexed by the new memberships — re-homing it through
+            # old_members would scramble rows and drop neighbor links
+            new_ids = set(area_ids)
             outside_keys = [
                 k for k in list(self.neig_sso.keys())
-                if (k[0] in vicinity) != (k[1] in vicinity)
+                if ((k[0] in vicinity) != (k[1] in vicinity))
+                and not (k[0] in new_ids and k[1] in new_ids)
             ]
             for key in outside_keys:
                 blk = self.neig_sso.pop(key)

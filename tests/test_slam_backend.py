@@ -399,3 +399,53 @@ def test_robust_kernel_rejects_false_loop_closure(rng):
     # outlier-free solution (measured: clean 0.252, plain 1.344, robust 0.240)
     assert err_plain > 2 * err_clean, (err_plain, err_clean)
     assert err_robust < 1.1 * err_clean, (err_robust, err_clean)
+
+
+def test_partitioner_inter_part_blocks_survive_interleaved_split():
+    """Regression: the inter-area SSO block between a REUSED vicinity area id
+    and a NEW area id is created by the partition itself and already indexed
+    by the new memberships — the outside-block re-homing loop must not grab
+    it (new ids are never in `vicinity`, so the one-side-in-vicinity test
+    alone matches it), which scrambled rows through old_members, wrote bogus
+    self-keyed blocks, and could drop the neighbor link. Interleaved parts
+    expose it (a contiguous split is re-homed correctly by coincidence)."""
+    m = Map360()
+    topo = TopologicalMap360(m)
+    for k in range(12):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 1.0 * k
+        m.add_keyframe(FakeFrame(), T)
+        topo.add_keyframe(m.current_area)
+    evens = [0, 2, 4, 6, 8, 10]
+    odds = [1, 3, 5, 7, 9, 11]
+    for grp in (evens, odds):
+        for a in grp:
+            for b in grp:
+                if a < b:
+                    topo.add_connection(a, b, 0.9)
+    # weak cross links at INTERIOR pairs: under the bug, kf 4's row was
+    # re-homed from kf 2's slot (old_members enumeration vs part-local
+    # indexing) and kf 6's row was written into a bogus (new,new) self-key
+    topo.add_connection(4, 9, 0.05)
+    topo.add_connection(6, 11, 0.07)
+    assert topo.partitioner()
+    a_e, a_o = m.frames[0].node, m.frames[1].node
+    assert a_e != a_o
+    assert {m.frames[k].node for k in evens} == {a_e}
+    assert {m.frames[k].node for k in odds} == {a_o}
+    # the neighbor link between the two fresh parts must survive
+    assert a_o in m.neighbor_areas[a_e] and a_e in m.neighbor_areas[a_o]
+    key = (min(a_e, a_o), max(a_e, a_o))
+    blk = topo.neig_sso[key]
+    assert blk.shape == (6, 6)
+    # the weak cross connections sit exactly at their (local_index) cells
+    expect = np.zeros((6, 6), np.float32)
+    for (ke, ko, v) in ((4, 9, 0.05), (6, 11, 0.07)):
+        ie, io = m.local_index(ke), m.local_index(ko)
+        if a_e < a_o:
+            expect[ie, io] = v
+        else:
+            expect[io, ie] = v
+    np.testing.assert_allclose(blk, expect)
+    # and no bogus self-keyed blocks were created
+    assert all(k1 != k2 for k1, k2 in topo.neig_sso)
