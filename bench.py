@@ -58,9 +58,12 @@ def main():
     # The inter-iteration dependency must be non-foldable: 0*x would be
     # constant-folded and the loop body hoisted (LICM), so perturb the pose
     # guess translation by eps*error (~3e-7 m — workload-neutral but live).
+    # keep as a HOST np array: jnp.asarray here would closure-capture a
+    # device-resident constant whose value lowering fetches back over the
+    # axon tunnel behind the eager queue — the 40-270 s stall class
+    # (CLAUDE.md; tests/test_lint.py polices the same pattern in-package)
     eps_mask = np.zeros((4, 4), np.float32)
     eps_mask[:3, 3] = 1e-7
-    eps_mask = jnp.asarray(eps_mask)
 
     @partial(jax.jit, static_argnames=("k",))
     def bench_k(gs, ds, gt, dt, poses0, k):
@@ -101,11 +104,13 @@ def main():
     golden_path = os.path.join(os.path.dirname(__file__), "tests", "golden", "pair_1_10.npz")
     if os.path.exists(golden_path):
         g = np.load(golden_path)
-        t_gold = float(np.linalg.norm(g["free_pose"][:3, 3]))
         # the exact finest-level error across known-good basins spans
         # 2.40-3.1 (PERF.md "Accuracy note"; golden free run stops at 2.87);
-        # gate one-sided against divergence, and |t| against the golden
-        ok = ok and abs(t_norm - t_gold) < 0.1 and err < float(g["free_error"]) + 0.35
+        # gate one-sided against divergence, and the translation VECTOR
+        # against the golden (|t| alone is inversion-invariant — a swapped
+        # src/trg regression would pass a norm-only gate)
+        t_diff = float(np.linalg.norm(pose[:3, 3] - g["free_pose"][:3, 3]))
+        ok = ok and t_diff < 0.1 and err < float(g["free_error"]) + 0.35
 
     print(
         json.dumps(

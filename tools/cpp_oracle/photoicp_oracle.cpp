@@ -264,29 +264,33 @@ void matmul4f(const float A[16], const float B[16], float out[16]) {
 }
 
 // Solve update = -H^-1 g with Gauss-Jordan partial pivoting in T
-// (reference: Eigen float .inverse() :4693).  Returns false if singular.
+// (reference: Eigen float .inverse() :4693) — genuinely in T: the float
+// build must round like the reference's f32 solve, since the GN
+// accept/reject cascade is sensitive at last-ulp level (PERF.md) and the
+// parity gate asserts exact per-level iteration counts. Returns false if
+// singular.
 template <typename T>
 bool solve6(const T Hin[36], const T g[6], T upd[6]) {
-  double M[6][7];
+  T M[6][7];
   for (int r = 0; r < 6; ++r) {
-    for (int c = 0; c < 6; ++c) M[r][c] = (double)Hin[6 * r + c];
-    M[r][6] = -(double)g[r];
+    for (int c = 0; c < 6; ++c) M[r][c] = Hin[6 * r + c];
+    M[r][6] = -g[r];
   }
   for (int col = 0; col < 6; ++col) {
     int piv = col;
     for (int r = col + 1; r < 6; ++r)
-      if (std::fabs(M[r][col]) > std::fabs(M[piv][col])) piv = r;
-    if (std::fabs(M[piv][col]) < 1e-30) return false;
+      if (std::fabs((double)M[r][col]) > std::fabs((double)M[piv][col])) piv = r;
+    if (std::fabs((double)M[piv][col]) < 1e-30) return false;
     if (piv != col)
       for (int c = 0; c < 7; ++c) std::swap(M[piv][c], M[col][c]);
-    const double inv = 1.0 / M[col][col];
+    const T inv = (T)1 / M[col][col];
     for (int r = 0; r < 6; ++r) {
       if (r == col) continue;
-      const double f = M[r][col] * inv;
+      const T f = M[r][col] * inv;
       for (int c = col; c < 7; ++c) M[r][c] -= f * M[col][c];
     }
   }
-  for (int r = 0; r < 6; ++r) upd[r] = (T)(M[r][6] / M[r][r]);
+  for (int r = 0; r < 6; ++r) upd[r] = M[r][6] / M[r][r];
   return true;
 }
 
@@ -456,14 +460,22 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "bad magic\n");
     return 2;
   }
-  read_exact(f, &mode, 4);
-  read_exact(f, &method, 4);
-  read_exact(f, &n_levels, 4);
-  read_exact(f, &use_double, 4);
-  read_exact(f, &do_mask, 4);
+  if (!read_exact(f, &mode, 4) || !read_exact(f, &method, 4) ||
+      !read_exact(f, &n_levels, 4) || !read_exact(f, &use_double, 4) ||
+      !read_exact(f, &do_mask, 4)) {
+    std::fprintf(stderr, "truncated header\n");
+    return 2;
+  }
+  if (n_levels < 1 || n_levels > 16) {
+    std::fprintf(stderr, "implausible n_levels %d\n", n_levels);
+    return 2;
+  }
   Params pp;
   double raw[6];
-  read_exact(f, raw, 48);
+  if (!read_exact(f, raw, 48)) {
+    std::fprintf(stderr, "truncated params\n");
+    return 2;
+  }
   pp.min_depth = raw[0];
   pp.max_depth = raw[1];
   pp.std_photo = raw[2];
@@ -471,7 +483,10 @@ int main(int argc, char** argv) {
   pp.thres_sal_int = raw[4];
   pp.thres_sal_depth = raw[5];
   float pose[16];
-  read_exact(f, pose, 64);
+  if (!read_exact(f, pose, 64)) {
+    std::fprintf(stderr, "truncated pose\n");
+    return 2;
+  }
   std::vector<Level> levels((size_t)n_levels);
   for (auto& lv : levels) {
     int32_t hw[2];
