@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rgbd360_tpu.config import default_params
 from rgbd360_tpu.core.matcher import (
     ODOMETRY_6DOF,
     PLANAR_3DOF,
@@ -45,8 +46,6 @@ def pack_pbmap(pbmap: PbMap, k: int = MAX_PLANES):
     match could be truncated out of the prefilter's k=48 and the candidate
     wrongly pruned. So: curvature-passing planes first, then _select's own
     label-forced area key; the exact top-25 is always a prefix."""
-    from rgbd360_tpu.config import default_params
-
     planes = sorted(
         pbmap.planes,
         key=lambda p: (

@@ -117,6 +117,8 @@ class Frame360Stereo(Frame360):
 
         MIN_INLIERS_STEREO = 40  # :865
 
+        import jax
+
         depth_m = self.sphere_depth_mm.astype(jnp.float32) * 1e-3
         st, xyz = _get_stereo_device_stats()(
             depth_m,
@@ -124,17 +126,21 @@ class Frame360Stereo(Frame360):
             jnp.float32(start_phi),
             jnp.float32(max_depth),
         )
-        labels = np.asarray(st.labels)
-        cand = np.asarray(st.candidate)
-        xyzf = np.asarray(xyz).reshape(-1, 3)
-        count = np.asarray(st.count)
-        mean = np.asarray(st.mean, np.float64)
-        cov = np.asarray(st.cov, np.float64)
-        normal = np.asarray(st.normal, np.float64)
-        curvature = np.asarray(st.curvature, np.float64)
-        hist = np.asarray(st.hist, np.float64)
-        sum_rgb = np.asarray(st.sum_rgb, np.float64)
-        label_id = np.asarray(st.label_id)
+        # ONE pytree fetch instead of a transfer per field (the axon tunnel
+        # charges per-array round trips — see the stats-buffer note in
+        # core/plane_extraction.py)
+        st, xyz = jax.device_get((st, xyz))
+        labels = st.labels
+        cand = st.candidate
+        xyzf = xyz.reshape(-1, 3)
+        count = st.count
+        mean = st.mean.astype(np.float64)
+        cov = st.cov.astype(np.float64)
+        normal = st.normal.astype(np.float64)
+        curvature = st.curvature.astype(np.float64)
+        hist = st.hist.astype(np.float64)
+        sum_rgb = st.sum_rgb.astype(np.float64)
+        label_id = st.label_id
 
         flat = labels.reshape(-1)
         candf = cand.reshape(-1)
@@ -165,23 +171,11 @@ class Frame360Stereo(Frame360):
             plane.main_color = sum_rgb[k] / max(n, 1) / 255.0
             planes.append(plane)
 
-        # local same-plane merge (:959-978)
-        merged = []
-        max_curv = default_params.max_curvature_plane
-        for plane in planes:
-            absorbed = False
-            if plane.curvature < max_curv:
-                for prev in merged:
-                    if prev.curvature < max_curv and prev.is_same_plane(
-                        plane, 0.99, 0.05, 0.2
-                    ):
-                        prev.merge_plane(plane)
-                        absorbed = True
-                        break
-            if not absorbed:
-                plane.id = len(merged)
-                merged.append(plane)
-        self.planes = PbMap(merged)
+        # local same-plane merge (:959-978 — the same absorption loop as
+        # getPlanesSensor's tail, shared with the main extraction path)
+        from rgbd360_tpu.core.plane_extraction import local_same_plane_merge
+
+        self.planes = PbMap(local_same_plane_merge(planes))
         return self.planes
 
     def build_sphere_cloud(self, start_phi: int = 166, max_depth: float = 15.0):

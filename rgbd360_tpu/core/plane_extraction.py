@@ -176,6 +176,30 @@ def _unpack_stats_buffer(buf: np.ndarray, h: int, w: int, ship_labels: bool = Tr
     return labels, cand_lab, cand_xyz, stats, n_cand
 
 
+
+def local_same_plane_merge(planes: List[Plane]) -> List[Plane]:
+    """Per-sensor same-plane absorption right after extraction (reference
+    getPlanesSensor tail, include/Frame360.h:1055-1068; the stereo variant
+    repeats it at Frame360_stereo.h:959-978): each low-curvature plane is
+    merged into the first earlier plane it coincides with (0.99 normal dot,
+    0.05 m offset, 0.2 m hull proximity)."""
+    merged: List[Plane] = []
+    for plane in planes:
+        absorbed = False
+        if plane.curvature < MAX_CURVATURE:
+            for prev in merged:
+                if prev.curvature < MAX_CURVATURE and prev.is_same_plane(
+                    plane, 0.99, 0.05, 0.2
+                ):
+                    prev.merge_plane(plane)
+                    absorbed = True
+                    break
+        if not absorbed:
+            plane.id = len(merged)
+            merged.append(plane)
+    return merged
+
+
 def _planes_from_stats(
     stats: np.ndarray,  # (MAX_LABELS, _NF) one sensor's stat rows
     labels: Optional[np.ndarray],  # (H, W) i32 or None (need_inliers=False)
@@ -197,7 +221,6 @@ def _planes_from_stats(
         order = np.argsort(lv, kind="stable")
         sorted_px = px[order]
         sorted_lab = lv[order]
-    single_cloud_size = hw
     # group candidate points by their label
     slot_ok = cand_lab >= 0
     clab = cand_lab[slot_ok]
@@ -224,7 +247,7 @@ def _planes_from_stats(
         if labels is not None:
             a = np.searchsorted(sorted_lab, label_id[k], side="left")
             b = np.searchsorted(sorted_lab, label_id[k], side="right")
-            inl = sorted_px[a:b] + sensor_id * single_cloud_size
+            inl = sorted_px[a:b] + sensor_id * hw
         else:
             inl = None
         cov = np.empty((3, 3))
@@ -254,22 +277,7 @@ def _planes_from_stats(
         plane.main_color = sum_rgb[k] / max(n, 1) / 255.0
         planes.append(plane)
 
-    # local same-plane merge (:1055-1068)
-    merged: List[Plane] = []
-    for plane in planes:
-        absorbed = False
-        if plane.curvature < MAX_CURVATURE:
-            for prev in merged:
-                if prev.curvature < MAX_CURVATURE and prev.is_same_plane(
-                    plane, 0.99, 0.05, 0.2
-                ):
-                    prev.merge_plane(plane)
-                    absorbed = True
-                    break
-        if not absorbed:
-            plane.id = len(merged)
-            merged.append(plane)
-    return merged
+    return local_same_plane_merge(planes)
 
 
 def _planes_from_labels(
@@ -321,22 +329,7 @@ def _planes_from_labels(
         plane.compute_colors()
         planes.append(plane)
 
-    # local same-plane merge (:1055-1068)
-    merged: List[Plane] = []
-    for plane in planes:
-        absorbed = False
-        if plane.curvature < MAX_CURVATURE:
-            for prev in merged:
-                if prev.curvature < MAX_CURVATURE and prev.is_same_plane(
-                    plane, 0.99, 0.05, 0.2
-                ):
-                    prev.merge_plane(plane)
-                    absorbed = True
-                    break
-        if not absorbed:
-            plane.id = len(merged)
-            merged.append(plane)
-    return merged
+    return local_same_plane_merge(planes)
 
 
 def _same_surface(pj: Plane, pk: Plane, max_dist_hull: float, max_parallel: float) -> bool:

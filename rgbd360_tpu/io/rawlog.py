@@ -11,8 +11,8 @@ container natively:
   file is a gzip stream of consecutive objects.
 * **Payload layouts**: MRPT payloads carry no length prefix — a reader must
   understand every field to find the record boundary. The layouts below
-  (CObservation3DRangeScan v2-v6, TCamera v2, CMatrix/CMatrixD, CImage v9,
-  CPose3D v1) follow the reference-era MRPT-1.x field order, reconstructed
+  (CObservation3DRangeScan v2-v6, TCamera v0-2, CMatrix/CMatrixD, CImage
+  v7-9, CPose3D v1/v2) follow the reference-era MRPT-1.x field order, reconstructed
   from the MRPT serialization spec: CObservation3DRangeScan streams
   maxRange, sensorPose, the points3D block, rangeImage, intensityImage and
   confidenceImage each behind a presence byte, then (v2+) cameraParams,
