@@ -255,7 +255,12 @@ class Calibrator:
             J = -_skew(x_axis) @ _skew(x_pose)
             Hr += J.T @ J
             gr += J.T @ err
-        manifold = -np.linalg.solve(Hr, gr)
+        # least squares, not solve: when the rig's X axes already coincide
+        # with the vertical (synthetic rigs, converged calibrations) the
+        # residual is zero and Hr is exactly singular — the reference's
+        # Eigen .inverse() silently produces garbage there (:1035); the
+        # minimum-norm solution is the well-defined limit (no rotation)
+        manifold = -np.linalg.lstsq(Hr, gr, rcond=None)[0]
         manifold[0] = 0.0  # the turn about X itself is gauge (:1046)
         rot = _exp_so3(manifold)
         for s in range(NUM_SENSORS):

@@ -61,6 +61,65 @@ def test_sphere_graph_slam_app_end_to_end(synthetic_seq, tmp_path, capsys):
         assert os.path.exists(os.path.join(out, artifact)), artifact
 
 
+def test_kf_odometry_app_end_to_end(synthetic_seq, tmp_path, capsys):
+    """OdometryKeyFrame360 app: keyframe tracking with the motion gates and
+    the documented rotation-promotion deviation."""
+    from rgbd360_tpu.apps.kf_odometry import main as kf_main
+
+    out = str(tmp_path / "out")
+    assert kf_main([synthetic_seq, "--out", out]) == 0
+    assert os.path.exists(os.path.join(out, "trajectory_kf.txt"))
+    rows = np.loadtxt(os.path.join(out, "trajectory_kf.txt"))
+    assert np.all(np.abs(rows.reshape(-1, 4, 4)[:, :3, 3]) < 5.0)
+
+
+def test_loader_apps_on_synthetic(synthetic_seq, tmp_path):
+    """LoadSphere + LoadSequence: the viewer/converter apps dump panoramas,
+    clouds and a voxelized sequence cloud from the synthetic dataset."""
+    from rgbd360_tpu.apps.load_sequence import main as seq_main
+    from rgbd360_tpu.apps.load_sphere import main as sphere_main
+
+    out1 = str(tmp_path / "sphere")
+    frame = os.path.join(synthetic_seq, "sphere_images_1.bin")
+    assert sphere_main([frame, "--out", out1, "--planes"]) == 0
+    assert any(f.endswith(".png") for f in os.listdir(out1))
+    out2 = str(tmp_path / "seq")
+    assert seq_main(
+        [synthetic_seq, "--out", out2, "--max-frames", "2", "--voxel", "0.1"]
+    ) == 0
+    assert any(f.endswith((".ply", ".pcd")) for f in os.listdir(out2))
+
+
+def test_calibration_apps_on_synthetic(synthetic_seq, tmp_path, capsys):
+    """GetControlPlanes + EvalCalibration + VisualizeCalibration on the
+    synthetic frames (the shipped Rt is ground truth for the ray-caster, so
+    the evaluation must report small adjacent-sensor discrepancies)."""
+    from rgbd360_tpu.apps.eval_calibration import main as eval_main
+    from rgbd360_tpu.apps.get_control_planes import main as gcp_main
+    from rgbd360_tpu.apps.visualize_calibration import main as viz_main
+
+    out = str(tmp_path / "cp")
+    assert gcp_main(
+        [synthetic_seq, "--out", out, "--max-frames", "2"]
+    ) == 0
+    assert os.listdir(out)
+    assert eval_main([synthetic_seq, "--max-frames", "2"]) == 0
+    assert "depth" in capsys.readouterr().out.lower()
+    out_v = str(tmp_path / "viz")
+    frame = os.path.join(synthetic_seq, "sphere_images_1.bin")
+    assert viz_main([frame, "--out", out_v]) == 0
+    assert os.listdir(out_v)
+
+
+def test_online_calibration_app_on_synthetic(synthetic_seq, capsys):
+    """OnlineCalibration: accumulate control planes over the synthetic
+    frames and report the refined extrinsics' consistency."""
+    from rgbd360_tpu.apps.online_calibration import main as ocal_main
+
+    assert ocal_main([synthetic_seq, "--max-frames", "2"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
 def test_register_pair_app_on_bundled_samples(tmp_path, capsys):
     """RegisterPairRGBD360 app on the two bundled reference frames: the
     reported translation must land in the golden basin."""
