@@ -3,9 +3,13 @@
 
 Reference semantics (include/RegisterPhotoICP.h):
   * errorPhotoICP :560-775 / calcHessGrad :776-1100 — pinhole warp
-    u = fx x'/z' + ox, v = fy y'/z' + oy, nearest pixel, NO saliency gating
-    (unlike the spherical path); photo residual gray2-gray1; depth residual
-    depth2 - z' with Huber scale stdDevDepth*z';
+    u = fx x'/z' + ox, v = fy y'/z' + oy, nearest pixel; photo residual
+    gray2-gray1; depth residual depth2 - z' with Huber scale stdDevDepth*z'.
+    SALIENCY: the error function has NO gates, but calcHessGrad gates the
+    H/g terms (photo :997-1001, depth :1020-1024), and the depth-saliency
+    `continue` in PHOTO_DEPTH also skips the photo accumulation — so an H/g
+    pixel must pass BOTH tests (the error/stat pixel sets differ from the
+    Hessian's by design);
   * alignFrames :4254-4512 — coarse-to-fine Gauss-Newton with one
     Levenberg-Marquardt retry on rejection (lambda 0.01, step 10), full SE(3)
     exponential update, tolerances 1e-4;
@@ -57,6 +61,7 @@ from rgbd360_tpu.ops.photoicp import (
     MAX_DEPTH,
     STD_DEV_PHOTO,
     STD_DEV_DEPTH,
+    THRES_SALIENCY,
     PHOTO_CONSISTENCY,
     DEPTH_CONSISTENCY,
     PHOTO_DEPTH,
@@ -179,14 +184,32 @@ def fused_sweep_pinhole(
     depth_err2 = jnp.float32(0.0)
     n_depth = jnp.int32(0)
 
+    # Saliency gating applies to the single-camera H/g ONLY (calcHessGrad
+    # :997-1001 photo, :1020-1024 depth, with the coupling that the depth
+    # continue also skips the photo accumulation in PHOTO_DEPTH); the error
+    # terms are UNGATED (errorPhotoICP :560-775 has no saliency tests), and
+    # the robot-frame variants (:4905-5270) gate nothing.
+    gate = cam_rt is None
+    if gate:
+        photo_sal = (jnp.abs(ggx) >= THRES_SALIENCY) | (jnp.abs(ggy) >= THRES_SALIENCY)
+        depth_sal = (jnp.abs(dgx) >= THRES_SALIENCY) | (jnp.abs(dgy) >= THRES_SALIENCY)
+        if method == PHOTO_DEPTH:
+            hg_ok = visible & photo_sal & depth_sal
+        elif method == PHOTO_CONSISTENCY:
+            hg_ok = visible & photo_sal
+        else:
+            hg_ok = visible & depth_sal
+    else:
+        hg_ok = visible
+
     if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
         diff = gray2 - gray_src_flat
         wgt = _huber_weight(diff, STD_DEV_PHOTO) * (1.0 / STD_DEV_PHOTO)
         res = jnp.where(visible, wgt * diff, 0.0)
         jac = wgt[:, None] * (ggx[:, None] * chain(j_u) + ggy[:, None] * chain(j_v))
-        jac = jnp.where(visible[:, None], jac, 0.0)
+        jac = jnp.where(hg_ok[:, None], jac, 0.0)
         H = H + _mm(jac.T, jac)
-        g = g + _mm(jac.T, res)
+        g = g + _mm(jac.T, jnp.where(hg_ok, res, 0.0))
         photo_err2 = jnp.sum(res * res)
         n_photo = jnp.sum(visible.astype(jnp.int32))
         err2 += photo_err2
@@ -202,9 +225,10 @@ def fused_sweep_pinhole(
         jac = wgt[:, None] * (
             dgx[:, None] * chain(j_u) + dgy[:, None] * chain(j_v) - j_z
         )
-        jac = jnp.where(depth_ok[:, None], jac, 0.0)
+        hg_depth = depth_ok & hg_ok
+        jac = jnp.where(hg_depth[:, None], jac, 0.0)
         H = H + _mm(jac.T, jac)
-        g = g + _mm(jac.T, res)
+        g = g + _mm(jac.T, jnp.where(hg_depth, res, 0.0))
         depth_err2 = jnp.sum(res * res)
         n_depth = jnp.sum(depth_ok.astype(jnp.int32))
         err2 += depth_err2

@@ -260,3 +260,144 @@ def interpolated_undistort(z, model, v, u):
     z0 = (idx0 + 1) * model.bin_depth - model.bin_depth * 0.5
     c1 = (z - z0) / model.bin_depth
     return z * ((1.0 - c1) * m[idx0] + c1 * m[idx1])
+
+
+# ---------------------------------------------------------------------------
+# pinhole path (reference errorPhotoICP :560-775 / calcHessGrad :776-1100),
+# transcribed fresh from the C++ like the sphere functions above
+# ---------------------------------------------------------------------------
+
+
+def build_pinhole_lut(depth: np.ndarray, k_full: np.ndarray, level: int):
+    """Backprojection LUT (reference :4272-4299): x=(c-ox)z/fx, y=(r-oy)z/fy,
+    valid iff minDepth < z < maxDepth; intrinsics scaled by 2^-level."""
+    h, w = depth.shape
+    s = 1.0 / (2.0 ** level)
+    fx, fy = k_full[0, 0] * s, k_full[1, 1] * s
+    ox, oy = k_full[0, 2] * s, k_full[1, 2] * s
+    xyz = np.zeros((h * w, 3))
+    valid = np.zeros(h * w, bool)
+    for r in range(h):
+        for c in range(w):
+            z = depth[r, c]
+            i = r * w + c
+            if MIN_DEPTH < z < MAX_DEPTH:
+                xyz[i] = [(c - ox) * z / fx, (r - oy) * z / fy, z]
+                valid[i] = True
+    return xyz, valid
+
+
+def _project_pinhole(p, fx, fy, ox, oy):
+    inv_z = 1.0 / p[2]
+    return round_c(p[1] * fy * inv_z + oy), round_c(p[0] * fx * inv_z + ox)
+
+
+def error_pinhole(level, xyz, valid, pose, k_full, lvl, method):
+    """errorPhotoICP (:560-775): NO saliency gates — the error pixel set is
+    deliberately different from calcHessGrad's. Returns
+    (photo_err2, n_photo, depth_err2, n_depth); note the reference's
+    avPhotoResidual quirk divides the photo sum by the DEPTH count (:763)."""
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    s = 1.0 / (2.0 ** lvl)
+    fx, fy = k_full[0, 0] * s, k_full[1, 1] * s
+    ox, oy = k_full[0, 2] * s, k_full[1, 2] * s
+    R, t = pose[:3, :3], pose[:3, 3]
+    photo_err2 = depth_err2 = 0.0
+    n_photo = n_depth = 0
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p = R @ xyz[i] + t
+        ri, ci = _project_pinhole(p, fx, fy, ox, oy)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        if method in (0, 2):
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            photo_err2 += (wgt * diff) ** 2
+            n_photo += 1
+        if method in (1, 2):
+            depth2 = level["depth_trg"][ri, ci]
+            if np.isfinite(depth2) and depth2 > 0:
+                # (depth2 > 0: packed targets store invalid depth as 0, the
+                # panorama convention — the reference's NaN-only isfinite
+                # check maps to finite-and-positive here)
+                ddiff = depth2 - p[2]
+                reg = STD_DEV_DEPTH * p[2]
+                wgt = weight_huber(ddiff, reg) / reg
+                depth_err2 += (wgt * ddiff) ** 2
+                n_depth += 1
+    return photo_err2, n_photo, depth_err2, n_depth
+
+
+def hess_grad_pinhole(level, xyz, valid, pose, k_full, lvl, method):
+    """calcHessGrad (:776-1100): saliency-gated, with the PHOTO_DEPTH
+    coupling — the photo-saliency `continue` (:997-1001) skips the pixel
+    entirely and the depth-saliency `continue` (:1020-1024) skips the PHOTO
+    accumulation too (the accumulation block sits after both tests); the
+    depth accumulation additionally requires finite depth2 (:1090)."""
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    s = 1.0 / (2.0 ** lvl)
+    fx, fy = k_full[0, 0] * s, k_full[1, 1] * s
+    ox, oy = k_full[0, 2] * s, k_full[1, 2] * s
+    R, t = pose[:3, :3], pose[:3, 3]
+    H = np.zeros((6, 6))
+    g = np.zeros(6)
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p = R @ xyz[i] + t
+        inv_z = 1.0 / p[2]
+        ri, ci = _project_pinhole(p, fx, fy, ox, oy)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        # 2x6 warp jacobian (:928-951): [du/dxi; dv/dxi] with the
+        # translation block first, then the rotation block
+        inv_z2 = inv_z * inv_z
+        jw = np.array(
+            [
+                [fx * inv_z, 0.0, -fx * p[0] * inv_z2,
+                 -fx * p[1] * p[0] * inv_z2,
+                 fx * (1.0 + p[0] * p[0] * inv_z2),
+                 -fx * p[1] * inv_z],
+                [0.0, fy * inv_z, -fy * p[1] * inv_z2,
+                 -fy * (1.0 + p[1] * p[1] * inv_z2),
+                 fy * p[0] * p[1] * inv_z2,
+                 fy * p[0] * inv_z],
+            ]
+        )
+        j_photo = None
+        w_err_photo = 0.0
+        if method in (0, 2):
+            ggx = level["gray_trg_gx"][ri, ci]
+            ggy = level["gray_trg_gy"][ri, ci]
+            if abs(ggx) < THRES_SALIENCY and abs(ggy) < THRES_SALIENCY:
+                continue  # skips the depth term too
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            w_err_photo = wgt * diff
+            j_photo = wgt * (np.array([ggx, ggy]) @ jw)
+        j_depth = None
+        w_err_depth = 0.0
+        if method in (1, 2):
+            dgx = level["depth_trg_gx"][ri, ci]
+            dgy = level["depth_trg_gy"][ri, ci]
+            if abs(dgx) < THRES_SALIENCY and abs(dgy) < THRES_SALIENCY:
+                continue  # ALSO skips the photo accumulation below
+            depth2 = level["depth_trg"][ri, ci]
+            if np.isfinite(depth2) and depth2 > 0:
+                ddiff = depth2 - p[2]
+                reg = STD_DEV_DEPTH * p[2]
+                wgt = weight_huber(ddiff, reg) / reg
+                w_err_depth = wgt * ddiff
+                j_z = np.array([0.0, 0.0, 1.0, p[1], -p[0], 0.0])
+                j_depth = wgt * (np.array([dgx, dgy]) @ jw - j_z)
+        if j_photo is not None:
+            H += np.outer(j_photo, j_photo)
+            g += j_photo * w_err_photo
+        if j_depth is not None:
+            H += np.outer(j_depth, j_depth)
+            g += j_depth * w_err_depth
+    return H, g

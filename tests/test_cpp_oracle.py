@@ -167,6 +167,88 @@ def test_committed_golden_matches_cpp(oracle_bin, golden_levels, tmp_path):
         assert abs(r["nvalid"] - n_terms) <= max(1e-3 * n_terms, 2)
 
 
+@pytest.fixture(scope="module")
+def pinhole_crop():
+    """Pinhole crop with NaN-marked invalid target depth (the reference's
+    FrameRGBD convention), so the oracle's faithful isfinite-only gate and
+    ref_impl's finite-and-positive gate select identical pixel sets."""
+    rng = np.random.default_rng(11)
+    h, w = 32, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (0.5 + 0.3 * np.sin(xx / 5.0) * np.cos(yy / 4.0)
+            + 0.05 * rng.normal(size=(h, w))).astype(np.float32)
+    gray2 = (0.5 + 0.3 * np.sin((xx + 0.9) / 5.0) * np.cos(yy / 4.0)
+             + 0.05 * rng.normal(size=(h, w))).astype(np.float32)
+    depth = (2.0 + 0.5 * np.sin(xx / 9.0) + 0.3 * np.cos(yy / 5.0)).astype(np.float32)
+    depth2 = (2.0 + 0.5 * np.sin((xx + 0.9) / 9.0) + 0.3 * np.cos(yy / 5.0)).astype(
+        np.float32
+    )
+    depth[rng.random((h, w)) < 0.05] = 0.0  # source invalid -> LUT-gated
+    depth2[rng.random((h, w)) < 0.05] = np.nan  # target invalid -> isfinite
+    gx, gy = ref_impl.gradient_xy(gray2.astype(np.float64))
+    dgx, dgy = ref_impl.gradient_xy(depth2.astype(np.float64))
+    k = np.array([[35.0, 0, w / 2 - 0.5], [0, 35.0, h / 2 - 0.5], [0, 0, 1.0]])
+    return dict(
+        gray_src=gray, depth_src=depth, gray_trg=gray2, depth_trg=depth2,
+        gray_trg_gx=gx.astype(np.float32), gray_trg_gy=gy.astype(np.float32),
+        depth_trg_gx=dgx.astype(np.float32), depth_trg_gy=dgy.astype(np.float32),
+    ), k
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+@pytest.mark.parametrize("shift", [0, 1])
+def test_ref_impl_pinhole_matches_cpp_double(oracle_bin, pinhole_crop, tmp_path, method, shift):
+    """ref_impl's pinhole transcription (error_pinhole UNGATED,
+    hess_grad_pinhole saliency-gated with the PHOTO_DEPTH coupling) ==
+    compiled C++ (double) to ~1e-9 — including the coupled-continue pixel
+    sets, which are where a transcription error would hide."""
+    crop, k = pinhole_crop
+    pose32 = np.eye(4, dtype=np.float32)
+    if shift:
+        pose32 = golden_ref.pseudo_exp(
+            np.array([0.02, -0.015, 0.03, 0.008, -0.01, 0.012])
+        ).astype(np.float32)
+    pose = pose32.astype(np.float64)
+    lvl64 = {k2: np.asarray(v, np.float64) for k2, v in crop.items()}
+    xyz, val = ref_impl.build_pinhole_lut(lvl64["depth_src"], k, 0)
+    pe, n_ph, de, n_dp = ref_impl.error_pinhole(lvl64, xyz, val, pose, k, 0, method)
+    H_ref, g_ref = ref_impl.hess_grad_pinhole(lvl64, xyz, val, pose, k, 0, method)
+
+    cpp_oracle.pack(
+        str(tmp_path / "in.bin"), [crop], pose32, mode=2, method=method,
+        use_double=True, k_full=k, pinhole_level=0,
+    )
+    r = cpp_oracle.run(str(tmp_path / "in.bin"))
+    assert r["nphoto"] == n_ph and r["ndepth"] == n_dp
+    assert abs(r["perr2"] - pe) <= 1e-9 * max(pe, 1e-12)
+    assert abs(r["derr2"] - de) <= 1e-9 * max(de, 1e-12)
+    hs = max(np.abs(H_ref).max(), 1e-12)
+    np.testing.assert_allclose(r["H"], H_ref, rtol=0, atol=1e-9 * hs)
+    gs = max(np.abs(g_ref).max(), 1e-12)
+    np.testing.assert_allclose(r["g"], g_ref, rtol=0, atol=1e-9 * gs)
+
+
+def test_ref_impl_pinhole_level_scaling_matches_cpp(oracle_bin, pinhole_crop, tmp_path):
+    """The 2^-level intrinsic scaling (:570-575) agrees between the oracles
+    when the crop is treated as pyramid level 1 of a doubled-size K."""
+    crop, k = pinhole_crop
+    k2 = k.copy()
+    k2[0, 0] *= 2; k2[1, 1] *= 2; k2[0, 2] *= 2; k2[1, 2] *= 2
+    pose = np.eye(4)
+    lvl64 = {k3: np.asarray(v, np.float64) for k3, v in crop.items()}
+    xyz, val = ref_impl.build_pinhole_lut(lvl64["depth_src"], k2, 1)
+    pe, n_ph, de, n_dp = ref_impl.error_pinhole(lvl64, xyz, val, pose, k2, 1, 2)
+
+    cpp_oracle.pack(
+        str(tmp_path / "in.bin"), [crop], pose.astype(np.float32), mode=2,
+        method=2, use_double=True, k_full=k2, pinhole_level=1,
+    )
+    r = cpp_oracle.run(str(tmp_path / "in.bin"))
+    assert r["nphoto"] == n_ph and r["ndepth"] == n_dp
+    assert abs(r["perr2"] - pe) <= 1e-9 * max(pe, 1e-12)
+    assert abs(r["derr2"] - de) <= 1e-9 * max(de, 1e-12)
+
+
 def test_cpp_float_gn_lands_on_golden_pose(oracle_bin, golden_levels, tmp_path):
     """The C++ oracle running the reference float GN loop end-to-end on the
     bundled pair reproduces the golden free-run pose and iteration counts."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgbd360_tpu.ops import photoicp_pinhole as pp, se3
 
@@ -182,3 +183,84 @@ def jax_tree_squeeze(t):
     import jax
 
     return jax.tree.map(lambda x: x[0], t)
+
+
+# ---------------------------------------------------------------------------
+# scalar-oracle parity for the pinhole sweep (ref_impl transcription of
+# errorPhotoICP :560-775 / calcHessGrad :776-1100)
+# ---------------------------------------------------------------------------
+
+
+def _pinhole_level(rng, h=24, w=32):
+    import ref_impl
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = 0.5 + 0.3 * np.sin(xx / 5.0) * np.cos(yy / 4.0) + 0.05 * rng.normal(size=(h, w))
+    gray = gray.astype(np.float32)
+    depth = (2.0 + 0.6 * np.sin(xx / 9.0) + 0.3 * np.cos(yy / 5.0)).astype(np.float32)
+    depth[rng.random((h, w)) < 0.05] = 0.0
+    gx, gy = ref_impl.gradient_xy(gray.astype(np.float64))
+    dgx, dgy = ref_impl.gradient_xy(depth.astype(np.float64))
+    level_np = dict(
+        gray_src=gray.astype(np.float64),
+        depth_src=depth.astype(np.float64),
+        gray_trg=gray.astype(np.float64),
+        depth_trg=depth.astype(np.float64),
+        gray_trg_gx=gx, gray_trg_gy=gy, depth_trg_gx=dgx, depth_trg_gy=dgy,
+    )
+    from rgbd360_tpu.ops.photoicp import LevelData
+
+    level_jx = LevelData(
+        gray_src=jnp.asarray(gray), depth_src=jnp.asarray(depth),
+        gray_trg=jnp.asarray(gray), depth_trg=jnp.asarray(depth),
+        gray_trg_gx=jnp.asarray(gx.astype(np.float32)),
+        gray_trg_gy=jnp.asarray(gy.astype(np.float32)),
+        depth_trg_gx=jnp.asarray(dgx.astype(np.float32)),
+        depth_trg_gy=jnp.asarray(dgy.astype(np.float32)),
+    )
+    k = np.array([[30.0, 0, w / 2 - 0.5], [0, 30.0, h / 2 - 0.5], [0, 0, 1]], np.float32)
+    return level_np, level_jx, k
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+@pytest.mark.parametrize("shift", [0, 1])
+def test_pinhole_sweep_matches_scalar_oracle(rng, method, shift):
+    """fused_sweep_pinhole's error stats must reproduce the UNGATED
+    errorPhotoICP pixel set and its H/g the saliency-gated (and PHOTO_DEPTH
+    photo<->depth coupled) calcHessGrad set — the two sets differ in the
+    reference by design (tests/ref_impl.py transcription)."""
+    import ref_impl
+
+    from rgbd360_tpu.ops import photoicp_pinhole as pp
+
+    level_np, level_jx, k = _pinhole_level(rng)
+    pose = np.eye(4, dtype=np.float32)
+    if shift:
+        pose = np.asarray(
+            se3.exp_se3(jnp.array([0.02, -0.015, 0.03, 0.008, -0.01, 0.012]), pseudo=False),
+            np.float32,
+        )
+    xyz_np, valid_np = ref_impl.build_pinhole_lut(
+        level_np["depth_src"], k.astype(np.float64), 0
+    )
+    pe_ref, np_ref, de_ref, nd_ref = ref_impl.error_pinhole(
+        level_np, xyz_np, valid_np, pose.astype(np.float64), k.astype(np.float64), 0, method
+    )
+    H_ref, g_ref = ref_impl.hess_grad_pinhole(
+        level_np, xyz_np, valid_np, pose.astype(np.float64), k.astype(np.float64), 0, method
+    )
+
+    kj = jnp.asarray(k)
+    xyz, valid = pp.pinhole_lut(level_jx.depth_src, kj, 0)
+    packed = pp.pack_target_channels(level_jx)
+    err2, n_terms, H, g, pe, n_photo, de, n_depth = pp.fused_sweep_pinhole(
+        level_jx.gray_src.reshape(-1), packed, level_jx.gray_src.shape,
+        xyz, valid, jnp.asarray(pose), kj, 0, method,
+    )
+    assert int(n_photo) == np_ref and int(n_depth) == nd_ref
+    assert float(pe) == pytest.approx(pe_ref, rel=2e-4, abs=1e-6)
+    assert float(de) == pytest.approx(de_ref, rel=2e-4, abs=1e-6)
+    scale = max(np.abs(H_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(H) / scale, H_ref / scale, atol=2e-4)
+    gscale = max(np.abs(g_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(g) / gscale, g_ref / gscale, atol=2e-4)

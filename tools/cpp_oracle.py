@@ -44,12 +44,18 @@ def pack(
     use_double: bool = False,
     apply_seam_mask: bool = False,
     params=DEFAULT_PARAMS,
+    k_full=None,
+    pinhole_level: int = 0,
 ) -> None:
     """Write the oracle's input stream.
 
     ``levels``: list of dicts with keys gray_src, depth_src, gray_trg,
     depth_trg, gray_trg_gx, gray_trg_gy, depth_trg_gx, depth_trg_gy
     (ref_impl's level layout). For mode 1 pass them coarsest-first.
+
+    Modes: 0 = spherical single sweep, 1 = spherical GN align,
+    2 = pinhole single sweep (pass ``k_full`` as the full-resolution 3x3
+    camera matrix and ``pinhole_level`` as the pyramid level).
     """
     with open(path, "wb") as f:
         f.write(
@@ -65,6 +71,10 @@ def pack(
         )
         f.write(struct.pack("<6d", *params))
         f.write(np.asarray(pose, np.float32).reshape(16).tobytes())
+        if mode == 2:
+            k = np.asarray(k_full, np.float64)
+            f.write(struct.pack("<4d", k[0, 0], k[1, 1], k[0, 2], k[1, 2]))
+            f.write(struct.pack("<i", pinhole_level))
         keys = (
             "gray_src",
             "depth_src",
@@ -101,6 +111,14 @@ def run(input_path: str) -> dict:
             res["nvalid"] = int(parts[1])
         elif key == "nvisible":
             res["nvisible"] = int(parts[1])
+        elif key == "perr2":
+            res["perr2"] = float(parts[1])
+        elif key == "nphoto":
+            res["nphoto"] = int(parts[1])
+        elif key == "derr2":
+            res["derr2"] = float(parts[1])
+        elif key == "ndepth":
+            res["ndepth"] = int(parts[1])
         elif key == "H":
             vals = list(map(float, parts[1:]))
             H = np.zeros((6, 6))

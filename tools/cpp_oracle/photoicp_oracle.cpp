@@ -1,4 +1,5 @@
-// Standalone C++ oracle for the spherical dense-registration metric path.
+// Standalone C++ oracle for the dense-registration metric paths (spherical
+// and pinhole).
 //
 // Purpose (PARITY_AUDIT.md): break the self-reference of the repo's parity
 // chain.  tests/ref_impl.py and tests/golden_ref.py are NumPy restatements of
@@ -8,7 +9,9 @@
 // statement-by-statement from the reference source in a fresh read
 // (reference /root/reference/include/RegisterPhotoICP.h:2545-2739
 // errorPhotoICP_sphere, :2745-3228 calcHessGrad_sphere, :4519-4784
-// alignFrames360, :543-554 weightHuber; constants from the ctor :201-221).
+// alignFrames360, :543-554 weightHuber; constants from the ctor :201-221;
+// pinhole path :560-775 errorPhotoICP, :776-1100 calcHessGrad with its
+// LUT built per alignFrames :4272-4299).
 // It executes as real C++ with the reference's float arithmetic (or double,
 // selectable at runtime) so the Python oracles can be gated against a
 // compiled, independently-running program.
@@ -219,6 +222,163 @@ void sweep(const Level& lv, const Params& pp, const float pose[16], int method,
 }
 
 // ---------------------------------------------------------------------------
+// Pinhole metric path (errorPhotoICP :560-775 / calcHessGrad :776-1100).
+//
+// Unlike the spherical pair, the two pinhole functions do NOT share control
+// flow: the ERROR function has no saliency tests at all, while calcHessGrad
+// gates the photo term (:1031-1033) and the depth term (:1058-1060) and
+// couples them — both `continue`s sit before the shared accumulation block
+// (:1081-1103), so in PHOTO_DEPTH a failed depth-saliency test also drops
+// the pixel's PHOTO contribution from H/g (but never from the error sums).
+// The fused loop below therefore carries separate, independently-gated
+// accumulators for the error stats and for H/g.
+
+template <typename T>
+struct PinholeSweep {
+  double photo_err2 = 0.0, depth_err2 = 0.0;  // double reductions :562-565
+  long n_photo = 0, n_depth = 0;
+  T H[36] = {0};
+  T g[6] = {0};
+};
+
+// kf[4] = full-resolution {fx, fy, ox, oy}; scaled by 2^-level as in
+// :570-575 (error) / :786-791 (hessgrad) / :4274-4279 (LUT).
+template <typename T>
+void sweep_pinhole(const Level& lv, const Params& pp, const float pose[16],
+                   const double kf[4], int level, int method,
+                   PinholeSweep<T>* out) {
+  const int h = lv.h, w = lv.w;
+  const T scale = (T)1 / (T)std::pow((T)2, level);
+  const T fx = (T)kf[0] * scale, fy = (T)kf[1] * scale;
+  const T ox = (T)kf[2] * scale, oy = (T)kf[3] * scale;
+  const T inv_fx = (T)1 / fx, inv_fy = (T)1 / fy;
+  const T std_photo = (T)pp.std_photo, std_depth = (T)pp.std_depth;
+  const T std_photo_inv = (T)1 / std_photo;  // float in :582-583
+  const T thres_si = (T)pp.thres_sal_int, thres_sd = (T)pp.thres_sal_depth;
+
+  T R[9], t[3];
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) R[3 * r + c] = (T)pose[4 * r + c];
+    t[r] = (T)pose[4 * r + 3];
+  }
+
+  for (int row = 0; row < h; ++row) {
+    for (int col = 0; col < w; ++col) {
+      const int i = row * w + col;
+      // LUT_xyz build (:4281-4299): valid iff minDepth < z < maxDepth,
+      // x = (c-ox)*z*inv_fx, y = (r-oy)*z*inv_fy.
+      const T z1 = (T)lv.depth_src[i];
+      if (!((T)pp.min_depth < z1 && z1 < (T)pp.max_depth)) continue;
+      const T xyz[3] = {((T)col - ox) * z1 * inv_fx,
+                        ((T)row - oy) * z1 * inv_fy, z1};
+      T p[3];
+      transform_point(R, t, xyz, p);
+      // projection (:703-709 / :984-990): x*fx*inv_z + ox, y*fy*inv_z + oy;
+      // NO behind-camera guard in the reference.
+      const T inv_z = (T)1 / p[2];
+      const int ci = iround((double)(p[0] * fx * inv_z + ox));
+      const int ri = iround((double)(p[1] * fy * inv_z + oy));
+      if (!(ri >= 0 && ri < h && ci >= 0 && ci < w)) continue;
+      const int j = ri * w + ci;
+      const T depth2 = (T)lv.depth_trg[j];
+
+      // ---- error terms (errorPhotoICP :716-753): UNGATED ----
+      if (method == 0 || method == 2) {
+        const T diff = (T)lv.gray_trg[j] - (T)lv.gray_src[i];
+        const T wp = weight_huber(diff, std_photo) * std_photo_inv;
+        const T werr = wp * diff;
+        out->photo_err2 += (double)werr * (double)werr;
+        ++out->n_photo;
+      }
+      if (method == 1 || method == 2) {
+        if (std::isfinite(depth2)) {  // :740 — the only depth gate here
+          const T ddiff = depth2 - p[2];
+          const T reg = std_depth * p[2];  // :745-746 scaled by WARPED z
+          const T wd = weight_huber(ddiff, reg) / reg;
+          const T werr = wd * ddiff;
+          out->depth_err2 += (double)werr * (double)werr;
+          ++out->n_depth;
+        }
+      }
+
+      // ---- H/g terms (calcHessGrad :984-1103): saliency-gated, coupled ----
+      // 2x6 warp jacobian (:996-1015): row 0 = d(col)/dxi (fx terms),
+      // row 1 = d(row)/dxi (fy terms); translation block first.
+      const T inv_z2 = inv_z * inv_z;
+      const T jw[12] = {
+          fx * inv_z, (T)0, -fx * p[0] * inv_z2,
+          -fx * p[1] * p[0] * inv_z2, fx * ((T)1 + p[0] * p[0] * inv_z2),
+          -fx * p[1] * inv_z,
+          (T)0, fy * inv_z, -fy * p[1] * inv_z2,
+          -fy * ((T)1 + p[1] * p[1] * inv_z2), fy * p[0] * p[1] * inv_z2,
+          fy * p[0] * inv_z};
+      T jac_photo[6], jac_depth[6];
+      T werr_photo = (T)0, werr_depth = (T)0;
+      bool have_depth = false;
+      if (method == 0 || method == 2) {
+        const T gx = (T)lv.ggx[j], gy = (T)lv.ggy[j];
+        // :1031-1033 — photo-saliency failure skips the depth H/g too
+        if (std::fabs(gx) < thres_si && std::fabs(gy) < thres_si) continue;
+        const T diff = (T)lv.gray_trg[j] - (T)lv.gray_src[i];
+        const T wp = weight_huber(diff, std_photo) * std_photo_inv;
+        werr_photo = wp * diff;
+        for (int k = 0; k < 6; ++k)
+          jac_photo[k] = wp * (gx * jw[k] + gy * jw[6 + k]);
+      }
+      if (method == 1 || method == 2) {
+        const T dgx = (T)lv.dgx[j], dgy = (T)lv.dgy[j];
+        // :1058-1060 — sits BEFORE the isfinite test and before the shared
+        // accumulation block, so it also drops the photo contribution
+        if (std::fabs(dgx) < thres_sd && std::fabs(dgy) < thres_sd) continue;
+        if (std::isfinite(depth2)) {  // :1063-1064
+          const T ddiff = depth2 - p[2];
+          const T reg = std_depth * p[2];
+          const T wd = weight_huber(ddiff, reg) / reg;
+          werr_depth = wd * ddiff;
+          const T jz[6] = {(T)0, (T)0, (T)1, p[1], -p[0], (T)0};  // :1073-1074
+          for (int k = 0; k < 6; ++k)
+            jac_depth[k] = wd * (dgx * jw[k] + dgy * jw[6 + k] - jz[k]);
+          have_depth = true;
+        }
+      }
+      // shared accumulation (:1081-1103): photo whenever reached, depth
+      // only behind its isfinite re-check
+      if (method == 0 || method == 2) {
+        for (int a = 0; a < 6; ++a) {
+          for (int b = a; b < 6; ++b)
+            out->H[6 * a + b] += jac_photo[a] * jac_photo[b];
+          out->g[a] += jac_photo[a] * werr_photo;
+        }
+      }
+      if (have_depth) {
+        for (int a = 0; a < 6; ++a) {
+          for (int b = a; b < 6; ++b)
+            out->H[6 * a + b] += jac_depth[a] * jac_depth[b];
+          out->g[a] += jac_depth[a] * werr_depth;
+        }
+      }
+    }
+  }
+  for (int a = 0; a < 6; ++a)
+    for (int b = 0; b < a; ++b) out->H[6 * a + b] = out->H[6 * b + a];
+}
+
+template <typename T>
+void run_pinhole_sweep(const Level& lv, const Params& pp, const float pose[16],
+                       const double kf[4], int level, int method) {
+  PinholeSweep<T> s;
+  sweep_pinhole<T>(lv, pp, pose, kf, level, method, &s);
+  std::printf("perr2 %.12g\nnphoto %ld\nderr2 %.12g\nndepth %ld\n",
+              s.photo_err2, s.n_photo, s.depth_err2, s.n_depth);
+  std::printf("H");
+  for (int a = 0; a < 6; ++a)
+    for (int b = a; b < 6; ++b) std::printf(" %.12g", (double)s.H[6 * a + b]);
+  std::printf("\ng");
+  for (int a = 0; a < 6; ++a) std::printf(" %.12g", (double)s.g[a]);
+  std::printf("\n");
+}
+
+// ---------------------------------------------------------------------------
 // GN driver (alignFrames360 :4519-4784)
 
 // MRPT CPose3D::exp(xi, pseudo_exponential=true): R = expm(skew(omega)),
@@ -414,10 +574,13 @@ void run_align(std::vector<Level>& levels, const Params& pp, float pose[16],
 
 template <typename T>
 void run(int mode, int method, int do_mask, std::vector<Level>& levels,
-         const Params& pp, float pose[16]) {
+         const Params& pp, float pose[16], const double kf[4],
+         int pinhole_level) {
   if (do_mask)
     for (auto& lv : levels) mask_seams(&lv);
-  if (mode == 0) {
+  if (mode == 2) {
+    run_pinhole_sweep<T>(levels[0], pp, pose, kf, pinhole_level, method);
+  } else if (mode == 0) {
     Sweep<T> s;
     sweep<T>(levels[0], pp, pose, method, /*want_grad=*/true, &s);
     const double err =
@@ -487,6 +650,15 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "truncated pose\n");
     return 2;
   }
+  // pinhole modes carry an extra block: full-res {fx, fy, ox, oy} + level
+  double kf[4] = {0, 0, 0, 0};
+  int32_t pinhole_level = 0;
+  if (mode == 2) {
+    if (!read_exact(f, kf, 32) || !read_exact(f, &pinhole_level, 4)) {
+      std::fprintf(stderr, "truncated pinhole block\n");
+      return 2;
+    }
+  }
   std::vector<Level> levels((size_t)n_levels);
   for (auto& lv : levels) {
     int32_t hw[2];
@@ -508,8 +680,8 @@ int main(int argc, char** argv) {
   }
   std::fclose(f);
   if (use_double)
-    run<double>(mode, method, do_mask, levels, pp, pose);
+    run<double>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level);
   else
-    run<float>(mode, method, do_mask, levels, pp, pose);
+    run<float>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level);
   return 0;
 }
