@@ -545,17 +545,20 @@ def fused_sweep_sphere(
             visible = visible & mask.reshape(-1)
 
     if occlusion:
+        if occlusion >= 2:
+            # dynamic-occlusion rejection (reference _sphereOcc2 :3789-3792,
+            # thresDepthOutliers = 0.3 set by alignFrames360 :4525). The
+            # filter runs BEFORE the z-buffer write in the reference, so a
+            # moving/occluded outlier never occupies the buffer and cannot
+            # displace a clean farther point landing on the same pixel.
+            dynamic = visible & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+            visible = visible & ~dynamic
         # z-buffer: only the closest source point per target pixel survives
         # (reference _sphereOcc1 :3300-3304; scatter-max replaces the
         # sequential invDepthBuffer, ties all survive)
         dist_inv = jnp.where(visible, 1.0 / jnp.maximum(dist, 1e-12), 0.0)
         zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(dist_inv)
         visible = visible & (dist_inv >= jnp.take(zbuf, flat))
-        if occlusion >= 2:
-            # dynamic-occlusion rejection (reference _sphereOcc2 :3720-3860,
-            # thresDepthOutliers = 0.3 set by alignFrames360 :4525)
-            dynamic = visible & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
-            visible = visible & ~dynamic
 
     if not stats_only:
         j_col, j_row, chain = _warp_jacobian(p, dist, angle_res_inv)
@@ -722,9 +725,10 @@ def occlusion_mask_sphere(
     the same target pixel only the closest survives (the reference's
     sequential invDepthBuffer becomes a scatter-max; ties all survive, a
     benign deviation from its order-dependent overwrite).
-    Occ2: additionally rejects dynamic/occluded points whose depth residual
-    exceeds thresDepthOutliers (0.3 m), returning that mask separately
-    (the reference's mask_dynamic_occlusion, :169).
+    Occ2: first rejects dynamic/occluded points whose depth residual exceeds
+    thresDepthOutliers (0.3 m) — BEFORE the z-buffer, as in the reference
+    (:3789-3799), so an outlier never displaces a clean point — returning
+    that mask separately (the reference's mask_dynamic_occlusion, :169).
     """
     h, w = shape
     R = pose[:3, :3]
@@ -733,14 +737,14 @@ def occlusion_mask_sphere(
     dist, r_int, c_int, inb = sphere_project(p, h, w)
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)
+    dynamic = jnp.zeros_like(visible)
+    if occlusion >= 2 and target_depth_flat is not None:
+        depth2 = jnp.take(target_depth_flat, flat, mode="clip")
+        dynamic = visible & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+        visible = visible & ~dynamic
     dist_inv = jnp.where(visible, 1.0 / jnp.maximum(dist, 1e-12), 0.0)
     zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(dist_inv)
     closest = visible & (dist_inv >= jnp.take(zbuf, flat))
-    dynamic = jnp.zeros_like(closest)
-    if occlusion >= 2 and target_depth_flat is not None:
-        depth2 = jnp.take(target_depth_flat, flat, mode="clip")
-        dynamic = closest & (jnp.abs(depth2 - dist) > THRES_DEPTH_OUTLIERS) & (depth2 > 0)
-        closest = closest & ~dynamic
     return closest, dynamic
 
 

@@ -143,19 +143,24 @@ def fused_sweep_pinhole(
     dgx, dgy = _unpack2_f16(tgt[:, CH_DG])
 
     if occlusion:
+        if occlusion >= 2:
+            # dynamic-occlusion rejection (_Occ2's mask_dynamic_occlusion):
+            # the PINHOLE alignFrames sets thresDepthOutliers =
+            # maxDepthOutliers = 1.0 (reference :215, :4258-4259) — the
+            # spherical path's 0.3 (:4525) does not apply here. The filter
+            # precedes the z-buffer write (:1688-1697) so outliers never
+            # displace clean points. Deviation, replicated-by-intent: the
+            # reference's _Occ2 residual there is depth2 - inv_z (:1691 —
+            # subtracting the INVERSE warped depth, plainly a defect); this
+            # uses the intended depth2 - z.
+            dynamic = visible & (jnp.abs(depth2 - z) > PINHOLE_THRES_DEPTH_OUTLIERS) & (depth2 > 0)
+            visible = visible & ~dynamic
         # z-buffer: only the closest source point per target pixel survives
         # (the reference's sequential invDepthBuffer, :1191-1209, becomes a
         # scatter-max; ties all survive)
         z_inv_pos = jnp.where(visible, 1.0 / jnp.maximum(z, 1e-12), 0.0)
         zbuf = jnp.zeros(h * w, jnp.float32).at[flat].max(z_inv_pos)
         visible = visible & (z_inv_pos >= jnp.take(zbuf, flat))
-        if occlusion >= 2:
-            # dynamic-occlusion rejection (_Occ2's mask_dynamic_occlusion):
-            # the PINHOLE alignFrames sets thresDepthOutliers =
-            # maxDepthOutliers = 1.0 (reference :215, :4258-4259) — the
-            # spherical path's 0.3 (:4525) does not apply here
-            dynamic = visible & (jnp.abs(depth2 - z) > PINHOLE_THRES_DEPTH_OUTLIERS) & (depth2 > 0)
-            visible = visible & ~dynamic
 
     # pinhole projection jacobian rows (d u/d q, d v/d q), reference :5167-5177
     j_u = jnp.stack([fx * z_inv, jnp.zeros_like(z), -fx * q[:, 0] * z_inv * z_inv], -1)

@@ -401,3 +401,111 @@ def hess_grad_pinhole(level, xyz, valid, pose, k_full, lvl, method):
             H += np.outer(j_depth, j_depth)
             g += j_depth * w_err_depth
     return H, g
+
+
+# ---------------------------------------------------------------------------
+# occlusion-aware spherical error paths (reference errorPhotoICP_sphereOcc1
+# :3232-3370, errorPhotoICP_sphereOcc2 :3720-3860), transcribed fresh with
+# their SEQUENTIAL z-buffer semantics
+# ---------------------------------------------------------------------------
+
+THRES_DEPTH_OUTLIERS = 0.3  # alignFrames360 sets this for the Occ2 sphere (:4525)
+
+
+def error_sphere_occ(level, xyz, valid, pose, method, occlusion=1,
+                     winners_only=False):
+    """Sequential transcription of the Occ1/Occ2 error sweeps.
+
+    invDepthBuffer is written in source-pixel order: a point is skipped iff
+    an earlier point on the same target pixel was STRICTLY closer
+    (:3300-3304 / :3795-3799); otherwise it overwrites the buffer. Occ1 keys
+    the residual slots by TARGET pixel (:3322, :3339 — a closer point
+    overwrites a displaced point's residual, so the final sums hold exactly
+    the per-pixel winners), while Occ2 keys them by SOURCE pixel (:3816,
+    :3832 — displaced points KEEP their residual slots in the sums). Counts
+    increment per accepted-at-processing-time point and are never rolled
+    back (Occ1 :3326/:3342; Occ2 counts every buffer-surviving point once,
+    pre-saliency, :3802 — and its avPhotoResidual divides by that same
+    depth count). Occ2 additionally rejects depth outliers
+    |depth2 - dist| > thresDepthOutliers BEFORE the buffer write
+    (:3789-3792), so an outlier never displaces a clean point; a NaN depth2
+    passes that gate (fabs(NaN) > t is false).
+
+    Returns (photo_err2, n_photo, depth_err2, n_depth) — raw sums as the
+    reference's second accumulation loop computes them (:3348-3357 /
+    :3839-3848); for occlusion=2 both counts are the single nValidDepthPts.
+
+    winners_only=True keys the Occ2 residual slots by TARGET pixel like
+    Occ1 does, which makes the final sums hold exactly the per-pixel
+    z-buffer winners — the deterministic projection of the reference's
+    (OpenMP-racy) semantics that the repo's scatter-max implements; the
+    faithful by-source sums are an upper bound on it (displaced points
+    only ever ADD residual slots). Counts are returned per the faithful
+    semantics either way.
+    """
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    angle_res_inv = w / (2.0 * np.pi)
+    half = 0.5 * h - 0.5
+    R, t = pose[:3, :3], pose[:3, 3]
+    residuals_photo = np.zeros(h * w)
+    residuals_depth = np.zeros(h * w)
+    inv_buf = np.zeros(h * w)
+    n_photo = 0
+    n_depth = 0
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p = R @ xyz[i] + t
+        dist = np.linalg.norm(p)
+        dist_inv = 1.0 / dist
+        phi = math.asin(p[0] * dist_inv)
+        theta = math.atan2(p[1], p[2]) + np.pi
+        ri = round_c(half - phi * angle_res_inv)
+        ci = round_c(theta * angle_res_inv)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        ii = ri * w + ci
+        if occlusion >= 2:
+            depth2 = level["depth_trg"][ri, ci]
+            ddiff = depth2 - dist
+            if abs(ddiff) > THRES_DEPTH_OUTLIERS:
+                continue  # :3789-3792 — before the buffer write
+        if inv_buf[ii] > 0 and dist_inv < inv_buf[ii]:
+            continue  # occluded by an earlier, closer point
+        inv_buf[ii] = dist_inv
+        if occlusion >= 2:
+            n_depth += 1  # :3802 — unconditional, pre-saliency, pre-method
+        if method in (0, 2):
+            if (
+                abs(level["gray_trg_gx"][ri, ci]) < THRES_SALIENCY
+                and abs(level["gray_trg_gy"][ri, ci]) < THRES_SALIENCY
+            ):
+                continue  # skips the depth block too
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            slot = ii if (occlusion == 1 or winners_only) else i
+            residuals_photo[slot] = (wgt * diff) ** 2
+            if occlusion == 1:
+                n_photo += 1
+        if method in (1, 2):
+            depth2 = level["depth_trg"][ri, ci]
+            if not np.isfinite(depth2):
+                continue
+            if (
+                abs(level["depth_trg_gx"][ri, ci]) < THRES_SALIENCY
+                and abs(level["depth_trg_gy"][ri, ci]) < THRES_SALIENCY
+            ):
+                continue
+            ddiff = depth2 - dist
+            reg = STD_DEV_DEPTH * depth2
+            if reg <= 0:
+                continue  # depth2 == 0 never survives the saliency test
+            wgt = weight_huber(ddiff, reg) / reg
+            slot = ii if (occlusion == 1 or winners_only) else i
+            residuals_depth[slot] = (wgt * ddiff) ** 2
+            if occlusion == 1:
+                n_depth += 1
+    if occlusion >= 2:
+        n_photo = n_depth
+    return residuals_photo.sum(), n_photo, residuals_depth.sum(), n_depth

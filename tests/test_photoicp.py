@@ -207,6 +207,202 @@ def test_occlusion_zbuffer_drops_farther_point():
     assert closest[0] and not closest[1]
 
 
+def _occ_level(rng, h=20, w=120, depth_spread=1.2):
+    """src==trg panorama with fully-valid target depth (invalid-depth
+    semantics are covered by the plain-path parity tests; these gates focus
+    on the z-buffer / outlier-filter semantics). Depth noise keeps colliding
+    points' distances well separated (>>f32 eps), so the f32 pipeline and
+    the f64 oracle agree on every z-buffer winner — a SMOOTH depth makes
+    adjacent colliding pixels near-tie, where f32 rounding legitimately
+    flips winners against the deviation-by-design 'ties all survive'
+    scatter-max. The near band at the compression zone (theta ~ pi under
+    forward motion) creates wide-gap occlusions."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (
+        0.5 + 0.3 * np.sin(xx / 7.0) * np.cos(yy / 5.0) + 0.05 * rng.normal(size=(h, w))
+    ).astype(np.float32)
+    depth = (
+        2.5 + depth_spread * np.sin(xx / 11.0) + 0.4 * np.cos(yy / 6.0)
+        + 0.15 * rng.normal(size=(h, w))
+    ).astype(np.float32)
+    depth[:, 52:62] = 1.2
+    return _level_pair(gray, depth)
+
+
+def _level_pair(gray, depth):
+    gx, gy = ref_impl.gradient_xy(gray.astype(np.float64))
+    dgx, dgy = ref_impl.gradient_xy(depth.astype(np.float64))
+    level_np = dict(
+        gray_src=gray.astype(np.float64), depth_src=depth.astype(np.float64),
+        gray_trg=gray.astype(np.float64), depth_trg=depth.astype(np.float64),
+        gray_trg_gx=gx, gray_trg_gy=gy, depth_trg_gx=dgx, depth_trg_gy=dgy,
+    )
+    level_jx = photoicp.LevelData(
+        gray_src=jnp.asarray(gray), depth_src=jnp.asarray(depth),
+        gray_trg=jnp.asarray(gray), depth_trg=jnp.asarray(depth),
+        gray_trg_gx=jnp.asarray(gx.astype(np.float32)),
+        gray_trg_gy=jnp.asarray(gy.astype(np.float32)),
+        depth_trg_gx=jnp.asarray(dgx.astype(np.float32)),
+        depth_trg_gy=jnp.asarray(dgy.astype(np.float32)),
+    )
+    return level_np, level_jx
+
+
+def _occ_sweep(level_jx, pose, method, occ):
+    xyz, valid = sphere_xyz_lut(level_jx.depth_src, 0.3, 6.0)
+    packed = photoicp.pack_target_channels(level_jx)
+    return photoicp.fused_sweep_sphere(
+        level_jx.gray_src.reshape(-1), packed, level_jx.gray_src.shape,
+        xyz, valid, jnp.asarray(pose), method, occ,
+    )
+
+
+def _project_np(level_np, pose):
+    """Vectorized restatement of the oracle projection, for scene analysis."""
+    h, w = level_np["gray_src"].shape
+    xyz, valid = ref_impl.build_sphere_lut(level_np["depth_src"])
+    p = xyz @ pose[:3, :3].T + pose[:3, 3]
+    dist = np.linalg.norm(p, axis=1)
+    dist = np.where(dist > 0, dist, 1.0)
+    phi = np.arcsin(np.clip(p[:, 0] / dist, -1, 1))
+    theta = np.arctan2(p[:, 1], p[:, 2]) + np.pi
+    ares_inv = w / (2.0 * np.pi)
+    half = 0.5 * h - 0.5
+    rr = half - phi * ares_inv
+    cc = theta * ares_inv
+    ri = (np.floor(np.abs(rr) + 0.5) * np.sign(rr + 1e-300)).astype(int)
+    ci = (np.floor(np.abs(cc) + 0.5) * np.sign(cc + 1e-300)).astype(int)
+    inb = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & valid
+    return np.where(inb, ri * w + ci, -1), dist, inb
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_occ1_matches_sequential_oracle(rng, method):
+    """fused_sweep_sphere(occlusion=1) vs the SEQUENTIAL Occ1 transcription
+    (ref_impl.error_sphere_occ): the reference keys Occ1 residuals by target
+    pixel and overwrites on closer arrivals, so its final sums hold exactly
+    the per-pixel winners — equal to the scatter-max semantics even when
+    collisions occur; the COUNTS overcount displaced points by design."""
+    level_np, level_jx = _occ_level(rng)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 0.45  # forward motion -> genuine many-to-one warping
+    flat, _, inb = _project_np(level_np, pose.astype(np.float64))
+    hits = np.bincount(flat[inb], minlength=level_np["gray_src"].size)
+    assert hits.max() >= 2, "scene must exercise the z-buffer"
+
+    pe_ref, nph_ref, de_ref, nd_ref = ref_impl.error_sphere_occ(
+        level_np, *ref_impl.build_sphere_lut(level_np["depth_src"]),
+        pose.astype(np.float64), method, occlusion=1,
+    )
+    _, _, _, _, pe, nph, de, nd = _occ_sweep(level_jx, pose, method, 1)
+    assert float(pe) == pytest.approx(pe_ref, rel=2e-4, abs=1e-6)
+    assert float(de) == pytest.approx(de_ref, rel=2e-4, abs=1e-6)
+    # sequential counts >= winners-only counts; strictly greater when a
+    # displaced point passed the gates before losing the buffer
+    assert int(nph) <= nph_ref and int(nd) <= nd_ref
+
+
+def test_occ1_collision_free_counts_match(rng):
+    """At identity the warp is injective: sequential == scatter-max exactly,
+    counts included."""
+    level_np, level_jx = _occ_level(rng)
+    pose = np.eye(4)
+    pe_ref, nph_ref, de_ref, nd_ref = ref_impl.error_sphere_occ(
+        level_np, *ref_impl.build_sphere_lut(level_np["depth_src"]), pose, 2,
+        occlusion=1,
+    )
+    _, _, _, _, pe, nph, de, nd = _occ_sweep(level_jx, pose, 2, 1)
+    assert (int(nph), int(nd)) == (nph_ref, nd_ref)
+    assert float(pe) == pytest.approx(pe_ref, rel=2e-4, abs=1e-6)
+    assert float(de) == pytest.approx(de_ref, rel=2e-4, abs=1e-6)
+
+
+def test_occ2_outlier_filtered_before_zbuffer(rng):
+    """Ordering gate (reference :3789-3799): the depth-outlier filter runs
+    BEFORE the z-buffer write, so a closer-but-outlier point must NOT
+    displace a clean farther point landing on the same target pixel. The
+    scene engineers such a pixel, then requires sum parity with the
+    sequential oracle (the pre-fix buffer-then-filter order fails this)."""
+    level_np, level_jx = _occ_level(rng)
+    h, w = level_np["gray_src"].shape
+    pose64 = np.eye(4)
+    pose64[2, 3] = 0.45
+    flat, dist, inb = _project_np(level_np, pose64)
+    # find a target pixel hit by two points whose distance gap exceeds the
+    # 0.3 outlier threshold with margin
+    engineered = None
+    order = np.argsort(flat)
+    fs = flat[order]
+    for a in range(len(fs) - 1):
+        if fs[a] < 0 or fs[a] != fs[a + 1]:
+            continue
+        i1, i2 = order[a], order[a + 1]
+        dn, df = sorted((dist[i1], dist[i2]))
+        if df - dn > 0.45:
+            engineered = (int(fs[a]), float(df))
+            break
+    assert engineered is not None, "scene must contain a wide-gap collision"
+    ii, df = engineered
+    # clean for the farther point, outlier for the nearer one
+    depth_trg = level_np["depth_trg"].copy()
+    depth_trg[ii // w, ii % w] = df
+    gray = level_np["gray_src"].astype(np.float32)
+    level_np, level_jx = _level_pair(gray, level_np["depth_src"].astype(np.float32))
+    level_np["depth_trg"] = depth_trg
+    dgx, dgy = ref_impl.gradient_xy(depth_trg)
+    level_np["depth_trg_gx"], level_np["depth_trg_gy"] = dgx, dgy
+    level_jx = level_jx._replace(
+        depth_trg=jnp.asarray(depth_trg.astype(np.float32)),
+        depth_trg_gx=jnp.asarray(dgx.astype(np.float32)),
+        depth_trg_gy=jnp.asarray(dgy.astype(np.float32)),
+    )
+    pose = pose64.astype(np.float32)
+    lut = ref_impl.build_sphere_lut(level_np["depth_src"])
+    # winners-only: the deterministic projection of the reference's racy
+    # by-source-slot Occ2 semantics, which the scatter-max implements
+    pe_ref, _, de_ref, _ = ref_impl.error_sphere_occ(
+        level_np, *lut, pose64, 2, occlusion=2, winners_only=True,
+    )
+    # faithful by-source sums are an upper bound (displaced points keep
+    # their residual slots in the reference, :3816/:3832)
+    pe_full, _, de_full, _ = ref_impl.error_sphere_occ(
+        level_np, *lut, pose64, 2, occlusion=2,
+    )
+    _, _, _, _, pe, _, de, _ = _occ_sweep(level_jx, pose, 2, 2)
+    assert float(pe) == pytest.approx(pe_ref, rel=2e-4, abs=1e-6)
+    assert float(de) == pytest.approx(de_ref, rel=2e-4, abs=1e-6)
+    assert float(pe) <= pe_full * (1 + 2e-4) and float(de) <= de_full * (1 + 2e-4)
+    assert pe_full > pe_ref  # the scene actually displaced accepted points
+
+
+def test_occ2_mask_outlier_does_not_displace_clean_point():
+    """Direct unit gate on occlusion_mask_sphere's Occ2 ordering."""
+    from rgbd360_tpu.ops.photoicp import occlusion_mask_sphere
+
+    h, w = 8, 32
+    angle_res = 2 * np.pi / w
+    phi = (0.5 * h - 0.5 - 3) * angle_res
+    theta = 10 * angle_res
+    u = np.array([np.sin(phi), -np.cos(phi) * np.sin(theta), -np.cos(phi) * np.cos(theta)])
+    d_near, d_far = 1.0, 3.0
+    xyz = np.zeros((h * w, 3), np.float32)
+    valid = np.zeros(h * w, bool)
+    xyz[0] = d_near * u
+    xyz[1] = d_far * u
+    valid[0] = valid[1] = True
+    # target depth at the landing pixel agrees with the FAR point -> the
+    # near point is a dynamic outlier (|3-1| > 0.3) and must not occupy the
+    # z-buffer; the far clean point survives
+    tdepth = np.full(h * w, d_far, np.float32)
+    closest, dynamic = occlusion_mask_sphere(
+        jnp.asarray(xyz), jnp.asarray(valid), jnp.eye(4), (h, w),
+        target_depth_flat=jnp.asarray(tdepth), occlusion=2,
+    )
+    closest, dynamic = np.asarray(closest), np.asarray(dynamic)
+    assert dynamic[0] and not closest[0]
+    assert closest[1]
+
+
 def test_pack_target_planes4_roundtrip():
     """The packed f16-pair layout (the optional kernel layout): i32 dtype,
     slot order, and depth hi/lo reconstruction to <1e-3 m (PERF.md 0b)."""
