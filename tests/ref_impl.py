@@ -509,3 +509,100 @@ def error_sphere_occ(level, xyz, valid, pose, method, occlusion=1,
     if occlusion >= 2:
         n_photo = n_depth
     return residuals_photo.sum(), n_photo, residuals_depth.sum(), n_depth
+
+
+# ---------------------------------------------------------------------------
+# robot-frame pinhole path (reference calcPhotoICPError_robot :4905-5082 /
+# calcHessianGradient_robot :5083-5270): the camera rides a rig with
+# extrinsic camRt; the optimized twist lives on the ROBOT pose
+# ---------------------------------------------------------------------------
+
+
+def sweep_robot(level, xyz, valid, pose, cam_rt, k_full, lvl, method):
+    """Scalar oracle for the robot-frame sweep (all-points branch).
+
+    Faithful parts: warp relPoseCam = camRt^-1 pose camRt (:4923-4924),
+    pinhole projection, NO saliency gates anywhere, photo residual, the
+    Jacobian chain Proj23 @ R_cam^-1 @ [I | -skew(p_robot')] with p_robot'
+    the ROBOT-frame warped point (:5163-5167), isfinite depth gate.
+
+    Deviations replicated-by-intent (mirroring ops/photoicp_pinhole.py's
+    documented choices): the reference's depth residual uses the SOURCE
+    depth (depth2 - depth1, :5168/:5219) while its Jacobian corresponds to
+    the WARPED z, and its jacobianRt_z is never assigned (:5236-5238 — the
+    block expression's value is discarded, so the C++ reads uninitialized
+    memory); this oracle uses the internally consistent pair the code
+    plainly intends: residual depth2 - z', scale stdDevDepth*z', and
+    jacobianRt_z = row 2 of the T36 chain. depth2 <= 0 target pixels are
+    excluded like the pinhole error oracle (packed-invalid convention).
+
+    Returns (photo_err2, n_photo, depth_err2, n_depth, H, g) — raw sums
+    (calcPhotoICPError_robot returns the raw error2, :5080).
+    """
+    gray_src = level["gray_src"]
+    h, w = gray_src.shape
+    s = 1.0 / (2.0 ** lvl)
+    fx, fy = k_full[0, 0] * s, k_full[1, 1] * s
+    ox, oy = k_full[0, 2] * s, k_full[1, 2] * s
+    r_cr, t_cr = cam_rt[:3, :3], cam_rt[:3, 3]
+    photo_err2 = depth_err2 = 0.0
+    n_photo = n_depth = 0
+    H = np.zeros((6, 6))
+    g = np.zeros(6)
+    for i in range(h * w):
+        if not valid[i]:
+            continue
+        p_robot = r_cr @ xyz[i] + t_cr
+        pr2 = pose[:3, :3] @ p_robot + pose[:3, 3]
+        q = r_cr.T @ (pr2 - t_cr)  # camera-frame warped point
+        inv_z = 1.0 / q[2]
+        ri = round_c(q[1] * fy * inv_z + oy)
+        ci = round_c(q[0] * fx * inv_z + ox)
+        if not (0 <= ri < h and 0 <= ci < w):
+            continue
+        # T36 = R_cam^-1 [I | -skew(pr2)]  (:5163-5167)
+        T36 = np.zeros((3, 6))
+        T36[:, :3] = np.eye(3)
+        T36[:, 3:] = -np.array(
+            [
+                [0, -pr2[2], pr2[1]],
+                [pr2[2], 0, -pr2[0]],
+                [-pr2[1], pr2[0], 0],
+            ]
+        )
+        T36 = r_cr.T @ T36
+        inv_z2 = inv_z * inv_z
+        proj23 = np.array(
+            [
+                [fx * inv_z, 0.0, -fx * q[0] * inv_z2],
+                [0.0, fy * inv_z, -fy * q[1] * inv_z2],
+            ]
+        )
+        jw = proj23 @ T36  # (2,6)
+        if method in (0, 2):
+            diff = level["gray_trg"][ri, ci] - gray_src.flat[i]
+            wgt = weight_huber(diff, STD_DEV_PHOTO) / STD_DEV_PHOTO
+            werr = wgt * diff
+            photo_err2 += werr * werr
+            n_photo += 1
+            jac = wgt * (np.array([level["gray_trg_gx"][ri, ci],
+                                   level["gray_trg_gy"][ri, ci]]) @ jw)
+            H += np.outer(jac, jac)
+            g += jac * werr
+        if method in (1, 2):
+            depth2 = level["depth_trg"][ri, ci]
+            if np.isfinite(depth2) and depth2 > 0:
+                ddiff = depth2 - q[2]
+                reg = STD_DEV_DEPTH * q[2]
+                wgt = weight_huber(ddiff, reg) / reg
+                werr = wgt * ddiff
+                depth_err2 += werr * werr
+                n_depth += 1
+                jac = wgt * (
+                    np.array([level["depth_trg_gx"][ri, ci],
+                              level["depth_trg_gy"][ri, ci]]) @ jw
+                    - T36[2]
+                )
+                H += np.outer(jac, jac)
+                g += jac * werr
+    return photo_err2, n_photo, depth_err2, n_depth, H, g

@@ -264,3 +264,47 @@ def test_pinhole_sweep_matches_scalar_oracle(rng, method, shift):
     np.testing.assert_allclose(np.asarray(H) / scale, H_ref / scale, atol=2e-4)
     gscale = max(np.abs(g_ref).max(), 1.0)
     np.testing.assert_allclose(np.asarray(g) / gscale, g_ref / gscale, atol=2e-4)
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_robot_sweep_matches_scalar_oracle(rng, method):
+    """fused_sweep_pinhole with a rig extrinsic vs ref_impl.sweep_robot: the
+    R_cam^-1 [I | -skew(p_robot')] twist chain (calcHessianGradient_robot
+    :5163-5167) with the documented deviations pinned (consistent depth
+    residual pair; intended jacobianRt_z; no saliency gates anywhere)."""
+    import ref_impl
+
+    level_np, level_jx, k = _pinhole_level(rng)
+    a = np.deg2rad(40.0)
+    cam_rt = np.eye(4, dtype=np.float32)
+    cam_rt[:3, :3] = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    cam_rt[:3, 3] = [0.05, -0.02, 0.1]
+    pose = np.asarray(
+        se3.exp_se3(jnp.array([0.02, -0.015, 0.03, 0.01, -0.008, 0.012]), pseudo=False),
+        np.float32,
+    )
+    pe_ref, nph_ref, de_ref, nd_ref, H_ref, g_ref = ref_impl.sweep_robot(
+        level_np,
+        *ref_impl.build_pinhole_lut(level_np["depth_src"], k.astype(np.float64), 0),
+        pose.astype(np.float64), cam_rt.astype(np.float64),
+        k.astype(np.float64), 0, method,
+    )
+
+    from rgbd360_tpu.ops.photoicp import pack_target_channels
+
+    kj = jnp.asarray(k)
+    xyz, valid = pp.pinhole_lut(level_jx.depth_src, kj, 0)
+    packed = pack_target_channels(level_jx)
+    err2, n_terms, H, g, pe, nph, de, nd = pp.fused_sweep_pinhole(
+        level_jx.gray_src.reshape(-1), packed, level_jx.gray_src.shape,
+        xyz, valid, jnp.asarray(pose), kj, 0, method, cam_rt=jnp.asarray(cam_rt),
+    )
+    assert (int(nph), int(nd)) == (nph_ref, nd_ref)
+    assert float(pe) == pytest.approx(pe_ref, rel=2e-4, abs=1e-6)
+    assert float(de) == pytest.approx(de_ref, rel=2e-4, abs=1e-6)
+    hs = max(np.abs(H_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(H) / hs, H_ref / hs, atol=2e-4)
+    gs = max(np.abs(g_ref).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(g) / gs, g_ref / gs, atol=2e-4)
