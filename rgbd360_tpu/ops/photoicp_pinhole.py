@@ -132,6 +132,13 @@ def fused_sweep_pinhole(
     v = q[:, 1] * fy * z_inv + oy
     c_int = round_half_away(u).astype(jnp.int32)
     r_int = round_half_away(v).astype(jnp.int32)
+    # Deviation, deliberate: the z > 1e-6 behind-camera guard has NO
+    # reference counterpart — the reference projects negative-z points and
+    # counts them when the mirrored projection lands in-bounds (:703-715; the
+    # scalar/C++ oracles are faithful to that). Mirror-image "matches" are
+    # physically meaningless and arise only from badly diverged poses, so the
+    # visible set excludes them here; the oracle parity tests use poses that
+    # keep every valid point in front of the camera, where the sets agree.
     inb = (r_int >= 0) & (r_int < h) & (c_int >= 0) & (c_int < w) & (z > 1e-6)
     visible = valid & inb
     flat = jnp.clip(r_int, 0, h - 1) * w + jnp.clip(c_int, 0, w - 1)

@@ -13,7 +13,8 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+# repo root, so `from tools...` imports resolve regardless of invocation cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="module")
@@ -35,7 +36,10 @@ def test_kf_sphere_slam_app_end_to_end(synthetic_seq, tmp_path, capsys):
     assert slam_main([synthetic_seq, "--out", out]) == 0
     text = capsys.readouterr().out
     assert "first_keyframe" in text
-    assert "keyframe" in text  # at least one promotion beyond the first
+    # at least one promotion beyond the first: promoted frames print the
+    # ": keyframe" / ": keyframe+lc" status (never a substring of the
+    # ": first_keyframe" line or the "N keyframes" summary)
+    assert ": keyframe" in text
     for artifact in (
         "map.html", "pose_graph.g2o", "trajectory_kf_slam.txt",
         "trajectory_optimized.txt",
