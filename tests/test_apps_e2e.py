@@ -143,3 +143,71 @@ def test_register_pair_app_on_bundled_samples(tmp_path, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "pose" in text.lower() or "t|" in text or "translation" in text.lower()
+
+
+def test_grabber_app_synthetic_and_replay(tmp_path):
+    """RGBD360_Grabber: record a synthetic stream to the reference .bin
+    wire format, then re-record it through the replay source."""
+    from rgbd360_tpu.apps.grabber import main as grab_main
+
+    out1 = str(tmp_path / "rec")
+    assert grab_main(["--out", out1, "--synthetic", "3"]) == 0
+    bins = [f for f in os.listdir(out1) if f.endswith(".bin")]
+    assert len(bins) == 3
+    out2 = str(tmp_path / "replay")
+    assert grab_main(["--out", out2, "--replay", out1, "--max-frames", "2"]) == 0
+    assert len([f for f in os.listdir(out2) if f.endswith(".bin")]) == 2
+
+
+def test_odometry_app_end_to_end(synthetic_seq, tmp_path, capsys):
+    """OdometryRGBD360: frame-to-frame dense odometry over the synthetic
+    loop, with the max_translation_odometry rejection gate armed."""
+    from rgbd360_tpu.apps.odometry import main as odo_main
+
+    out = str(tmp_path / "out")
+    assert odo_main([synthetic_seq, "--out", out]) == 0
+    text = capsys.readouterr().out
+    assert "avDepth" in text
+    rows = np.loadtxt(os.path.join(out, "trajectory.txt"))
+    poses = rows.reshape(-1, 4, 4)
+    assert len(poses) >= 2  # at least one pair accepted
+    assert np.all(np.abs(poses[:, :3, 3]) < 5.0)
+
+
+def test_labelize_app_end_to_end(synthetic_seq, tmp_path, capsys):
+    """Labelize/LabelizeRGBD360: label first-frame planes, propagate via
+    PbMap registration across the sequence, dump labels.json."""
+    from rgbd360_tpu.apps.labelize import main as label_main
+
+    out = str(tmp_path / "out")
+    assert label_main(
+        [synthetic_seq, "--labels", "0=wall,1=floor", "--out", out]
+    ) == 0
+    text = capsys.readouterr().out
+    assert "planes labeled" in text
+    assert os.path.exists(os.path.join(out, "labels.json"))
+
+
+def test_pair_calibrator_app_online_mode(synthetic_seq, capsys):
+    """PairCalibrator online mode: accumulate pair 0-1 control planes over
+    the synthetic frames and report the Rt estimate."""
+    from rgbd360_tpu.apps.pair_calibrator import main as pc_main
+
+    rc = pc_main(["--dataset", synthetic_seq, "--pair", "0", "1", "--max-frames", "3"])
+    text = capsys.readouterr().out
+    assert "correspondences for pair 0-1" in text
+    assert rc == 0 and "Rt estimate" in text
+
+
+def test_methods_register_app_on_synthetic_pair(synthetic_seq, capsys):
+    """Eval_RegisterMethods: every registration method (PbMap, dense sphere
+    plain + Occ1, point-to-plane ICP, 8-camera robot-frame) runs on one
+    synthetic pair and the cross-method agreement summary prints."""
+    from rgbd360_tpu.apps.methods_register import main as mr_main
+
+    f1 = os.path.join(synthetic_seq, "sphere_images_1.bin")
+    f2 = os.path.join(synthetic_seq, "sphere_images_2.bin")
+    assert mr_main([f1, f2]) == 0
+    text = capsys.readouterr().out
+    assert "max deviation from mean translation" in text
+    assert "Dense Photo+Depth" in text
