@@ -108,7 +108,12 @@ def fused_sweep_pinhole(
     occlusion selects the reference's pinhole variants: 1 = z-buffered
     closest-wins (_Occ1, RegisterPhotoICP.h:1107-1546), 2 = additionally
     reject dynamic/occluded points whose depth residual exceeds
-    thresDepthOutliers (_Occ2, :1547-2025)."""
+    thresDepthOutliers (_Occ2, :1547-2025). No reference APP ever calls the
+    pinhole occlusion variants (the only live occlusion call in the whole
+    tree is the SPHERE Occ1, MethodsRegisterRGBD360.cpp:457), so this path
+    keeps the plain pinhole error semantics (ungated stats) over the
+    z-buffered visible set rather than reproducing the dead _Occ1 error
+    function's saliency-gated stats."""
     h, w = shape
     fx, fy, ox, oy = _k_level(k_full, level)
 
