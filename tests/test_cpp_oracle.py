@@ -167,6 +167,40 @@ def test_committed_golden_matches_cpp(oracle_bin, golden_levels, tmp_path):
         assert abs(r["nvalid"] - n_terms) <= max(1e-3 * n_terms, 2)
 
 
+def test_cpp_full_chain_from_raw_images_lands_on_golden_pose(oracle_bin, tmp_path):
+    """The strongest oracle gate: the C++ binary re-derives EVERYTHING from
+    the raw full-res images — gray pyrDown pyramids, valid-mean range
+    pyramids, Jaimez gradients, seam masks, the LUT and the float GN loop
+    (buildPyramid :292-308, buildPyramidRange :312-354, calcGradientXY
+    :365-398, alignFrames360 :4519-4784) — and must land on the committed
+    golden free-run pose with identical per-level iteration counts. No
+    builder-computed intermediate (pyramid, gradient, Hessian) enters the
+    stream."""
+    z = np.load(GOLDEN)
+    h, w = z["gray_src_u8"].shape
+    zeros = np.zeros((h, w), np.float32)
+    level0 = dict(
+        gray_src=z["gray_src_u8"].astype(np.float32) / np.float32(255.0),
+        depth_src=z["depth_src_mm"].astype(np.float32) * np.float32(0.001),
+        gray_trg=z["gray_trg_u8"].astype(np.float32) / np.float32(255.0),
+        depth_trg=z["depth_trg_mm"].astype(np.float32) * np.float32(0.001),
+        gray_trg_gx=zeros, gray_trg_gy=zeros,
+        depth_trg_gx=zeros, depth_trg_gy=zeros,
+    )
+    cpp_oracle.pack(
+        str(tmp_path / "in.bin"), [level0], np.eye(4, dtype=np.float32),
+        mode=4, method=2, use_double=False, apply_seam_mask=True,
+        n_levels=int(z["n_levels"]),
+    )
+    r = cpp_oracle.run(str(tmp_path / "in.bin"))
+    assert [lv["iters"] for lv in r["levels"]] == list(z["free_iters"])
+    P, G = r["pose"], z["free_pose"]
+    assert np.linalg.norm(P[:3, 3] - G[:3, 3]) < 2e-3
+    dR = P[:3, :3] @ G[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.1
+
+
 @pytest.fixture(scope="module")
 def pinhole_crop():
     """Pinhole crop with NaN-marked invalid target depth (the reference's

@@ -46,6 +46,7 @@ def pack(
     params=DEFAULT_PARAMS,
     k_full=None,
     pinhole_level: int = 0,
+    n_levels: int = None,
 ) -> None:
     """Write the oracle's input stream.
 
@@ -55,7 +56,11 @@ def pack(
 
     Modes: 0 = spherical single sweep, 1 = spherical GN align,
     2 = pinhole single sweep (pass ``k_full`` as the full-resolution 3x3
-    camera matrix and ``pinhole_level`` as the pyramid level).
+    camera matrix and ``pinhole_level`` as the pyramid level),
+    4 = full-chain spherical align: pass ONE raw full-res level (gradient
+    slots ignored — zeros are fine) and ``n_levels`` as the pyramid depth
+    the oracle builds itself (pyrDown / valid-mean range / Jaimez
+    gradients / seam masks re-derived in C++).
     """
     with open(path, "wb") as f:
         f.write(
@@ -64,7 +69,7 @@ def pack(
                 MAGIC,
                 mode,
                 method,
-                len(levels),
+                len(levels) if n_levels is None else n_levels,
                 1 if use_double else 0,
                 1 if apply_seam_mask else 0,
             )

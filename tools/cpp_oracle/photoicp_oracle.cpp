@@ -512,6 +512,135 @@ void mask_seams(Level* lv) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Pyramid construction (buildPyramid :292-308 via cv::pyrDown,
+// buildPyramidRange :312-354, calcGradientXY :365-398, buildGradientPyramids
+// :429-478) — so a mode-4 run re-derives EVERYTHING from the raw full-res
+// images: pyramids, gradients, seam masks, LUT, GN loop.
+
+// cv::pyrDown: separable 5-tap binomial (1,4,6,4,1)/16 blur with
+// BORDER_REFLECT_101, then sampling at the even pixels. Computed in double
+// (the golden pipeline builds f64 pyramids and packs to f32).
+std::vector<double> pyr_down(const std::vector<double>& img, int h, int w,
+                             int* oh, int* ow) {
+  const int h2 = h / 2, w2 = w / 2;
+  *oh = h2;
+  *ow = w2;
+  const double k[5] = {1. / 16, 4. / 16, 6. / 16, 4. / 16, 1. / 16};
+  auto reflect = [](int i, int n) {  // BORDER_REFLECT_101
+    if (i < 0) return -i;
+    if (i >= n) return 2 * n - i - 2;
+    return i;
+  };
+  std::vector<double> tmp((size_t)h * w), out((size_t)h2 * w2);
+  for (int r = 0; r < h; ++r)
+    for (int c = 0; c < w; ++c) {
+      double s = 0;
+      for (int t = -2; t <= 2; ++t) s += k[t + 2] * img[r * w + reflect(c + t, w)];
+      tmp[r * w + c] = s;
+    }
+  for (int r2 = 0; r2 < h2; ++r2)
+    for (int c2 = 0; c2 < w2; ++c2) {
+      const int r = 2 * r2, c = 2 * c2;
+      double s = 0;
+      for (int t = -2; t <= 2; ++t) s += k[t + 2] * tmp[reflect(r + t, h) * w + c];
+      out[r2 * w2 + c2] = s;
+    }
+  return out;
+}
+
+// buildPyramidRange (:326-354): 2x2 valid-mean, valid iff minDepth<z<maxDepth.
+std::vector<double> range_down(const std::vector<double>& img, int h, int w,
+                               const Params& pp, int* oh, int* ow) {
+  const int h2 = h / 2, w2 = w / 2;
+  *oh = h2;
+  *ow = w2;
+  std::vector<double> out((size_t)h2 * w2, 0.0);
+  for (int r = 0; r + 1 < h; r += 2)
+    for (int c = 0; c + 1 < w; c += 2) {
+      double acc = 0;
+      int n = 0;
+      for (int i = 0; i < 2; ++i)
+        for (int j = 0; j < 2; ++j) {
+          const double z = img[(r + i) * w + (c + j)];
+          if (z > pp.min_depth && z < pp.max_depth) {
+            acc += z;
+            ++n;
+          }
+        }
+      if (n > 0) out[(r / 2) * w2 + (c / 2)] = acc / n;
+    }
+  return out;
+}
+
+// calcGradientXY (:365-398): weighted first-order ("Jaimez") gradient —
+// fires only where the pixel lies strictly between its two neighbours.
+void gradient_xy(const std::vector<double>& src, int h, int w,
+                 std::vector<double>* gx, std::vector<double>* gy) {
+  gx->assign((size_t)h * w, 0.0);
+  gy->assign((size_t)h * w, 0.0);
+  for (int r = 1; r + 1 < h; ++r)
+    for (int c = 1; c + 1 < w; ++c) {
+      const double cur = src[r * w + c];
+      double nxt = src[r * w + c + 1], prv = src[r * w + c - 1];
+      if ((cur > nxt && cur < prv) || (cur < nxt && cur > prv))
+        (*gx)[r * w + c] = 2.0 / (1.0 / (nxt - cur) + 1.0 / (cur - prv));
+      nxt = src[(r + 1) * w + c], prv = src[(r - 1) * w + c];
+      if ((cur > nxt && cur < prv) || (cur < nxt && cur > prv))
+        (*gy)[r * w + c] = 2.0 / (1.0 / (nxt - cur) + 1.0 / (cur - prv));
+    }
+}
+
+// Re-derive the full level stack from levels[0]'s raw full-res images
+// (gradient slots of the input are ignored). Coarsest-first like mode 1.
+std::vector<Level> build_levels(const Level& full, const Params& pp,
+                                int n_levels) {
+  const size_t n0 = (size_t)full.h * full.w;
+  std::vector<std::vector<double>> gs(n_levels), ds(n_levels), gt(n_levels),
+      dt(n_levels);
+  std::vector<int> hs(n_levels), ws(n_levels);
+  gs[0].assign(full.gray_src.begin(), full.gray_src.end());
+  ds[0].assign(full.depth_src.begin(), full.depth_src.end());
+  gt[0].assign(full.gray_trg.begin(), full.gray_trg.end());
+  dt[0].assign(full.depth_trg.begin(), full.depth_trg.end());
+  (void)n0;
+  hs[0] = full.h;
+  ws[0] = full.w;
+  for (int l = 1; l < n_levels; ++l) {
+    int oh, ow;
+    gs[l] = pyr_down(gs[l - 1], hs[l - 1], ws[l - 1], &oh, &ow);
+    gt[l] = pyr_down(gt[l - 1], hs[l - 1], ws[l - 1], &oh, &ow);
+    ds[l] = range_down(ds[l - 1], hs[l - 1], ws[l - 1], pp, &oh, &ow);
+    dt[l] = range_down(dt[l - 1], hs[l - 1], ws[l - 1], pp, &oh, &ow);
+    hs[l] = oh;
+    ws[l] = ow;
+  }
+  std::vector<Level> levels(n_levels);
+  for (int k = 0; k < n_levels; ++k) {
+    const int l = n_levels - 1 - k;  // coarsest first
+    Level& lv = levels[k];
+    lv.h = hs[l];
+    lv.w = ws[l];
+    const size_t n = (size_t)lv.h * lv.w;
+    auto to_f = [n](const std::vector<double>& v, std::vector<float>* out) {
+      out->resize(n);
+      for (size_t i = 0; i < n; ++i) (*out)[i] = (float)v[i];
+    };
+    to_f(gs[l], &lv.gray_src);
+    to_f(ds[l], &lv.depth_src);
+    to_f(gt[l], &lv.gray_trg);
+    to_f(dt[l], &lv.depth_trg);
+    std::vector<double> gx, gy, dgx, dgy;
+    gradient_xy(gt[l], lv.h, lv.w, &gx, &gy);
+    gradient_xy(dt[l], lv.h, lv.w, &dgx, &dgy);
+    to_f(gx, &lv.ggx);
+    to_f(gy, &lv.ggy);
+    to_f(dgx, &lv.dgx);
+    to_f(dgy, &lv.dgy);
+  }
+  return levels;
+}
+
 template <typename T>
 double sweep_error(const Level& lv, const Params& pp, const float pose[16],
                    int method) {
@@ -575,7 +704,20 @@ void run_align(std::vector<Level>& levels, const Params& pp, float pose[16],
 template <typename T>
 void run(int mode, int method, int do_mask, std::vector<Level>& levels,
          const Params& pp, float pose[16], const double kf[4],
-         int pinhole_level) {
+         int pinhole_level, int n_build_levels) {
+  if (mode == 4) {
+    // full-chain: re-derive pyramids + gradients from levels[0]'s raw
+    // full-res images, then the spherical GN loop (n_levels from the
+    // header selects the stack depth)
+    std::vector<Level> built = build_levels(levels[0], pp, n_build_levels);
+    if (do_mask)
+      for (auto& lv : built) mask_seams(&lv);
+    run_align<T>(built, pp, pose, method);
+    std::printf("pose");
+    for (int k = 0; k < 16; ++k) std::printf(" %.10g", (double)pose[k]);
+    std::printf("\n");
+    return;
+  }
   if (do_mask)
     for (auto& lv : levels) mask_seams(&lv);
   if (mode == 2) {
@@ -659,7 +801,10 @@ int main(int argc, char** argv) {
       return 2;
     }
   }
-  std::vector<Level> levels((size_t)n_levels);
+  // mode 4 ships ONE raw full-res level; n_levels selects the pyramid
+  // depth the oracle builds itself
+  const int n_blocks = (mode == 4) ? 1 : n_levels;
+  std::vector<Level> levels((size_t)n_blocks);
   for (auto& lv : levels) {
     int32_t hw[2];
     if (!read_exact(f, hw, 8)) {
@@ -680,8 +825,10 @@ int main(int argc, char** argv) {
   }
   std::fclose(f);
   if (use_double)
-    run<double>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level);
+    run<double>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
+                n_levels);
   else
-    run<float>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level);
+    run<float>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
+               n_levels);
   return 0;
 }
