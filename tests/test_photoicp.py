@@ -430,3 +430,14 @@ def test_pack_target_planes4_roundtrip():
     ggx, ggy = photoicp._unpack2_f16(pk[:, 2])
     np.testing.assert_allclose(np.asarray(ggx), gx, atol=1e-3)
     np.testing.assert_allclose(np.asarray(ggy), gx * 2, atol=2e-3)
+
+
+def test_calc_entropy_matches_reference_formula(rng):
+    """calcEntropy (reference :4789-4797): 0.5*(DOF*(1+log 2pi) + log|H^-1|)
+    — the closed-form Cholesky logdet must equal the naive inverse+det."""
+    A = rng.normal(size=(6, 6))
+    H = (A @ A.T + 6 * np.eye(6)).astype(np.float32)
+    expected = 0.5 * (6.0 * (1.0 + np.log(2 * np.pi))
+                      + np.log(np.linalg.det(np.linalg.inv(H.astype(np.float64)))))
+    got = float(photoicp.calc_entropy(jnp.asarray(H)))
+    assert got == pytest.approx(expected, rel=1e-5)
