@@ -416,3 +416,25 @@ def test_rawlog_reader_refuses_unknown_version():
         f.write(blob + b"\x00" * 64)
     with pytest.raises(ValueError, match="version 8"):
         list(read_rawlog(path))
+
+
+def test_bin_reader_raises_cleanly_on_any_truncation(tmp_path):
+    """Every truncation of a real .bin archive must raise ValueError — never
+    hang, crash, or silently return a partial frame (the native C++ loader
+    is separately gated by test_native_loader_rejects_garbage)."""
+    import random
+
+    from rgbd360_tpu.io.boost_archive import read_frame360_bin
+
+    src = "/root/reference/samples/sphere_images_1.bin"
+    if not os.path.exists(src):
+        pytest.skip("bundled samples not present")
+    data = open(src, "rb").read()
+    rng = random.Random(0)
+    cuts = [0, 10, 1000, len(data) // 2, len(data) - 5]
+    cuts += [rng.randrange(len(data)) for _ in range(5)]
+    for cut in cuts:
+        p = tmp_path / f"trunc_{cut}.bin"
+        p.write_bytes(data[:cut])
+        with pytest.raises(ValueError):
+            read_frame360_bin(str(p))
