@@ -424,6 +424,8 @@ def test_bin_reader_raises_cleanly_on_any_truncation(tmp_path):
     is separately gated by test_native_loader_rejects_garbage)."""
     import random
 
+    import pytest
+
     from rgbd360_tpu.io.boost_archive import read_frame360_bin
 
     src = "/root/reference/samples/sphere_images_1.bin"
