@@ -201,6 +201,40 @@ def test_cpp_full_chain_from_raw_images_lands_on_golden_pose(oracle_bin, tmp_pat
     assert ang < 0.1
 
 
+def test_cpp_stitch_oracle_matches_golden_panorama(oracle_bin, tmp_path):
+    """Mode-6 stitch oracle (Frame360.h:1098-1148 re-derived in C++ with the
+    reference's float arithmetic — float trig, (int) pixel truncation,
+    double obliquity truncated into u16, fixed-point CV_RGB2GRAY) must
+    reproduce the committed golden panorama from the RAW sensor images.
+    Tolerance: XLA-f32 vs libm-f32 trig can flip the (int) truncation for a
+    handful of boundary pixels (same bound as the scalar stitch gate,
+    tests/test_frame360.py)."""
+    src = "/root/reference/samples/sphere_images_1.bin"
+    if not os.path.exists(src):
+        pytest.skip("bundled samples not present")
+    from rgbd360_tpu.io.boost_archive import read_frame360_bin
+    from rgbd360_tpu.io.calib import Calib360
+
+    raw = read_frame360_bin(src)
+    calib = Calib360.load("/root/reference")
+    z = np.load(GOLDEN)
+    # golden convention: *_src = frame 10 (the align SOURCE), *_trg = frame 1
+    sph_h, sph_w = z["gray_trg_u8"].shape
+    gray, depth = cpp_oracle.run_stitch(
+        np.asarray(raw.rgb), np.asarray(raw.depth),
+        np.asarray(calib.Rt_inv, np.float32),
+        np.asarray(calib.camera_matrix, np.float64),
+        (sph_h, sph_w), workdir=str(tmp_path),
+    )
+    gray_mis = (gray != z["gray_trg_u8"]).mean()
+    assert gray_mis < 2e-3, f"gray mismatch fraction {gray_mis}"
+    dd = np.abs(depth.astype(np.int64) - z["depth_trg_mm"].astype(np.int64))
+    assert (dd > 1).mean() < 2e-3, f"depth mismatch fraction {(dd > 1).mean()}"
+    # and the overwhelming majority must be BIT-equal, not merely close
+    # (measured: 1 gray pixel of 614k differs; depth 99.99% bit-equal)
+    assert (dd == 0).mean() > 0.99
+
+
 @pytest.fixture(scope="module")
 def pinhole_crop():
     """Pinhole crop with NaN-marked invalid target depth (the reference's

@@ -99,6 +99,39 @@ def pack(
                 f.write(arr.tobytes())
 
 
+def run_stitch(
+    rgb: np.ndarray,        # (8, h, w, 3) u8 BGR
+    depth_mm: np.ndarray,   # (8, h, w) u16 DISTORTED depth (the reference
+    #                          stitches pre-undistortion depth)
+    rt_inv: np.ndarray,     # (8, 4, 4) f32
+    k: np.ndarray,          # (3, 3) camera matrix
+    sphere_shape,           # (sph_h, sph_w)
+    workdir: str = "/tmp",
+) -> tuple:
+    """Mode-6 stitch oracle: returns (gray_u8 (sph_h,sph_w), depth_u16)."""
+    n, h, w = depth_mm.shape
+    sph_h, sph_w = sphere_shape
+    path = os.path.join(workdir, "stitch_in.bin")
+    out_path = os.path.join(workdir, "stitch_out.bin")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<6i", MAGIC, 6, 0, n, 0, 0))
+        f.write(struct.pack("<6d", *DEFAULT_PARAMS))
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        kk = np.asarray(k, np.float64)
+        f.write(struct.pack("<4d", kk[0, 0], kk[1, 1], kk[0, 2], kk[1, 2]))
+        f.write(struct.pack("<4i", h, w, sph_h, sph_w))
+        for s in range(n):
+            f.write(np.ascontiguousarray(rt_inv[s], np.float32).tobytes())
+            f.write(np.ascontiguousarray(rgb[s], np.uint8).tobytes())
+            f.write(np.ascontiguousarray(depth_mm[s], np.uint16).tobytes())
+    subprocess.run([build(), path, out_path], check=True, capture_output=True)
+    raw = open(out_path, "rb").read()
+    npix = sph_h * sph_w
+    gray = np.frombuffer(raw[:npix], np.uint8).reshape(sph_h, sph_w)
+    depth = np.frombuffer(raw[npix:npix * 3], np.uint16).reshape(sph_h, sph_w)
+    return gray, depth
+
+
 def run(input_path: str) -> dict:
     """Run the oracle and parse its stdout into a dict."""
     out = subprocess.run(

@@ -744,6 +744,72 @@ void run(int mode, int method, int do_mask, std::vector<Level>& levels,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Stitch oracle (mode 6): Frame360::stitchImage (Frame360.h:1098-1148) from
+// the raw per-sensor RGB u8 + DISTORTED depth u16 (the reference stitches the
+// pre-undistortion u16 depth — a quirk the pipeline replicates), with the
+// reference's float arithmetic: float trig, float u/v, (int) truncation for
+// the pixel fetch, double obliquity scale truncated into the u16 panorama.
+// Gray panorama via OpenCV's fixed-point CV_RGB2GRAY on the BGR bytes.
+
+struct StitchSensor {
+  float rt_inv[16];
+  std::vector<uint8_t> rgb;    // (h, w, 3)
+  std::vector<uint16_t> depth; // (h, w)
+};
+
+void stitch_oracle(const std::vector<StitchSensor>& sensors, int size_h,
+                   int size_w, int sph_h, int sph_w, const double kf[4],
+                   std::vector<uint8_t>* gray_out,
+                   std::vector<uint16_t>* depth_out) {
+  const float fx = (float)kf[0], fy = (float)kf[1];
+  const float cx = (float)kf[2], cy = (float)kf[3];
+  std::vector<uint8_t> rgb_pan((size_t)sph_h * sph_w * 3, 0);
+  depth_out->assign((size_t)sph_h * sph_w, 0);
+  const float angle_pixel = (float)(2.0 * M_PI) / (float)sph_w;
+  const float off_phi = (float)sph_h / 2 - 0.5f;
+  const float off_theta = -(float)size_h * 15 / 2 + 0.5f;  // :1105
+  for (int sid = 0; sid < (int)sensors.size(); ++sid) {
+    const StitchSensor& s = sensors[sid];
+    const int c0 = (7 - sid) * size_h, c1 = (8 - sid) * size_h;  // :1119-1120
+    for (int row = 0; row < sph_h; ++row) {
+      const float phi = (off_phi - (float)row) * angle_pixel;
+      const float vx = std::sin(phi);
+      const float cphi = std::cos(phi);
+      for (int col = c0; col < c1; ++col) {
+        const float theta = ((float)col + off_theta) * angle_pixel;
+        const float vp[3] = {vx, cphi * std::sin(theta), cphi * std::cos(theta)};
+        float p[3];
+        for (int r = 0; r < 3; ++r)
+          p[r] = s.rt_inv[4 * r] * vp[0] + s.rt_inv[4 * r + 1] * vp[1] +
+                 s.rt_inv[4 * r + 2] * vp[2] + s.rt_inv[4 * r + 3];
+        const float u = fx * p[0] / p[2] + cx;
+        const float v = fy * p[1] / p[2] + cy;
+        if (u >= 0 && u < (float)size_w && v >= 0 && v < (float)size_h) {
+          const int ui = (int)u, vi = (int)v;  // cv::Mat.at float->int trunc
+          for (int ch = 0; ch < 3; ++ch)
+            rgb_pan[((size_t)row * sph_w + col) * 3 + ch] =
+                s.rgb[((size_t)vi * size_w + ui) * 3 + ch];
+          const uint16_t d = s.depth[(size_t)vi * size_w + ui];
+          // :1143 — obliquity scale; pow() promotes to double, the result
+          // truncates into the u16 panorama. (The pcl_isfinite(u16) guard
+          // is vacuously true.)
+          const double ob = std::sqrt(1.0 + std::pow(((double)u - cx) / fx, 2) +
+                                      std::pow(((double)v - cy) / fy, 2));
+          (*depth_out)[(size_t)row * sph_w + col] = (uint16_t)((double)d * ob);
+        }
+      }
+    }
+  }
+  // CV_RGB2GRAY fixed point on BGR bytes: (b*4899 + g*9617 + r*1868 + 2^13)>>14
+  gray_out->assign((size_t)sph_h * sph_w, 0);
+  for (size_t i = 0; i < (size_t)sph_h * sph_w; ++i) {
+    const uint32_t b = rgb_pan[3 * i], g = rgb_pan[3 * i + 1],
+                   r = rgb_pan[3 * i + 2];
+    (*gray_out)[i] = (uint8_t)((b * 4899 + g * 9617 + r * 1868 + (1u << 13)) >> 14);
+  }
+}
+
 bool read_exact(std::FILE* f, void* dst, size_t n) {
   return std::fread(dst, 1, n, f) == n;
 }
@@ -751,8 +817,9 @@ bool read_exact(std::FILE* f, void* dst, size_t n) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 2) {
-    std::fprintf(stderr, "usage: %s <packed-input.bin>\n", argv[0]);
+  if (argc != 2 && argc != 3) {
+    std::fprintf(stderr, "usage: %s <packed-input.bin> [stitch-out.bin]\n",
+                 argv[0]);
     return 2;
   }
   std::FILE* f = std::fopen(argv[1], "rb");
@@ -800,6 +867,46 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "truncated pinhole block\n");
       return 2;
     }
+  }
+  if (mode == 6) {
+    // stitch stream: K + {size_h, size_w, sph_h, sph_w} + n_levels sensors,
+    // each 16 f32 Rt_inv + rgb u8 (h,w,3) + depth u16 (h,w)
+    int32_t dims[4];
+    if (!read_exact(f, kf, 32) || !read_exact(f, dims, 16)) {
+      std::fprintf(stderr, "truncated stitch header\n");
+      return 2;
+    }
+    const int size_h = dims[0], size_w = dims[1], sph_h = dims[2],
+              sph_w = dims[3];
+    std::vector<StitchSensor> sensors((size_t)n_levels);
+    for (auto& s : sensors) {
+      s.rgb.resize((size_t)size_h * size_w * 3);
+      s.depth.resize((size_t)size_h * size_w);
+      if (!read_exact(f, s.rt_inv, 64) ||
+          !read_exact(f, s.rgb.data(), s.rgb.size()) ||
+          !read_exact(f, s.depth.data(), s.depth.size() * 2)) {
+        std::fprintf(stderr, "truncated stitch sensor\n");
+        return 2;
+      }
+    }
+    std::fclose(f);
+    std::vector<uint8_t> gray;
+    std::vector<uint16_t> depth;
+    stitch_oracle(sensors, size_h, size_w, sph_h, sph_w, kf, &gray, &depth);
+    if (argc != 3) {
+      std::fprintf(stderr, "mode 6 needs an output path\n");
+      return 2;
+    }
+    std::FILE* out = std::fopen(argv[2], "wb");
+    if (!out) {
+      std::perror("open out");
+      return 2;
+    }
+    std::fwrite(gray.data(), 1, gray.size(), out);
+    std::fwrite(depth.data(), 2, depth.size(), out);
+    std::fclose(out);
+    std::printf("stitch ok %dx%d\n", sph_h, sph_w);
+    return 0;
   }
   // mode 4 ships ONE raw full-res level; n_levels selects the pyramid
   // depth the oracle builds itself
