@@ -235,6 +235,37 @@ def test_cpp_stitch_oracle_matches_golden_panorama(oracle_bin, tmp_path):
     assert (dd == 0).mean() > 0.99
 
 
+def test_cpp_clams_undistort_matches_pipeline(oracle_bin, tmp_path):
+    """Mode-7 CLAMS oracle (interpolatedUndistort re-derived from
+    discrete_depth_distortion_model.cpp:38-69) vs the repo's gather-free
+    batched kernel on a real sensor of the bundled frame."""
+    src = "/root/reference/samples/sphere_images_1.bin"
+    if not os.path.exists(src):
+        pytest.skip("bundled samples not present")
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.io.boost_archive import read_frame360_bin
+    from rgbd360_tpu.io.calib import Calib360
+    from rgbd360_tpu.ops.undistort import undistort_depth
+
+    raw = read_frame360_bin(src)
+    calib = Calib360.load("/root/reference")
+    depth_m = raw.depth.astype(np.float32) * np.float32(0.001)
+    mults, counts, geom = calib.stacked_intrinsic_arrays()
+    got = np.asarray(
+        undistort_depth(
+            jnp.asarray(depth_m), jnp.asarray(mults), jnp.asarray(counts),
+            bin_width=geom.bin_width, bin_height=geom.bin_height,
+            bin_depth=geom.bin_depth,
+        )
+    )
+    for sensor in (0, 5):
+        ref = cpp_oracle.run_clams(
+            calib.intrinsic_model[sensor], depth_m[sensor], workdir=str(tmp_path)
+        )
+        np.testing.assert_allclose(got[sensor], ref, rtol=2e-6, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def pinhole_crop():
     """Pinhole crop with NaN-marked invalid target depth (the reference's

@@ -132,6 +132,27 @@ def run_stitch(
     return gray, depth
 
 
+def run_clams(model, depth_m: np.ndarray, workdir: str = "/tmp") -> np.ndarray:
+    """Mode-7 CLAMS undistort oracle: `model` is io/clams.DepthDistortionModel
+    (multipliers/counts (ny, nx, nbins)), `depth_m` an (h, w) f32 metres
+    image; returns the corrected f32 image."""
+    h, w = depth_m.shape
+    ny, nx, nbins = model.multipliers.shape
+    path = os.path.join(workdir, "clams_in.bin")
+    out_path = os.path.join(workdir, "clams_out.bin")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<6i", MAGIC, 7, 0, 1, 0, 0))
+        f.write(struct.pack("<6d", *DEFAULT_PARAMS))
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(struct.pack("<7i", h, w, model.bin_width, model.bin_height, nx, ny, nbins))
+        f.write(struct.pack("<d", float(model.bin_depth)))
+        f.write(np.ascontiguousarray(model.multipliers, np.float32).tobytes())
+        f.write(np.ascontiguousarray(model.counts, np.float32).tobytes())
+        f.write(np.ascontiguousarray(depth_m, np.float32).tobytes())
+    subprocess.run([build(), path, out_path], check=True, capture_output=True)
+    return np.frombuffer(open(out_path, "rb").read(), np.float32).reshape(h, w)
+
+
 def run(input_path: str) -> dict:
     """Run the oracle and parse its stdout into a dict."""
     out = subprocess.run(

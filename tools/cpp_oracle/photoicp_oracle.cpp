@@ -810,6 +810,45 @@ void stitch_oracle(const std::vector<StitchSensor>& sensors, int size_h,
   }
 }
 
+// ---------------------------------------------------------------------------
+// CLAMS undistort oracle (mode 7): DiscreteFrustum::interpolatedUndistort
+// (CLAMS discrete_depth_distortion_model.cpp:38-69) applied per pixel as
+// DiscreteDepthDistortionModel::undistort does (:175-187 — z==0 skipped,
+// float in-place update; frustum(v,u) = frustums[v/bin_height][u/bin_width]).
+
+struct ClamsModel {
+  int bin_width, bin_height, nx, ny, nbins;
+  double bin_depth;
+  std::vector<float> multipliers;  // (ny, nx, nbins)
+  std::vector<float> counts;       // (ny, nx, nbins)
+};
+
+void clams_undistort(const ClamsModel& m, std::vector<float>* depth, int h,
+                     int w) {
+  for (int v = 0; v < h; ++v) {
+    for (int u = 0; u < w; ++u) {
+      float& z = (*depth)[(size_t)v * w + u];
+      if (z == 0) continue;
+      const size_t f =
+          ((size_t)(v / m.bin_height) * m.nx + (u / m.bin_width)) * m.nbins;
+      const float* mult = &m.multipliers[f];
+      const float* cnt = &m.counts[f];
+      const int idx =
+          std::min(m.nbins - 1, (int)std::floor(z / (float)m.bin_depth));
+      const float start = (float)m.bin_depth * idx;
+      const int idx1 = (z - start < (float)m.bin_depth / 2) ? idx : idx + 1;
+      const int idx0 = idx1 - 1;
+      if (idx0 < 0 || idx1 >= m.nbins || cnt[idx0] < 50 || cnt[idx1] < 50) {
+        z *= mult[idx];  // plain undistort fallback (:43-46)
+        continue;
+      }
+      const double z0 = (idx0 + 1) * m.bin_depth - m.bin_depth * 0.5;
+      const double c1 = (z - z0) / m.bin_depth;
+      z *= (float)((1.0 - c1) * mult[idx0] + c1 * mult[idx1]);
+    }
+  }
+}
+
 bool read_exact(std::FILE* f, void* dst, size_t n) {
   return std::fread(dst, 1, n, f) == n;
 }
@@ -867,6 +906,47 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "truncated pinhole block\n");
       return 2;
     }
+  }
+  if (mode == 7) {
+    // undistort stream: {h, w, bin_width, bin_height, nx, ny, nbins} +
+    // bin_depth double + multipliers f32 + counts f32 + depth f32 (h, w)
+    int32_t dims[7];
+    ClamsModel m;
+    if (!read_exact(f, dims, 28) || !read_exact(f, &m.bin_depth, 8)) {
+      std::fprintf(stderr, "truncated clams header\n");
+      return 2;
+    }
+    const int h = dims[0], w = dims[1];
+    m.bin_width = dims[2];
+    m.bin_height = dims[3];
+    m.nx = dims[4];
+    m.ny = dims[5];
+    m.nbins = dims[6];
+    const size_t nf = (size_t)m.ny * m.nx * m.nbins;
+    m.multipliers.resize(nf);
+    m.counts.resize(nf);
+    std::vector<float> depth((size_t)h * w);
+    if (!read_exact(f, m.multipliers.data(), nf * 4) ||
+        !read_exact(f, m.counts.data(), nf * 4) ||
+        !read_exact(f, depth.data(), depth.size() * 4)) {
+      std::fprintf(stderr, "truncated clams data\n");
+      return 2;
+    }
+    std::fclose(f);
+    clams_undistort(m, &depth, h, w);
+    if (argc != 3) {
+      std::fprintf(stderr, "mode 7 needs an output path\n");
+      return 2;
+    }
+    std::FILE* out = std::fopen(argv[2], "wb");
+    if (!out) {
+      std::perror("open out");
+      return 2;
+    }
+    std::fwrite(depth.data(), 4, depth.size(), out);
+    std::fclose(out);
+    std::printf("undistort ok %dx%d\n", h, w);
+    return 0;
   }
   if (mode == 6) {
     // stitch stream: K + {size_h, size_w, sph_h, sph_w} + n_levels sensors,
