@@ -449,3 +449,55 @@ def test_partitioner_inter_part_blocks_survive_interleaved_split():
     np.testing.assert_allclose(blk, expect)
     # and no bogus self-keyed blocks were created
     assert all(k1 != k2 for k1, k2 in topo.neig_sso)
+
+
+def test_graph_optimizer_reaches_first_order_optimality(rng):
+    """Solver-independent optimality property: at the returned solution the
+    numerical gradient of chi2 = sum e^T info e (e = log(Z^-1 Xi^-1 Xj),
+    right-multiplicative perturbation) must vanish along every free-vertex
+    axis — a transcription error in the Jacobians/adjoint would leave a
+    descent direction that this detects without trusting the solver's own
+    math."""
+    from rgbd360_tpu.core.graph_optimizer import GraphOptimizer, _exp_se3, _log_se3
+
+    n = 6
+    gt = [np.eye(4)]
+    for k in range(1, n):
+        xi = 0.4 * rng.standard_normal(6)
+        gt.append(gt[-1] @ _exp_se3(xi))
+    opt = GraphOptimizer()
+    for k in range(n):
+        noise = _exp_se3(0.05 * rng.standard_normal(6)) if k else np.eye(4)
+        opt.add_vertex(gt[k] @ noise)
+    edges = [(k, k + 1) for k in range(n - 1)] + [(0, n - 1), (1, 4)]
+    for i, j in edges:
+        z = np.linalg.inv(gt[i]) @ gt[j]
+        info = np.eye(6) * float(rng.uniform(0.5, 5.0))
+        opt.add_edge(i, j, z, info)
+
+    def chi2_of(X):
+        tot = 0.0
+        for e in opt.edges:
+            err = _log_se3(np.linalg.inv(e.z) @ np.linalg.inv(X[e.i]) @ X[e.j])
+            tot += float(err @ e.info @ err)
+        return tot
+
+    chi2_init = chi2_of(opt.vertices)
+    chi2_final = opt.optimize_graph(iterations=50)
+    assert chi2_final <= chi2_init + 1e-12
+    X = opt.get_poses()
+    assert chi2_final == pytest.approx(chi2_of(X), rel=1e-9)
+
+    eps = 1e-5
+    gmax = 0.0
+    for v in range(1, n):
+        for a in range(6):
+            d = np.zeros(6)
+            d[a] = eps
+            Xp = list(X); Xm = list(X)
+            Xp[v] = X[v] @ _exp_se3(d)
+            Xm[v] = X[v] @ _exp_se3(-d)
+            gmax = max(gmax, abs(chi2_of(Xp) - chi2_of(Xm)) / (2 * eps))
+    # curvature scale ~ info * n_edges; the solver's own stop tolerance is
+    # 1e-12 on chi2, so the gradient at the fixed point is solver-noise level
+    assert gmax < 1e-4, f"residual gradient {gmax} — descent direction left"
