@@ -501,3 +501,58 @@ def test_graph_optimizer_reaches_first_order_optimality(rng):
     # curvature scale ~ info * n_edges; the solver's own stop tolerance is
     # 1e-12 on chi2, so the gradient at the fixed point is solver-noise level
     assert gmax < 1e-4, f"residual gradient {gmax} — descent direction left"
+
+
+def test_se2_optimizer_reaches_first_order_optimality():
+    """SE2 twin of the SE3 optimality gate: zero numerical chi2 gradient
+    along every free vertex's (x, y, theta) chart at the solution."""
+    from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
+
+    rng = np.random.default_rng(7)
+
+    def v2t(a, b, th):
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4)
+        T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+        T[0, 3], T[1, 3] = a, b
+        return T
+
+    n = 6
+    gt = [v2t(0, 0, 0)]
+    for k in range(1, n):
+        gt.append(gt[-1] @ v2t(*rng.normal(scale=0.5, size=2), rng.normal(scale=0.4)))
+    opt = GraphOptimizer(rigidity=3)
+    for k in range(n):
+        noise = v2t(*rng.normal(scale=0.05, size=2), rng.normal(scale=0.05)) if k else np.eye(4)
+        opt.add_vertex(gt[k] @ noise)
+    for i, j in [(k, k + 1) for k in range(n - 1)] + [(0, n - 1), (1, 4)]:
+        z = np.linalg.inv(gt[i]) @ gt[j]
+        opt.add_edge(i, j, z, np.eye(6) * float(rng.uniform(1.0, 4.0)))
+
+    def t2v(T):
+        return np.array([T[0, 3], T[1, 3], np.arctan2(T[1, 0], T[0, 0])])
+
+    def chi2_of(X):
+        tot = 0.0
+        for e in opt.edges:
+            r = t2v(np.linalg.inv(e.z) @ np.linalg.inv(X[e.i]) @ X[e.j])
+            r[2] = (r[2] + np.pi) % (2 * np.pi) - np.pi
+            info3 = opt._info3(e.info)
+            tot += float(r @ info3 @ r)
+        return tot
+
+    chi2_init = chi2_of(opt.vertices)
+    chi2_final = opt.optimize_graph(iterations=50)
+    assert chi2_final <= chi2_init + 1e-12
+    X = opt.get_poses()
+    assert chi2_final == pytest.approx(chi2_of(X), rel=1e-6, abs=1e-9)
+
+    eps = 1e-6
+    gmax = 0.0
+    for v in range(1, n):
+        for d in (np.array([eps, 0, 0]), np.array([0, eps, 0]), np.array([0, 0, eps])):
+            Xp = list(X); Xm = list(X)
+            Xp[v] = X[v] @ v2t(*d)
+            Xm[v] = X[v] @ v2t(*(-d))
+            gmax = max(gmax, abs(chi2_of(Xp) - chi2_of(Xm)) / (2 * eps))
+    assert gmax < 1e-4, f"residual SE2 gradient {gmax}"
