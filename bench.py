@@ -18,9 +18,42 @@ BASELINE_PAIRS_PER_SEC = 50.0  # north-star target (BASELINE.md)
 REFERENCE_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
 
 
+def _probe_device(timeout_s: float = 240.0) -> bool:
+    """The axon tunnel can be down for hours (CLAUDE.md); a trivial op that
+    never completes would otherwise hang the whole bench silently. Probe in
+    a subprocess (device handles can't be interrupted reliably in-process)."""
+    import subprocess
+
+    code = (
+        "import numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.zeros(2) + 1.0)"
+    )
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "sphere_photoicp_pairs_per_sec",
+                    "value": 0.0,
+                    "unit": "pairs/s",
+                    "vs_baseline": 0.0,
+                    "sane": False,
+                    "error": "device unreachable (axon tunnel outage) — no measurement taken",
+                }
+            )
+        )
+        return 1
 
     # persistent compile cache: first-run XLA compiles over the device tunnel
     # are slow (tens of seconds) and occasionally much slower
