@@ -69,3 +69,11 @@ def test_prefilter_candidates_sharded_matches_single_device(calib):
     )
     np.testing.assert_array_equal(counts_sh, counts_ref)
     np.testing.assert_allclose(areas_sh, areas_ref, rtol=1e-6)
+
+
+def test_dryrun_multichip_4():
+    """A non-default device count: catches hardcoded-8 mesh assumptions in
+    the sharding layout (the driver may dry-run at other widths)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(4)
