@@ -99,13 +99,17 @@ int parse_buffer(const uint8_t* buf, size_t len, int h, int w, uint8_t* rgb,
 
   // timestamp: 1 x num_digits CV_8U decimal-digit matrix, MSD first
   // (OpenNI2_Grabber/FrameRGBD/SerializeFrameRGBD.h:46-88); the bundled
-  // samples carry an empty 0x0 matrix
+  // samples carry an empty 0x0 matrix. The element size/type and digit
+  // count come from the FILE and must be validated before they size the
+  // view — an elem_size of 0 would otherwise make the bounds check pass
+  // while the digit loop reads past the buffer.
   MatHeader m;
   uint64_t t = 0;
   if (read_mat_header(cur, &m) && m.rows > 0 && m.cols > 0) {
-    const uint8_t* digits = cur.view(size_t(m.rows) * m.cols * m.elem_size);
-    if (digits)
-      for (int i = 0; i < m.rows * m.cols; ++i) t = t * 10 + digits[i];
+    if (m.elem_size != 1 || m.rows != 1 || m.cols > 20) return kErrType;
+    const uint8_t* digits = cur.view(size_t(m.rows) * m.cols);
+    if (!digits) return kErrTruncated;
+    for (int i = 0; i < m.rows * m.cols; ++i) t = t * 10 + digits[i];
   }
   *ts = t;
   return kOk;

@@ -440,3 +440,29 @@ def test_bin_reader_raises_cleanly_on_any_truncation(tmp_path):
         p.write_bytes(data[:cut])
         with pytest.raises(ValueError):
             read_frame360_bin(str(p))
+
+
+def test_native_loader_rejects_malformed_timestamp_record(tmp_path):
+    """A timestamp matrix whose header claims elem_size=0 must fail cleanly:
+    the unvalidated size previously passed the bounds check with a 0-byte
+    view while the digit loop read rows*cols bytes past it (the reference
+    writer emits 1 x num_digits CV_8U, SerializeFrameRGBD.h:46-74)."""
+    import pytest
+
+    from rgbd360_tpu.io import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("g++ toolchain unavailable")
+    rgb = np.zeros((8, 240, 320, 3), np.uint8)
+    depth = np.zeros((8, 240, 320), np.uint16)
+    good = tmp_path / "good.bin"
+    write_frame360_bin(str(good), RawFrame360(rgb=rgb, depth=depth, timestamp=1234))
+    assert nl.parse_frame_native(str(good)).timestamp == 1234
+    data = bytearray(good.read_bytes())
+    # final record: cols i32, rows i32, elem_size u64, elem_type u64, 4 digits
+    assert data[-28:-24] == (4).to_bytes(4, "little")  # cols == num_digits
+    data[-20:-12] = (0).to_bytes(8, "little")  # elem_size -> 0
+    bad = tmp_path / "bad_ts.bin"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        nl.parse_frame_native(str(bad))
