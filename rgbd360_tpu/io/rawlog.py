@@ -572,22 +572,29 @@ def read_rawlog(path: str) -> Iterator[object]:
     """Yield observations from a rawlog (format #2: a gzip stream of
     observation objects — LoadRawlog.cpp:182-228 expects exactly this and
     throws on action/sensory-frame pairs)."""
+    import zlib
+
     with gzip.open(path, "rb") as f:
         while True:
+            # Clean end-of-stream is ONLY an empty read at an object
+            # boundary (_read_header returns None). A mid-header or
+            # mid-object EOF, or gzip-container damage, is a truncated
+            # file and must raise — silently yielding a shortened
+            # sequence would hide data loss from the caller.
             try:
                 header = _read_header(f)
-            except EOFError:
-                return
-            if header is None:
-                return
-            name, version = header
-            reader, versions = _READERS.get(name, (None, None))
-            if reader is None:
-                # no length prefix: an unknown class cannot be skipped
-                raise ValueError(f"unsupported rawlog object class {name!r}")
-            _guard_version(name, version, versions)
-            obs = reader(f, version)
-            _expect_end(f, name)
+                if header is None:
+                    return
+                name, version = header
+                reader, versions = _READERS.get(name, (None, None))
+                if reader is None:
+                    # no length prefix: an unknown class cannot be skipped
+                    raise ValueError(f"unsupported rawlog object class {name!r}")
+                _guard_version(name, version, versions)
+                obs = reader(f, version)
+                _expect_end(f, name)
+            except (EOFError, gzip.BadGzipFile, zlib.error) as e:
+                raise ValueError(f"truncated/corrupt rawlog stream: {e}") from e
             yield obs
 
 

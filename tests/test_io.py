@@ -466,3 +466,26 @@ def test_native_loader_rejects_malformed_timestamp_record(tmp_path):
     bad.write_bytes(bytes(data))
     with pytest.raises(ValueError):
         nl.parse_frame_native(str(bad))
+
+
+def test_rawlog_truncation_raises_not_silently_shortens(tmp_path):
+    """Every mid-stream truncation of the committed fixture must raise
+    ValueError — a truncated download must never silently yield a shortened
+    observation sequence (mid-header EOF and gzip-container damage were
+    previously swallowed as clean end-of-stream)."""
+    import random
+
+    import pytest
+
+    from rgbd360_tpu.io.rawlog import read_rawlog
+
+    fixture = os.path.join(os.path.dirname(__file__), "golden", "minimal_v6.rawlog")
+    data = open(fixture, "rb").read()
+    rng = random.Random(0)
+    cuts = [5, 30, 82, len(data) // 2, len(data) - 2]
+    cuts += [rng.randrange(1, len(data)) for _ in range(5)]
+    for cut in cuts:
+        p = tmp_path / f"trunc_{cut}.rawlog"
+        p.write_bytes(data[:cut])
+        with pytest.raises(ValueError):
+            list(read_rawlog(str(p)))
