@@ -18,29 +18,50 @@ BASELINE_PAIRS_PER_SEC = 50.0  # north-star target (BASELINE.md)
 REFERENCE_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
 
 
-def _probe_device(timeout_s: float = 240.0) -> bool:
+def _probe_device(timeout_s: float = 240.0):
     """The axon tunnel can be down for hours (CLAUDE.md); a trivial op that
     never completes would otherwise hang the whole bench silently. Probe in
-    a subprocess (device handles can't be interrupted reliably in-process)."""
+    a subprocess (device handles can't be interrupted reliably in-process).
+
+    Returns (ok, detail). The probe must land on an ACCELERATOR backend: if
+    the device plugin fails fast, jax silently falls back to CPU with
+    returncode 0, and a CPU run must never be published as the TPU headline
+    (set BENCH_ALLOW_CPU=1 to bench the CPU backend deliberately). Probe
+    stderr is surfaced so a fast failure isn't mislabeled a tunnel outage."""
     import subprocess
 
     code = (
-        "import numpy as np, jax.numpy as jnp;"
-        "np.asarray(jnp.zeros(2) + 1.0)"
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "np.asarray(jnp.zeros(2) + 1.0);"
+        "print('BACKEND=' + jax.default_backend())"
     )
     try:
-        return subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-        ).returncode == 0
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
+        )
     except subprocess.TimeoutExpired:
-        return False
+        return False, "probe timeout (axon tunnel outage) — no measurement taken"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return False, "probe failed: " + " | ".join(tail)
+    backend = ""
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("BACKEND="):
+            backend = line[len("BACKEND="):].strip()
+    if backend == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        return False, (
+            "probe ran on the CPU fallback backend — refusing to publish a "
+            "CPU run as the TPU headline (BENCH_ALLOW_CPU=1 overrides)"
+        )
+    return True, backend
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    if not _probe_device():
+    probe_ok, probe_detail = _probe_device()
+    if not probe_ok:
         print(
             json.dumps(
                 {
@@ -49,7 +70,7 @@ def main():
                     "unit": "pairs/s",
                     "vs_baseline": 0.0,
                     "sane": False,
-                    "error": "device unreachable (axon tunnel outage) — no measurement taken",
+                    "error": probe_detail,
                 }
             )
         )

@@ -105,7 +105,10 @@ int parse_buffer(const uint8_t* buf, size_t len, int h, int w, uint8_t* rgb,
   // while the digit loop reads past the buffer.
   MatHeader m;
   uint64_t t = 0;
-  if (read_mat_header(cur, &m) && m.rows > 0 && m.cols > 0) {
+  // The header itself is mandatory (the Python reference reader raises on a
+  // stream that ends after the sensor mats); only its PAYLOAD may be empty.
+  if (!read_mat_header(cur, &m)) return kErrTruncated;
+  if (m.rows > 0 && m.cols > 0) {
     if (m.elem_size != 1 || m.rows != 1 || m.cols > 20) return kErrType;
     const uint8_t* digits = cur.view(size_t(m.rows) * m.cols);
     if (!digits) return kErrTruncated;

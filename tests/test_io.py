@@ -468,6 +468,33 @@ def test_native_loader_rejects_malformed_timestamp_record(tmp_path):
         nl.parse_frame_native(str(bad))
 
 
+def test_native_loader_rejects_truncated_timestamp_header(tmp_path):
+    """An archive cut inside (or just before) the trailing timestamp matrix
+    HEADER must fail like the Python reader does — previously a failed
+    header read fell through to ts=0/kOk, silently accepting a truncated
+    download on the native prefetch path."""
+    import pytest
+
+    from rgbd360_tpu.io import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("g++ toolchain unavailable")
+    rgb = np.zeros((8, 240, 320, 3), np.uint8)
+    depth = np.zeros((8, 240, 320), np.uint16)
+    good = tmp_path / "good.bin"
+    write_frame360_bin(str(good), RawFrame360(rgb=rgb, depth=depth, timestamp=1234))
+    data = good.read_bytes()
+    # trailing record: cols i32, rows i32, elem_size u64, elem_type u64, 4 digits
+    hdr_start = len(data) - 28
+    for cut in (hdr_start, hdr_start + 3, hdr_start + 8, hdr_start + 23):
+        p = tmp_path / f"trunc_{cut}.bin"
+        p.write_bytes(data[:cut])
+        with pytest.raises(ValueError):
+            nl.parse_frame_native(str(p))
+        with pytest.raises(ValueError):
+            read_frame360_bin(str(p))
+
+
 def test_rawlog_truncation_raises_not_silently_shortens(tmp_path):
     """Every mid-stream truncation of the committed fixture must raise
     ValueError — a truncated download must never silently yield a shortened

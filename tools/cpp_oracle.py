@@ -35,6 +35,32 @@ def build(force: bool = False) -> str:
     return BIN
 
 
+def _write_preamble(
+    f,
+    mode: int,
+    method: int = 0,
+    n: int = 0,
+    use_double: bool = False,
+    apply_seam_mask: bool = False,
+    params=DEFAULT_PARAMS,
+    pose: np.ndarray = None,
+) -> None:
+    """The stream preamble every oracle mode shares (main() reads it once:
+    magic/mode/method/n/use_double/do_mask header, 6 params, 4x4 f32 pose).
+    One writer so a header change can't desynchronize a subset of modes."""
+    f.write(
+        struct.pack(
+            "<6i", MAGIC, mode, method, n, 1 if use_double else 0, 1 if apply_seam_mask else 0
+        )
+    )
+    f.write(struct.pack("<6d", *params))
+    f.write(
+        np.ascontiguousarray(
+            np.eye(4, dtype=np.float32) if pose is None else np.asarray(pose, np.float32)
+        ).reshape(16).tobytes()
+    )
+
+
 def pack(
     path: str,
     levels: list,
@@ -63,19 +89,16 @@ def pack(
     gradients / seam masks re-derived in C++).
     """
     with open(path, "wb") as f:
-        f.write(
-            struct.pack(
-                "<6i",
-                MAGIC,
-                mode,
-                method,
-                len(levels) if n_levels is None else n_levels,
-                1 if use_double else 0,
-                1 if apply_seam_mask else 0,
-            )
+        _write_preamble(
+            f,
+            mode,
+            method=method,
+            n=len(levels) if n_levels is None else n_levels,
+            use_double=use_double,
+            apply_seam_mask=apply_seam_mask,
+            params=params,
+            pose=pose,
         )
-        f.write(struct.pack("<6d", *params))
-        f.write(np.asarray(pose, np.float32).reshape(16).tobytes())
         if mode == 2:
             k = np.asarray(k_full, np.float64)
             f.write(struct.pack("<4d", k[0, 0], k[1, 1], k[0, 2], k[1, 2]))
@@ -114,9 +137,7 @@ def run_stitch(
     path = os.path.join(workdir, "stitch_in.bin")
     out_path = os.path.join(workdir, "stitch_out.bin")
     with open(path, "wb") as f:
-        f.write(struct.pack("<6i", MAGIC, 6, 0, n, 0, 0))
-        f.write(struct.pack("<6d", *DEFAULT_PARAMS))
-        f.write(np.eye(4, dtype=np.float32).tobytes())
+        _write_preamble(f, 6, n=n)
         kk = np.asarray(k, np.float64)
         f.write(struct.pack("<4d", kk[0, 0], kk[1, 1], kk[0, 2], kk[1, 2]))
         f.write(struct.pack("<4i", h, w, sph_h, sph_w))
@@ -141,9 +162,7 @@ def run_clams(model, depth_m: np.ndarray, workdir: str = "/tmp") -> np.ndarray:
     path = os.path.join(workdir, "clams_in.bin")
     out_path = os.path.join(workdir, "clams_out.bin")
     with open(path, "wb") as f:
-        f.write(struct.pack("<6i", MAGIC, 7, 0, 1, 0, 0))
-        f.write(struct.pack("<6d", *DEFAULT_PARAMS))
-        f.write(np.eye(4, dtype=np.float32).tobytes())
+        _write_preamble(f, 7, n=1)
         f.write(struct.pack("<7i", h, w, model.bin_width, model.bin_height, nx, ny, nbins))
         f.write(struct.pack("<d", float(model.bin_depth)))
         f.write(np.ascontiguousarray(model.multipliers, np.float32).tobytes())

@@ -4,7 +4,7 @@
 #   2. bench.py — the headline number + sanity gate
 #   3. profile_stats_cost.py — exact-final stats cost bisection
 #   4. Occ2 alignment smoke on the chip (this round changed the occ path)
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 echo "== probe =="
 timeout 120 python -c "
