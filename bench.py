@@ -43,12 +43,14 @@ def _probe_device(timeout_s: float = 240.0):
         return False, "probe timeout (axon tunnel outage) — no measurement taken"
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()[-3:]
-        return False, "probe failed: " + " | ".join(tail)
+        detail = " | ".join(tail) if tail else f"no stderr, returncode {proc.returncode}"
+        return False, "probe failed: " + detail
     backend = ""
     for line in (proc.stdout or "").splitlines():
         if line.startswith("BACKEND="):
             backend = line[len("BACKEND="):].strip()
-    if backend == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+    allow_cpu = os.environ.get("BENCH_ALLOW_CPU", "").strip().lower() not in ("", "0", "false", "no")
+    if backend == "cpu" and not allow_cpu:
         return False, (
             "probe ran on the CPU fallback backend — refusing to publish a "
             "CPU run as the TPU headline (BENCH_ALLOW_CPU=1 overrides)"

@@ -93,6 +93,19 @@ def _read_header(f: BinaryIO):
     return name, version
 
 
+def _read_header_required(f: BinaryIO, context: str):
+    """Header of a NESTED object (CPose3D/CMatrix/CImage/TCamera inside an
+    observation). Unlike the top-level loop — where an empty read at an
+    object boundary is the clean end of the stream — a missing header here
+    means the stream was cut mid-object: raise like every other truncation
+    (EOFError, converted to ValueError by read_rawlog) instead of letting
+    the None unpack escape as TypeError."""
+    header = _read_header(f)
+    if header is None:
+        raise EOFError(f"truncated rawlog stream (EOF where {context} expected)")
+    return header
+
+
 def _write_header(f: BinaryIO, classname: str, version: int) -> None:
     b = classname.encode("ascii")
     f.write(bytes([len(b) | _NAME_LEN_MASK]))
@@ -172,7 +185,7 @@ def _read_pose3d(f: BinaryIO) -> np.ndarray:
     """CPose3D object. MRPT stream v1 nests the 4x4 homogeneous matrix as a
     CMatrixD object; v2 (what reference-era MRPT 1.x writes) streams the
     CPose3DQuat components x y z qr qx qy qz as 7 f64."""
-    name, version = _read_header(f)
+    name, version = _read_header_required(f, "CPose3D")
     if name != "CPose3D":
         raise ValueError(f"expected CPose3D, got {name}")
     _guard_version(name, version, {1, 2})
@@ -201,7 +214,7 @@ def _write_pose3d(f: BinaryIO, pose: np.ndarray) -> None:
 
 def _read_cmatrix(f: BinaryIO) -> np.ndarray:
     """CMatrix/CMatrixF (f32) or CMatrixD (f64) object: rows, cols, data."""
-    name, version = _read_header(f)
+    name, version = _read_header_required(f, "CMatrix")
     if name not in ("CMatrix", "CMatrixF", "CMatrixD"):
         raise ValueError(f"expected CMatrix/CMatrixD, got {name}")
     _guard_version(name, version, {0})
@@ -238,7 +251,7 @@ def _read_tcamera(f: BinaryIO) -> TCamera:
     """TCamera stream v0-2: focalLengthMeters (f64), dist[5] (f64), the 3x3
     intrinsicParams nested as a CMatrixD object; v0 then carried a dummy
     1x5 CMatrixD (skipped); v2 appends nrows/ncols (u32 each)."""
-    name, version = _read_header(f)
+    name, version = _read_header_required(f, "TCamera")
     if name != "TCamera":
         raise ValueError(f"expected TCamera, got {name}")
     _guard_version(name, version, {0, 1, 2})
@@ -278,7 +291,7 @@ def _read_cimage(f: BinaryIO) -> np.ndarray:
       positive means a JPEG/PNG blob of that many bytes (cv2.imdecode);
       color v7 and earlier: u32 blob length + JPEG bytes always.
     """
-    name, version = _read_header(f)
+    name, version = _read_header_required(f, "CImage")
     if name != "CImage":
         raise ValueError(f"expected CImage, got {name}")
     _guard_version(name, version, {7, 8, 9})

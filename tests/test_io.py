@@ -516,3 +516,31 @@ def test_rawlog_truncation_raises_not_silently_shortens(tmp_path):
         p.write_bytes(data[:cut])
         with pytest.raises(ValueError):
             list(read_rawlog(str(p)))
+
+
+def test_rawlog_clean_gzip_cut_at_nested_header_raises_valueerror(tmp_path):
+    """A stream whose gzip container ends CLEANLY (re-gzipped prefix — a
+    multi-member file or a writer crash at a flush boundary) with the
+    logical cut just before a NESTED object header must raise ValueError
+    like every other truncation, not escape as TypeError from unpacking
+    _read_header's clean-EOF None (the top-level loop treats that None as
+    end-of-stream; nested readers must not)."""
+    import gzip
+
+    import pytest
+
+    from rgbd360_tpu.io.rawlog import read_rawlog
+
+    fixture = os.path.join(os.path.dirname(__file__), "golden", "minimal_v6.rawlog")
+    raw = gzip.decompress(open(fixture, "rb").read())
+    # The first nested header inside CObservation3DRangeScan is the
+    # sensorPose CPose3D; locate it directly in the decompressed stream.
+    pose_hdr = raw.index(bytes([len(b"CPose3D") | 0x80]) + b"CPose3D")
+    # Also cut right before the nested TCamera / CImage headers.
+    cam_hdr = raw.index(bytes([len(b"TCamera") | 0x80]) + b"TCamera")
+    img_hdr = raw.index(bytes([len(b"CImage") | 0x80]) + b"CImage")
+    for cut in (pose_hdr, cam_hdr, img_hdr):
+        p = tmp_path / f"cleancut_{cut}.rawlog"
+        p.write_bytes(gzip.compress(raw[:cut]))
+        with pytest.raises(ValueError):
+            list(read_rawlog(str(p)))

@@ -134,8 +134,12 @@ def run_stitch(
     """Mode-6 stitch oracle: returns (gray_u8 (sph_h,sph_w), depth_u16)."""
     n, h, w = depth_mm.shape
     sph_h, sph_w = sphere_shape
-    path = os.path.join(workdir, "stitch_in.bin")
-    out_path = os.path.join(workdir, "stitch_out.bin")
+    # pid-unique names: concurrent callers sharing the default /tmp workdir
+    # (pytest-xdist, a manual run next to the suite) must not read each
+    # other's byte-valid streams — that would silently gate against the
+    # wrong data.
+    path = os.path.join(workdir, f"stitch_in.{os.getpid()}.bin")
+    out_path = os.path.join(workdir, f"stitch_out.{os.getpid()}.bin")
     with open(path, "wb") as f:
         _write_preamble(f, 6, n=n)
         kk = np.asarray(k, np.float64)
@@ -159,8 +163,8 @@ def run_clams(model, depth_m: np.ndarray, workdir: str = "/tmp") -> np.ndarray:
     image; returns the corrected f32 image."""
     h, w = depth_m.shape
     ny, nx, nbins = model.multipliers.shape
-    path = os.path.join(workdir, "clams_in.bin")
-    out_path = os.path.join(workdir, "clams_out.bin")
+    path = os.path.join(workdir, f"clams_in.{os.getpid()}.bin")
+    out_path = os.path.join(workdir, f"clams_out.{os.getpid()}.bin")
     with open(path, "wb") as f:
         _write_preamble(f, 7, n=1)
         f.write(struct.pack("<7i", h, w, model.bin_width, model.bin_height, nx, ny, nbins))
