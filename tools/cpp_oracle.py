@@ -73,6 +73,7 @@ def pack(
     k_full=None,
     pinhole_level: int = 0,
     n_levels: int = None,
+    thres_outliers: float = 0.3,
 ) -> None:
     """Write the oracle's input stream.
 
@@ -86,7 +87,9 @@ def pack(
     4 = full-chain spherical align: pass ONE raw full-res level (gradient
     slots ignored — zeros are fine) and ``n_levels`` as the pyramid depth
     the oracle builds itself (pyrDown / valid-mean range / Jaimez
-    gradients / seam masks re-derived in C++).
+    gradients / seam masks re-derived in C++),
+    8/9 = sequential Occ1/Occ2 spherical error sweep (``thres_outliers`` =
+    the Occ2 depth-outlier gate, alignFrames360 sets 0.3).
     """
     with open(path, "wb") as f:
         _write_preamble(
@@ -103,6 +106,8 @@ def pack(
             k = np.asarray(k_full, np.float64)
             f.write(struct.pack("<4d", k[0, 0], k[1, 1], k[0, 2], k[1, 2]))
             f.write(struct.pack("<i", pinhole_level))
+        if mode in (8, 9):
+            f.write(struct.pack("<d", float(thres_outliers)))
         keys = (
             "gray_src",
             "depth_src",

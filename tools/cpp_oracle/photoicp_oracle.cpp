@@ -11,7 +11,8 @@
 // errorPhotoICP_sphere, :2745-3228 calcHessGrad_sphere, :4519-4784
 // alignFrames360, :543-554 weightHuber; constants from the ctor :201-221;
 // pinhole path :560-775 errorPhotoICP, :776-1100 calcHessGrad with its
-// LUT built per alignFrames :4272-4299).
+// LUT built per alignFrames :4272-4299; occlusion error variants
+// :3232-3370 errorPhotoICP_sphereOcc1 and :3720-3860 _sphereOcc2).
 // It executes as real C++ with the reference's float arithmetic (or double,
 // selectable at runtime) so the Python oracles can be gated against a
 // compiled, independently-running program.
@@ -219,6 +220,117 @@ void sweep(const Level& lv, const Params& pp, const float pose[16], int method,
   // mirror lower triangle
   for (int a = 0; a < 6; ++a)
     for (int b = 0; b < a; ++b) out->H[6 * a + b] = out->H[6 * b + a];
+}
+
+// ---------------------------------------------------------------------------
+// Occlusion error variants (errorPhotoICP_sphereOcc1 :3232-3370,
+// errorPhotoICP_sphereOcc2 :3720-3860).  Sequential transcription — the
+// reference body is an OpenMP loop whose z-buffer reads/writes race; the
+// single-thread source-pixel order below is its deterministic serial
+// execution (the same order tests/ref_impl.py::error_sphere_occ runs in).
+//
+// Occ1: per-target-pixel invDepthBuffer; a point is skipped iff an earlier
+// point on the same target pixel was STRICTLY closer (:3300-3304), else it
+// overwrites the buffer.  Residual slots are keyed by TARGET pixel
+// (:3322/:3339 — a closer arrival overwrites a displaced point's slot);
+// counts increment per accepted-at-processing-time contribution and are
+// never rolled back (:3326/:3342).
+//
+// Occ2: the depth-outlier filter |depth2 - dist| > thres_outliers runs
+// BEFORE the buffer write (:3789-3792 — an outlier never displaces a clean
+// point; NaN depth2 passes, fabs(NaN) > t being false), then the same
+// z-buffer, then ++nValidDepthPts unconditionally pre-saliency (:3802).
+// Residual slots are keyed by SOURCE pixel (:3816/:3832 — displaced points
+// keep their slots in the sums), and avPhotoResidual divides by the single
+// depth count (:3852-3853); both returned counts are that one value.
+
+template <typename T>
+struct OccSweep {
+  double photo_err2 = 0.0, depth_err2 = 0.0;
+  long n_photo = 0, n_depth = 0;
+};
+
+template <typename T>
+void sweep_occ(const Level& lv, const Params& pp, const float pose[16],
+               int method, int occ, double thres_outliers, OccSweep<T>* out) {
+  const int h = lv.h, w = lv.w;
+  const T angle_res = (T)(2.0 * M_PI) / (T)w;
+  const T angle_res_inv = (T)1 / angle_res;
+  const T half_rows = (T)0.5 * (T)h - (T)0.5;
+  const T std_photo = (T)pp.std_photo, std_depth = (T)pp.std_depth;
+  const double std_photo_inv_d = 1.0 / pp.std_photo;  // double in :3747
+  const T thres_si = (T)pp.thres_sal_int, thres_sd = (T)pp.thres_sal_depth;
+  const T thres_out = (T)thres_outliers;
+
+  T R[9], t[3];
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) R[3 * r + c] = (T)pose[4 * r + c];
+    t[r] = (T)pose[4 * r + 3];
+  }
+
+  // Eigen::VectorXf::Zero(imgSize) in the reference (:3246-3248) — float
+  // slots there; T here so the double build is the all-f64 semantic oracle.
+  std::vector<T> res_photo((size_t)h * w, (T)0), res_depth((size_t)h * w, (T)0),
+      inv_buf((size_t)h * w, (T)0);
+
+  for (int row = 0; row < h; ++row) {
+    const T phi = (half_rows - (T)row) * angle_res;
+    const T sin_phi = std::sin(phi), cos_phi = std::cos(phi);
+    for (int col = 0; col < w; ++col) {
+      const int i = row * w + col;
+      const T d1 = (T)lv.depth_src[i];
+      if (!((T)pp.min_depth < d1 && d1 < (T)pp.max_depth)) continue;
+      const T theta = (T)col * angle_res;
+      const T xyz[3] = {d1 * sin_phi, -d1 * cos_phi * std::sin(theta),
+                        -d1 * cos_phi * std::cos(theta)};
+      T p[3];
+      transform_point(R, t, xyz, p);
+      const T dist = std::sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]);
+      const T dist_inv = (T)1 / dist;
+      const T phi_trg = std::asin(p[0] * dist_inv);
+      const T theta_trg = std::atan2(p[1], p[2]) + (T)M_PI;
+      const int ri = iround(half_rows - phi_trg * angle_res_inv);
+      const int ci = iround(theta_trg * angle_res_inv);
+      if (!(ri >= 0 && ri < h && ci >= 0 && ci < w)) continue;
+      const int j = ri * w + ci;
+      if (occ >= 2) {
+        // :3789-3792 — outlier filter BEFORE the buffer write
+        const T depth2 = (T)lv.depth_trg[j];
+        const T ddiff = depth2 - dist;
+        if (std::fabs(ddiff) > thres_out) continue;
+      }
+      if (inv_buf[j] > (T)0 && dist_inv < inv_buf[j]) continue;  // occluded
+      inv_buf[j] = dist_inv;
+      if (occ >= 2) ++out->n_depth;  // :3802 pre-saliency, pre-method
+      if (method == 0 || method == 2) {
+        const T gx = (T)lv.ggx[j], gy = (T)lv.ggy[j];
+        if (std::fabs(gx) < thres_si && std::fabs(gy) < thres_si) continue;
+        const T diff = (T)lv.gray_trg[j] - (T)lv.gray_src[i];
+        const double wp = (double)weight_huber(diff, std_photo) * std_photo_inv_d;
+        const T werr = (T)(wp * (double)diff);
+        res_photo[occ == 1 ? j : i] = werr * werr;
+        if (occ == 1) ++out->n_photo;  // :3326 never rolled back
+      }
+      if (method == 1 || method == 2) {
+        const T depth2 = (T)lv.depth_trg[j];
+        if (!std::isfinite(depth2)) continue;
+        const T dgx = (T)lv.dgx[j], dgy = (T)lv.dgy[j];
+        if (std::fabs(dgx) < thres_sd && std::fabs(dgy) < thres_sd) continue;
+        const T ddiff = depth2 - dist;
+        const T reg = std_depth * depth2;
+        const T wd = weight_huber(ddiff, reg) / reg;
+        const T werr = wd * ddiff;
+        res_depth[occ == 1 ? j : i] = werr * werr;
+        if (occ == 1) ++out->n_depth;
+      }
+    }
+  }
+  // second accumulation loop (:3348-3357 / :3839-3848), double reduction
+  for (size_t k = 0; k < res_photo.size(); ++k) {
+    out->photo_err2 += (double)res_photo[k];
+    out->depth_err2 += (double)res_depth[k];
+  }
+  if (occ >= 2) out->n_photo = out->n_depth;  // :3852-3853 single count
 }
 
 // ---------------------------------------------------------------------------
@@ -704,7 +816,17 @@ void run_align(std::vector<Level>& levels, const Params& pp, float pose[16],
 template <typename T>
 void run(int mode, int method, int do_mask, std::vector<Level>& levels,
          const Params& pp, float pose[16], const double kf[4],
-         int pinhole_level, int n_build_levels) {
+         int pinhole_level, int n_build_levels, double thres_outliers) {
+  if (mode == 8 || mode == 9) {
+    if (do_mask)
+      for (auto& lv : levels) mask_seams(&lv);
+    OccSweep<T> s;
+    sweep_occ<T>(levels[0], pp, pose, method, mode == 8 ? 1 : 2,
+                 thres_outliers, &s);
+    std::printf("perr2 %.12g\nnphoto %ld\nderr2 %.12g\nndepth %ld\n",
+                s.photo_err2, s.n_photo, s.depth_err2, s.n_depth);
+    return;
+  }
   if (mode == 4) {
     // full-chain: re-derive pyramids + gradients from levels[0]'s raw
     // full-res images, then the spherical GN loop (n_levels from the
@@ -907,6 +1029,14 @@ int main(int argc, char** argv) {
       return 2;
     }
   }
+  // occ modes carry the alignFrames360-era outlier threshold (:4525)
+  double thres_outliers = 0.3;
+  if (mode == 8 || mode == 9) {
+    if (!read_exact(f, &thres_outliers, 8)) {
+      std::fprintf(stderr, "truncated occ block\n");
+      return 2;
+    }
+  }
   if (mode == 7) {
     // undistort stream: {h, w, bin_width, bin_height, nx, ny, nbins} +
     // bin_depth double + multipliers f32 + counts f32 + depth f32 (h, w)
@@ -1013,9 +1143,9 @@ int main(int argc, char** argv) {
   std::fclose(f);
   if (use_double)
     run<double>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
-                n_levels);
+                n_levels, thres_outliers);
   else
     run<float>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
-               n_levels);
+               n_levels, thres_outliers);
   return 0;
 }
