@@ -401,3 +401,40 @@ def test_ref_impl_occ_matches_cpp_double(oracle_bin, crop_level, tmp_path, occ, 
         assert n_dp > 0
     if occ == 2:
         assert 0 < n_dp < 600
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_ref_impl_robot_matches_cpp_double(oracle_bin, pinhole_crop, tmp_path, method):
+    """ref_impl's robot-frame transcription (sweep_robot: camRt^-1 pose camRt
+    warp, Proj23 @ R_cam^-1 @ [I | -skew(p_robot')] twist chain, no saliency
+    gates, the intended-consistent depth pair replacing the reference's
+    uninitialized jacobianRt_z) == compiled C++ mode 10 (double) to ~1e-9."""
+    crop, k = pinhole_crop
+    # a real off-axis rig extrinsic so the camRt conjugation carries weight
+    cam_rt = golden_ref.pseudo_exp(
+        np.array([0.10, -0.05, 0.02, 0.0, 0.9, 0.15])
+    ).astype(np.float32)
+    pose32 = golden_ref.pseudo_exp(
+        np.array([0.02, -0.015, 0.03, 0.008, -0.01, 0.012])
+    ).astype(np.float32)
+    pose = pose32.astype(np.float64)
+    lvl64 = {k2: np.asarray(v, np.float64) for k2, v in crop.items()}
+    xyz, val = ref_impl.build_pinhole_lut(lvl64["depth_src"], k, 0)
+    pe, n_ph, de, n_dp, H_ref, g_ref = ref_impl.sweep_robot(
+        lvl64, xyz, val, pose, cam_rt.astype(np.float64), k, 0, method
+    )
+
+    cpp_oracle.pack(
+        str(tmp_path / "in.bin"), [crop], pose32, mode=10, method=method,
+        use_double=True, k_full=k, pinhole_level=0, cam_rt=cam_rt,
+    )
+    r = cpp_oracle.run(str(tmp_path / "in.bin"))
+    assert r["nphoto"] == n_ph and r["ndepth"] == n_dp
+    assert abs(r["perr2"] - pe) <= 1e-9 * max(pe, 1e-12)
+    assert abs(r["derr2"] - de) <= 1e-9 * max(de, 1e-12)
+    hs = max(np.abs(H_ref).max(), 1e-12)
+    np.testing.assert_allclose(r["H"], H_ref, rtol=0, atol=1e-9 * hs)
+    gs = max(np.abs(g_ref).max(), 1e-12)
+    np.testing.assert_allclose(r["g"], g_ref, rtol=0, atol=1e-9 * gs)
+    if method != 0:
+        assert n_dp > 100  # the rotated rig still lands a substantial set

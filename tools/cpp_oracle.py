@@ -74,6 +74,7 @@ def pack(
     pinhole_level: int = 0,
     n_levels: int = None,
     thres_outliers: float = 0.3,
+    cam_rt: np.ndarray = None,
 ) -> None:
     """Write the oracle's input stream.
 
@@ -89,7 +90,9 @@ def pack(
     the oracle builds itself (pyrDown / valid-mean range / Jaimez
     gradients / seam masks re-derived in C++),
     8/9 = sequential Occ1/Occ2 spherical error sweep (``thres_outliers`` =
-    the Occ2 depth-outlier gate, alignFrames360 sets 0.3).
+    the Occ2 depth-outlier gate, alignFrames360 sets 0.3),
+    10 = robot-frame pinhole sweep (``k_full``/``pinhole_level`` as mode 2
+    plus ``cam_rt`` = the 4x4 camera-on-rig extrinsic).
     """
     with open(path, "wb") as f:
         _write_preamble(
@@ -102,10 +105,15 @@ def pack(
             params=params,
             pose=pose,
         )
-        if mode == 2:
+        if mode in (2, 10):
             k = np.asarray(k_full, np.float64)
             f.write(struct.pack("<4d", k[0, 0], k[1, 1], k[0, 2], k[1, 2]))
             f.write(struct.pack("<i", pinhole_level))
+        if mode == 10:
+            f.write(
+                np.ascontiguousarray(np.asarray(cam_rt, np.float32))
+                .reshape(16).tobytes()
+            )
         if mode in (8, 9):
             f.write(struct.pack("<d", float(thres_outliers)))
         keys = (

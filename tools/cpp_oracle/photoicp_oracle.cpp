@@ -475,6 +475,132 @@ void sweep_pinhole(const Level& lv, const Params& pp, const float pose[16],
     for (int b = 0; b < a; ++b) out->H[6 * a + b] = out->H[6 * b + a];
 }
 
+// ---------------------------------------------------------------------------
+// Robot-frame sweep (calcPhotoICPError_robot :4905-5082 /
+// calcHessianGradient_robot :5083-5270, all-points branch): the camera rides
+// a rig with extrinsic poseCamRobot; the optimized twist lives on the ROBOT
+// pose.  Warp: q = camRt^-1 * poseGuess * camRt * xyz (:4923-4924); Jacobian
+// chain Proj23 @ R_cam^-1 @ [I | -skew(p_robot')] with p_robot' the
+// robot-frame warped point (:5163-5167).  NO saliency gates anywhere in the
+// active bodies (verified by reading both loops).
+//
+// Two reference defects are replaced by the internally consistent pair the
+// code plainly intends — mirroring ops/photoicp_pinhole.py and
+// tests/ref_impl.py::sweep_robot (PARITY_AUDIT.md records the decision):
+// the depth residual uses depth2 - z' (the reference subtracts the SOURCE
+// depth :5219 while its Jacobian corresponds to the warped z), and
+// jacobianRt_z = row 2 of the T36 chain (the reference's :5236-5238 block
+// expression is discarded, so its C++ reads uninitialized memory).
+// depth2 <= 0 target pixels are excluded (packed-invalid convention).
+// camRt^-1 is the rigid-transform transpose inverse, not Eigen's float
+// .inverse() — exact for orthonormal R, and what ref_impl computes.
+
+template <typename T>
+void sweep_robot(const Level& lv, const Params& pp, const float pose[16],
+                 const float cam_rt[16], const double kf[4], int level,
+                 int method, PinholeSweep<T>* out) {
+  const int h = lv.h, w = lv.w;
+  const T scale = (T)1 / (T)std::pow((T)2, level);
+  const T fx = (T)kf[0] * scale, fy = (T)kf[1] * scale;
+  const T ox = (T)kf[2] * scale, oy = (T)kf[3] * scale;
+  const T inv_fx = (T)1 / fx, inv_fy = (T)1 / fy;
+  const T std_photo = (T)pp.std_photo, std_depth = (T)pp.std_depth;
+  const T std_photo_inv = (T)1 / std_photo;
+
+  T R[9], t[3], Rc[9], tc[3];
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) {
+      R[3 * r + c] = (T)pose[4 * r + c];
+      Rc[3 * r + c] = (T)cam_rt[4 * r + c];
+    }
+    t[r] = (T)pose[4 * r + 3];
+    tc[r] = (T)cam_rt[4 * r + 3];
+  }
+
+  for (int row = 0; row < h; ++row) {
+    for (int col = 0; col < w; ++col) {
+      const int i = row * w + col;
+      const T z1 = (T)lv.depth_src[i];
+      if (!((T)pp.min_depth < z1 && z1 < (T)pp.max_depth)) continue;
+      const T xyz[3] = {((T)col - ox) * z1 * inv_fx,
+                        ((T)row - oy) * z1 * inv_fy, z1};
+      T p_robot[3], pr2[3];
+      transform_point(Rc, tc, xyz, p_robot);
+      transform_point(R, t, p_robot, pr2);
+      // q = Rc^T (pr2 - tc)
+      T d[3] = {pr2[0] - tc[0], pr2[1] - tc[1], pr2[2] - tc[2]};
+      T q[3];
+      for (int r = 0; r < 3; ++r)
+        q[r] = Rc[r] * d[0] + Rc[3 + r] * d[1] + Rc[6 + r] * d[2];
+      const T inv_z = (T)1 / q[2];
+      const int ci = iround((double)(q[0] * fx * inv_z + ox));
+      const int ri = iround((double)(q[1] * fy * inv_z + oy));
+      if (!(ri >= 0 && ri < h && ci >= 0 && ci < w)) continue;
+      const int j = ri * w + ci;
+
+      // T36 = Rc^T @ [I | -skew(pr2)]  (:5163-5167)
+      T T36[18];
+      for (int r = 0; r < 3; ++r) {
+        // columns 0..2 of [I | -skew] are identity; -skew(pr2) columns:
+        const T sk[3][3] = {{(T)0, pr2[2], -pr2[1]},
+                            {-pr2[2], (T)0, pr2[0]},
+                            {pr2[1], -pr2[0], (T)0}};
+        for (int c = 0; c < 3; ++c) {
+          // (Rc^T)[r][k] = Rc[k][r]
+          T acc_i = Rc[3 * c + r];  // Rc^T @ I column c
+          T acc_s = (T)0;
+          for (int k = 0; k < 3; ++k) acc_s += Rc[3 * k + r] * sk[k][c];
+          T36[6 * r + c] = acc_i;
+          T36[6 * r + 3 + c] = acc_s;
+        }
+      }
+      const T inv_z2 = inv_z * inv_z;
+      // jw = Proj23 @ T36
+      T jw[12];
+      for (int c = 0; c < 6; ++c) {
+        jw[c] = fx * inv_z * T36[c] - fx * q[0] * inv_z2 * T36[12 + c];
+        jw[6 + c] = fy * inv_z * T36[6 + c] - fy * q[1] * inv_z2 * T36[12 + c];
+      }
+
+      if (method == 0 || method == 2) {
+        const T diff = (T)lv.gray_trg[j] - (T)lv.gray_src[i];
+        const T wp = weight_huber(diff, std_photo) * std_photo_inv;
+        const T werr = wp * diff;
+        out->photo_err2 += (double)werr * (double)werr;
+        ++out->n_photo;
+        const T gx = (T)lv.ggx[j], gy = (T)lv.ggy[j];
+        T jac[6];
+        for (int k = 0; k < 6; ++k) jac[k] = wp * (gx * jw[k] + gy * jw[6 + k]);
+        for (int a = 0; a < 6; ++a) {
+          for (int b = a; b < 6; ++b) out->H[6 * a + b] += jac[a] * jac[b];
+          out->g[a] += jac[a] * werr;
+        }
+      }
+      if (method == 1 || method == 2) {
+        const T depth2 = (T)lv.depth_trg[j];
+        if (std::isfinite(depth2) && depth2 > (T)0) {
+          const T ddiff = depth2 - q[2];
+          const T reg = std_depth * q[2];
+          const T wd = weight_huber(ddiff, reg) / reg;
+          const T werr = wd * ddiff;
+          out->depth_err2 += (double)werr * (double)werr;
+          ++out->n_depth;
+          const T dgx = (T)lv.dgx[j], dgy = (T)lv.dgy[j];
+          T jac[6];
+          for (int k = 0; k < 6; ++k)
+            jac[k] = wd * (dgx * jw[k] + dgy * jw[6 + k] - T36[12 + k]);
+          for (int a = 0; a < 6; ++a) {
+            for (int b = a; b < 6; ++b) out->H[6 * a + b] += jac[a] * jac[b];
+            out->g[a] += jac[a] * werr;
+          }
+        }
+      }
+    }
+  }
+  for (int a = 0; a < 6; ++a)
+    for (int b = 0; b < a; ++b) out->H[6 * a + b] = out->H[6 * b + a];
+}
+
 template <typename T>
 void run_pinhole_sweep(const Level& lv, const Params& pp, const float pose[16],
                        const double kf[4], int level, int method) {
@@ -816,7 +942,8 @@ void run_align(std::vector<Level>& levels, const Params& pp, float pose[16],
 template <typename T>
 void run(int mode, int method, int do_mask, std::vector<Level>& levels,
          const Params& pp, float pose[16], const double kf[4],
-         int pinhole_level, int n_build_levels, double thres_outliers) {
+         int pinhole_level, int n_build_levels, double thres_outliers,
+         const float cam_rt[16]) {
   if (mode == 8 || mode == 9) {
     if (do_mask)
       for (auto& lv : levels) mask_seams(&lv);
@@ -842,7 +969,18 @@ void run(int mode, int method, int do_mask, std::vector<Level>& levels,
   }
   if (do_mask)
     for (auto& lv : levels) mask_seams(&lv);
-  if (mode == 2) {
+  if (mode == 10) {
+    PinholeSweep<T> s;
+    sweep_robot<T>(levels[0], pp, pose, cam_rt, kf, pinhole_level, method, &s);
+    std::printf("perr2 %.12g\nnphoto %ld\nderr2 %.12g\nndepth %ld\n",
+                s.photo_err2, s.n_photo, s.depth_err2, s.n_depth);
+    std::printf("H");
+    for (int a = 0; a < 6; ++a)
+      for (int b = a; b < 6; ++b) std::printf(" %.12g", (double)s.H[6 * a + b]);
+    std::printf("\ng");
+    for (int a = 0; a < 6; ++a) std::printf(" %.12g", (double)s.g[a]);
+    std::printf("\n");
+  } else if (mode == 2) {
     run_pinhole_sweep<T>(levels[0], pp, pose, kf, pinhole_level, method);
   } else if (mode == 0) {
     Sweep<T> s;
@@ -1023,9 +1161,17 @@ int main(int argc, char** argv) {
   // pinhole modes carry an extra block: full-res {fx, fy, ox, oy} + level
   double kf[4] = {0, 0, 0, 0};
   int32_t pinhole_level = 0;
-  if (mode == 2) {
+  if (mode == 2 || mode == 10) {
     if (!read_exact(f, kf, 32) || !read_exact(f, &pinhole_level, 4)) {
       std::fprintf(stderr, "truncated pinhole block\n");
+      return 2;
+    }
+  }
+  // robot-frame mode carries the camera-on-rig extrinsic after the K block
+  float cam_rt[16] = {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1};
+  if (mode == 10) {
+    if (!read_exact(f, cam_rt, 64)) {
+      std::fprintf(stderr, "truncated camRt block\n");
       return 2;
     }
   }
@@ -1143,9 +1289,9 @@ int main(int argc, char** argv) {
   std::fclose(f);
   if (use_double)
     run<double>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
-                n_levels, thres_outliers);
+                n_levels, thres_outliers, cam_rt);
   else
     run<float>(mode, method, do_mask, levels, pp, pose, kf, pinhole_level,
-               n_levels, thres_outliers);
+               n_levels, thres_outliers, cam_rt);
   return 0;
 }
