@@ -62,7 +62,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    probe_ok, probe_detail = _probe_device()
+    # Retry through a tunnel flap: the axon outages sometimes clear within
+    # minutes, and the driver benches once per round — a retry is cheap
+    # insurance against publishing a 0.0 for a transient blip. An honest
+    # outage still reports as one after the retries.
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
+    for attempt in range(retries + 1):
+        probe_ok, probe_detail = _probe_device()
+        if probe_ok or attempt == retries:
+            break
+        print(
+            f"# probe attempt {attempt + 1}/{retries + 1} failed "
+            f"({probe_detail}); retrying in 120 s",
+            file=sys.stderr,
+        )
+        time.sleep(120)
     if not probe_ok:
         print(
             json.dumps(
