@@ -252,6 +252,16 @@ WARP_KERNEL_PACKED16 = False
 # loop-closure-scale motion without TPU hardware (tests/test_warp_kernel.py).
 EMULATE_KERNEL_WINDOW_MASK = False
 
+# Exact-final banded re-gather as ONE dual-anchored kernel pass instead of
+# the sequential min- then max-anchored passes (warp_gather_masked_dual —
+# one grid traversal, one out-array write, no where-merge). Coverage is the
+# union of both anchors over the full miss set; the sequential form anchors
+# the max pass on the post-min residue, so the two can differ on the rare
+# pixels only a residue-anchored window reaches — stats stay exact over
+# whatever is covered either way. OFF until the on-chip A/B (the candidate
+# saves ~half the stats-pass fixed costs; tools/profile_stats_cost.py).
+EXACT_FINAL_DUAL = False
+
 
 def _use_warp_kernel(shape) -> bool:
     import jax as _jax
@@ -637,6 +647,7 @@ def _exact_final_missed_stats(
     """
     from rgbd360_tpu.ops.warp_gather import (
         warp_gather_masked,
+        warp_gather_masked_dual,
         warp_gather_masked_max,
         window_mask_reference,
     )
@@ -654,17 +665,21 @@ def _exact_final_missed_stats(
     c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
 
     in_window = window_mask_reference(r2d, c2d)
-    planes_out = None
-    for gather_k in (warp_gather_masked, warp_gather_masked_max):
+    if EXACT_FINAL_DUAL:
         miss = vis2d & ~in_window
-        out_k, hit_k = gather_k(packed, r2d, c2d, miss)
-        if planes_out is None:
-            planes_out = out_k
-            covered = hit_k
-        else:
-            planes_out = jnp.where(covered[None], planes_out, out_k)
-            covered = covered | hit_k
-        in_window = in_window | hit_k
+        planes_out, covered = warp_gather_masked_dual(packed, r2d, c2d, miss)
+    else:
+        planes_out = None
+        for gather_k in (warp_gather_masked, warp_gather_masked_max):
+            miss = vis2d & ~in_window
+            out_k, hit_k = gather_k(packed, r2d, c2d, miss)
+            if planes_out is None:
+                planes_out = out_k
+                covered = hit_k
+            else:
+                planes_out = jnp.where(covered[None], planes_out, out_k)
+                covered = covered | hit_k
+            in_window = in_window | hit_k
 
     if packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
         gray2, d_lo = _unpack2_f16(planes_out[0].reshape(-1))

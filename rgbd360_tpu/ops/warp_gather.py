@@ -288,6 +288,224 @@ def _kernel_pipelined(
             out_ref[0, :, v * BR + row, :] = acc
 
 
+def _kernel_pipelined_dual(
+    r0a, c0a, r0b, c0b, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
+    *, w_real
+):
+    """Dual-anchored variant of _kernel_pipelined for the exact-final banded
+    re-gather: each tile DMAs TWO windows — min-anchored and max-anchored
+    over the same active set — and gathers every active pixel from whichever
+    window covers it (values agree where both do: same source planes).  One
+    grid traversal replaces the two sequential masked passes, halving the
+    per-step fixed costs, the out-array HBM writes, and the XLA-side
+    where-merge of two result arrays.  Coverage == the UNION of the two
+    standalone anchored passes over the same active set
+    (window_mask_reference "min" | "max") — gated in interpret mode by
+    tests/test_warp_kernel_interpret.py."""
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+    linear = (b * nr + i) * nc + j
+    total = nb * nr * nc
+    slot = jax.lax.rem(linear, 2)
+    cdim = planes_hbm.shape[2]
+
+    def start_dma(lin, slot_):
+        bn = lin // (nr * nc)
+        rem = jax.lax.rem(lin, nr * nc)
+        in_, jn = rem // nc, jax.lax.rem(rem, nc)
+        for v in range(VR):
+            for which, (r0s_, c0s_) in enumerate(((r0a, c0a), (r0b, c0b))):
+                r0n = r0s_[bn, in_ * VR + v, jn]
+                c0n = pl.multiple_of(c0s_[bn, in_ * VR + v, jn], 128)
+                pltpu.make_async_copy(
+                    planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
+                    patch.at[pl.ds(((slot_ * VR + v) * 2 + which) * PR, PR)],
+                    sems.at[(slot_ * VR + v) * 2 + which],
+                ).start()
+
+    @pl.when(linear == 0)
+    def _():
+        start_dma(linear, slot)
+
+    @pl.when(linear + 1 < total)
+    def _():
+        start_dma(linear + 1, jax.lax.rem(linear + 1, 2))
+
+    for v in range(VR):
+        r = r_ref[0, v * BR : (v + 1) * BR]
+        c = c_ref[0, v * BR : (v + 1) * BR]
+        act = a_ref[0, v * BR : (v + 1) * BR] != 0
+        c_hi = jnp.where(act, c, -_BIG)
+        c_lo = jnp.where(act, c, _BIG)
+        straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
+        c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
+
+        for which in range(2):
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    b,
+                    pl.ds(
+                        (r0a if which == 0 else r0b)[b, i * VR + v, j], PR
+                    ),
+                    :,
+                    pl.ds(
+                        pl.multiple_of(
+                            (c0a if which == 0 else c0b)[b, i * VR + v, j], 128
+                        ),
+                        PC,
+                    ),
+                ],
+                patch.at[pl.ds(((slot * VR + v) * 2 + which) * PR, PR)],
+                sems.at[(slot * VR + v) * 2 + which],
+            ).wait()
+
+        accs = []
+        hits = []
+        for which in range(2):
+            r0 = (r0a if which == 0 else r0b)[b, i * VR + v, j]
+            c0 = pl.multiple_of((c0a if which == 0 else c0b)[b, i * VR + v, j], 128)
+            lr = r - r0
+            lc = c - c0
+            lc_ok = (lc >= 0) & (lc < PC) & act
+            lcc = jnp.clip(lc, 0, PC - 1)
+            lcm = jnp.remainder(lcc, 128)
+            sub_idx = lcc // 128
+            if which == 0:  # min-anchored: cover the lowest active band
+                lo_rows = jnp.min(jnp.where(lc_ok, lr, _BIG), axis=1).astype(
+                    jnp.int32
+                )
+            else:  # max-anchored: cover the highest active band
+                lo_rows = (
+                    jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=1) - (K - 1)
+                ).astype(jnp.int32)
+
+            base = ((slot * VR + v) * 2 + which) * PR
+            for row in range(BR):
+                lo_i = jnp.clip(lo_rows[row], 0, PR - K)
+                idx = jnp.broadcast_to(lcm[row : row + 1, :], (cdim, BC))
+                hit_i = jnp.zeros((1, BC), jnp.int32)
+                acc = jnp.zeros((cdim, BC), jnp.int32)
+                for kk in range(K):
+                    plane = patch[base + lo_i + kk]
+                    val = jnp.zeros((cdim, BC), jnp.int32)
+                    for sb in range(PC // 128):
+                        g = jnp.take_along_axis(
+                            plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1
+                        )
+                        val = jnp.where(sub_idx[row : row + 1, :] == sb, g, val)
+                    sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[
+                        row : row + 1, :
+                    ]
+                    acc = acc + jnp.where(sel, val, 0)
+                    hit_i = hit_i | sel.astype(jnp.int32)
+                if which == 0:
+                    accs.append(acc)
+                    hits.append(hit_i)
+                else:
+                    # add window B's contribution only where A missed —
+                    # values agree where both cover, but the sum must not
+                    # double-count
+                    covered = hits[row] > 0
+                    accs[row] = accs[row] + jnp.where(
+                        (hit_i > 0) & ~covered, acc, 0
+                    )
+                    hits[row] = hits[row] | hit_i
+
+        for row in range(BR):
+            acc, hit_i = accs[row], hits[row]
+            if cdim == 8:
+                flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
+                acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
+            else:
+                flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
+                acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
+            out_ref[0, :, v * BR + row, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("wrap",))
+def warp_gather_batched_dual(
+    planes: jnp.ndarray,
+    r_idx: jnp.ndarray,
+    c_idx: jnp.ndarray,
+    active: jnp.ndarray,
+    wrap: bool = True,
+):
+    """One-pass dual-anchored masked gather: covers active pixels reachable
+    by EITHER the min- or the max-anchored window of their tile (the union
+    of warp_gather_masked and warp_gather_masked_max over the same active
+    set).  Same operand/return contract as warp_gather_batched."""
+    bsz, ht, cdim, wt = planes.shape
+    _, ho, wo = r_idx.shape
+    assert cdim in (4, 8), cdim
+    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
+    active = active.astype(jnp.int32)
+    hop = _round_up(ho, BR * VR)
+    wop = _round_up(wo, BC)
+    htp = max(ht, PR)
+    if wrap:
+        if wt > 2 * PC and wt % BC != 0:
+            raise ValueError(
+                f"wrap=True needs width % {BC} == 0 (or width <= {2 * PC}); got {wt}"
+            )
+        planes = jnp.concatenate([planes, planes[..., : min(PC, wt)]], axis=3)
+        w_eff = wt
+    else:
+        w_eff = 1 << 22
+    wtp = max(_round_up(planes.shape[3], BC), PC + BC)
+    planes = jnp.pad(
+        planes, ((0, 0), (0, htp - ht), (0, 0), (0, wtp - planes.shape[3]))
+    )
+    if (hop, wop) != (ho, wo):
+        r_idx = jnp.pad(r_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        active = jnp.pad(active, ((0, 0), (0, hop - ho), (0, wop - wo)))
+
+    planes_bits = (
+        planes
+        if planes.dtype == jnp.int32
+        else jax.lax.bitcast_convert_type(planes, jnp.int32)
+    )
+    r0a, c0a = _tile_origins(
+        r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3], anchor="min"
+    )
+    r0b, c0b = _tile_origins(
+        r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3], anchor="max"
+    )
+    grid = (bsz, hop // (BR * VR), wop // BC)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cdim, BR * VR, BC), lambda b, i, j, *_: (b, 0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * VR * 2 * PR, cdim, PC), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * VR * 2,)),
+        ],
+    )
+    out_bits = pl.pallas_call(
+        functools.partial(_kernel_pipelined_dual, w_real=w_eff),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
+    )(r0a, c0a, r0b, c0b, r_idx, c_idx, active, planes_bits)
+    if cdim == 8:
+        out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+        mask = out[:, 6]
+    else:
+        out = out_bits
+        mask = ((out_bits[:, 1] >> 16) & 0xFFFF == 0x3C00).astype(jnp.float32)
+    if (hop, wop) != (ho, wo):
+        out = out[:, :, :ho, :wo]
+        mask = mask[:, :ho, :wo]
+    return out, mask > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("row_policy", "wrap"))
 def warp_gather_batched(
     planes: jnp.ndarray,
@@ -571,3 +789,27 @@ def _make_masked_entry(policy):
 # parallax bands a single window cannot span.
 warp_gather_masked = _make_masked_entry("min")
 warp_gather_masked_max = _make_masked_entry("max")
+
+
+@jax.custom_batching.custom_vmap
+def warp_gather_masked_dual(planes, r_idx, c_idx, active):
+    """Single-pair dual-anchored masked gather: covers the union of the min-
+    and max-anchored windows in ONE kernel traversal (see
+    warp_gather_batched_dual)."""
+    out, mask = warp_gather_batched_dual(
+        planes[None], r_idx[None], c_idx[None], active[None]
+    )
+    return out[0], mask[0]
+
+
+@warp_gather_masked_dual.def_vmap
+def _warp_gather_masked_dual_vmap(axis_size, in_batched, planes, r_idx, c_idx, active):
+    pb, rb, cb, ab = in_batched
+
+    def ensure(x, batched):
+        return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    out, mask = warp_gather_batched_dual(
+        ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb), ensure(active, ab)
+    )
+    return (out, mask), (True, True)

@@ -40,9 +40,11 @@ def interpret_kernel():
 
     pl.pallas_call = patched
     wg.warp_gather_batched.clear_cache()
+    wg.warp_gather_batched_dual.clear_cache()
     yield
     pl.pallas_call = orig
     wg.warp_gather_batched.clear_cache()
+    wg.warp_gather_batched_dual.clear_cache()
 
 
 def _warp_indices(seed, h, w, dr, dc, seam=False):
@@ -163,3 +165,99 @@ def test_packed_i32_layout_is_bit_exact_incl_denormals(interpret_kernel):
     np.testing.assert_array_equal(
         (out[1][mask] >> 16) & 0xFFFF, np.int32(0x3C00)
     )
+
+
+def test_dual_anchored_pass_is_union_of_min_and_max(interpret_kernel):
+    """warp_gather_batched_dual (one traversal, two windows per tile) must
+    cover exactly the UNION of the standalone min- and max-anchored passes
+    over the same active set, with identical data on every covered pixel —
+    the equivalence that lets exact-final stats fuse its two banded
+    re-gather passes into one kernel call."""
+    rng = np.random.default_rng(17)
+    h, w = 64, 256
+    planes = rng.normal(size=(h, 8, w)).astype(np.float32)
+    planes[:, 6, :] = 0.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    band = (xx % 2) == 0  # two parallax bands one K=6 window can't span
+    r = np.clip(yy + np.where(band, -10, 10), 0, h - 1).astype(np.int32)
+    c = ((xx + rng.integers(-5, 6, size=(h, w))) % w).astype(np.int32)
+    # active set = the default pass's misses, like the real composition
+    _, mask0 = wg.warp_gather_batched(
+        jnp.asarray(planes)[None], jnp.asarray(r)[None], jnp.asarray(c)[None]
+    )
+    miss = ~np.asarray(mask0)[0]
+    assert miss.mean() > 0.2
+
+    out_d, hit_d = wg.warp_gather_masked_dual(
+        jnp.asarray(planes), jnp.asarray(r), jnp.asarray(c), jnp.asarray(miss)
+    )
+    out_min, hit_min = wg.warp_gather_masked(
+        jnp.asarray(planes), jnp.asarray(r), jnp.asarray(c), jnp.asarray(miss)
+    )
+    out_max, hit_max = wg.warp_gather_masked_max(
+        jnp.asarray(planes), jnp.asarray(r), jnp.asarray(c), jnp.asarray(miss)
+    )
+    out_d, hit_d = np.asarray(out_d), np.asarray(hit_d)
+    hit_min, hit_max = np.asarray(hit_min), np.asarray(hit_max)
+
+    np.testing.assert_array_equal(hit_d, hit_min | hit_max)
+    assert hit_d[miss].mean() > 0.8  # the two anchors together span the bands
+
+    direct = _direct(planes, r, c)
+    ch = [0, 1, 2, 3, 4, 5, 7]
+    np.testing.assert_array_equal(out_d[ch][:, hit_d], direct[ch][:, hit_d])
+    # and agrees with the sequential passes where each covers
+    np.testing.assert_array_equal(
+        out_d[ch][:, hit_min], np.asarray(out_min)[ch][:, hit_min]
+    )
+    np.testing.assert_array_equal(
+        out_d[ch][:, hit_max], np.asarray(out_max)[ch][:, hit_max]
+    )
+
+
+def test_exact_final_dual_flag_matches_sequential_stats(interpret_kernel, monkeypatch):
+    """ops/photoicp._exact_final_missed_stats under EXACT_FINAL_DUAL must
+    reproduce the sequential two-pass composition's sums/counts on a
+    realistic small spherical level (the sequential max pass anchors on the
+    post-min residue; whenever the residue's extreme coincides with the full
+    miss set's — every band-structured miss pattern — the two compositions
+    cover identical pixels and the stats are EQUAL)."""
+    from rgbd360_tpu.ops import photoicp as pi
+    from rgbd360_tpu.ops.sphere import sphere_xyz_lut
+
+    rng = np.random.default_rng(23)
+    h, w = 32, 128
+    gray_s = rng.uniform(0.2, 0.8, size=(h, w)).astype(np.float32)
+    gray_t = rng.uniform(0.2, 0.8, size=(h, w)).astype(np.float32)
+    depth_s = rng.uniform(1.5, 3.5, size=(h, w)).astype(np.float32)
+    depth_t = rng.uniform(1.5, 3.5, size=(h, w)).astype(np.float32)
+    # strong gradients so saliency passes nearly everywhere
+    g = lambda: rng.uniform(-0.5, 0.5, size=(h, w)).astype(np.float32)
+    level = pi.LevelData(
+        gray_src=jnp.asarray(gray_s), depth_src=jnp.asarray(depth_s),
+        gray_trg=jnp.asarray(gray_t), depth_trg=jnp.asarray(depth_t),
+        gray_trg_gx=jnp.asarray(g()), gray_trg_gy=jnp.asarray(g()),
+        depth_trg_gx=jnp.asarray(g()), depth_trg_gy=jnp.asarray(g()),
+    )
+    packed = pi.pack_target_planes8(level)
+    xyz, valid = sphere_xyz_lut(level.depth_src, pi.MIN_DEPTH, pi.MAX_DEPTH)
+    # a large motion so the mean-centred windows genuinely miss bands
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.25, -0.4, 0.55)
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(pi, "EXACT_FINAL_DUAL", flag)
+        outs[flag] = [
+            np.asarray(x)
+            for x in pi._exact_final_missed_stats(
+                level.gray_src.reshape(-1), packed, (h, w), xyz, valid,
+                jnp.asarray(pose), pi.PHOTO_DEPTH,
+            )
+        ]
+    seq, dual = outs[False], outs[True]
+    assert seq[4] > 0  # the scene exercises the re-gather (n_extra > 0)
+    for a, b, name in zip(
+        seq, dual, ["photo_err2", "n_photo", "depth_err2", "n_depth", "n_extra"]
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=name)
