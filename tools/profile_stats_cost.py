@@ -155,6 +155,29 @@ def main():
         return out[0]
 
     chain_time(plain_sweep, gray_flat, pose, k=k, label="D plain L0 fused sweep")
+
+    # E: the dual-anchored single-pass candidate (one traversal, two windows
+    # per tile — candidate replacement for the sequential min+max passes)
+    from rgbd360_tpu.ops.warp_gather import warp_gather_masked_dual
+
+    def dual_masked(pk_f, r, c, m):
+        out, hit = warp_gather_masked_dual(packed, r, c, m)
+        return out[0].astype(jnp.float32).sum() + hit.astype(jnp.float32).sum() + pk_f * 0
+
+    chain_time(
+        dual_masked, jnp.float32(0.0), r2d, c2d, mask0, k=k,
+        label="E dual-anchored single kernel pass",
+    )
+
+    # F: the full missed-stats path with EXACT_FINAL_DUAL on
+    photoicp.EXACT_FINAL_DUAL = True
+    try:
+        chain_time(
+            full_stats, gray_flat, pose, k=k,
+            label="F _exact_final_missed_stats (dual)",
+        )
+    finally:
+        photoicp.EXACT_FINAL_DUAL = False
     return 0
 
 
