@@ -288,39 +288,41 @@ def _kernel_pipelined(
             out_ref[0, :, v * BR + row, :] = acc
 
 
-def _kernel_pipelined_dual(
-    r0a, c0a, r0b, c0b, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
-    *, w_real
+def _kernel_pipelined_multi(
+    r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
+    *, w_real, anchors
 ):
-    """Dual-anchored variant of _kernel_pipelined for the exact-final banded
-    re-gather: each tile DMAs TWO windows — min-anchored and max-anchored
-    over the same active set — and gathers every active pixel from whichever
-    window covers it (values agree where both do: same source planes).  One
-    grid traversal replaces the two sequential masked passes, halving the
-    per-step fixed costs, the out-array HBM writes, and the XLA-side
-    where-merge of two result arrays.  Coverage == the UNION of the two
-    standalone anchored passes over the same active set
-    (window_mask_reference "min" | "max") — gated in interpret mode by
-    tests/test_warp_kernel_interpret.py."""
+    """Multi-window variant of _kernel_pipelined: each tile DMAs one window
+    PER ANCHOR (origins arrive stacked as (A, B, nr, nc) scalar-prefetch
+    arrays) and gathers every active pixel from the first window that covers
+    it (values agree wherever windows overlap: same source planes).  One
+    grid traversal replaces A sequential masked passes — one out-array HBM
+    write, no XLA-side where-merges.  anchors is a static tuple drawn from
+    {"mean", "min", "max"}; ("min", "max") fuses the exact-final banded
+    re-gather, ("mean", "min", "max") is a full-coverage single pass.
+    Coverage == the UNION of the standalone per-anchor passes over the same
+    active set (window_mask_reference per policy) — gated in interpret mode
+    by tests/test_warp_kernel_interpret.py."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
     total = nb * nr * nc
     slot = jax.lax.rem(linear, 2)
     cdim = planes_hbm.shape[2]
+    A = len(anchors)
 
     def start_dma(lin, slot_):
         bn = lin // (nr * nc)
         rem = jax.lax.rem(lin, nr * nc)
         in_, jn = rem // nc, jax.lax.rem(rem, nc)
         for v in range(VR):
-            for which, (r0s_, c0s_) in enumerate(((r0a, c0a), (r0b, c0b))):
-                r0n = r0s_[bn, in_ * VR + v, jn]
-                c0n = pl.multiple_of(c0s_[bn, in_ * VR + v, jn], 128)
+            for which in range(A):
+                r0n = r0s[which, bn, in_ * VR + v, jn]
+                c0n = pl.multiple_of(c0s[which, bn, in_ * VR + v, jn], 128)
                 pltpu.make_async_copy(
                     planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
-                    patch.at[pl.ds(((slot_ * VR + v) * 2 + which) * PR, PR)],
-                    sems.at[(slot_ * VR + v) * 2 + which],
+                    patch.at[pl.ds(((slot_ * VR + v) * A + which) * PR, PR)],
+                    sems.at[(slot_ * VR + v) * A + which],
                 ).start()
 
     @pl.when(linear == 0)
@@ -340,46 +342,45 @@ def _kernel_pipelined_dual(
         straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
         c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
 
-        for which in range(2):
+        for which in range(A):
             pltpu.make_async_copy(
                 planes_hbm.at[
                     b,
-                    pl.ds(
-                        (r0a if which == 0 else r0b)[b, i * VR + v, j], PR
-                    ),
+                    pl.ds(r0s[which, b, i * VR + v, j], PR),
                     :,
-                    pl.ds(
-                        pl.multiple_of(
-                            (c0a if which == 0 else c0b)[b, i * VR + v, j], 128
-                        ),
-                        PC,
-                    ),
+                    pl.ds(pl.multiple_of(c0s[which, b, i * VR + v, j], 128), PC),
                 ],
-                patch.at[pl.ds(((slot * VR + v) * 2 + which) * PR, PR)],
-                sems.at[(slot * VR + v) * 2 + which],
+                patch.at[pl.ds(((slot * VR + v) * A + which) * PR, PR)],
+                sems.at[(slot * VR + v) * A + which],
             ).wait()
 
         accs = []
         hits = []
-        for which in range(2):
-            r0 = (r0a if which == 0 else r0b)[b, i * VR + v, j]
-            c0 = pl.multiple_of((c0a if which == 0 else c0b)[b, i * VR + v, j], 128)
+        for which, anchor in enumerate(anchors):
+            r0 = r0s[which, b, i * VR + v, j]
+            c0 = pl.multiple_of(c0s[which, b, i * VR + v, j], 128)
             lr = r - r0
             lc = c - c0
             lc_ok = (lc >= 0) & (lc < PC) & act
             lcc = jnp.clip(lc, 0, PC - 1)
             lcm = jnp.remainder(lcc, 128)
             sub_idx = lcc // 128
-            if which == 0:  # min-anchored: cover the lowest active band
+            if anchor == "mean":  # centre on each row's mean target row
+                lr_f = lr.astype(jnp.float32)
+                lc_okf = lc_ok.astype(jnp.float32)
+                row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
+                row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
+                lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)
+            elif anchor == "min":  # cover the lowest active band
                 lo_rows = jnp.min(jnp.where(lc_ok, lr, _BIG), axis=1).astype(
                     jnp.int32
                 )
-            else:  # max-anchored: cover the highest active band
+            else:  # "max": cover the highest active band
                 lo_rows = (
                     jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=1) - (K - 1)
                 ).astype(jnp.int32)
 
-            base = ((slot * VR + v) * 2 + which) * PR
+            base = ((slot * VR + v) * A + which) * PR
             for row in range(BR):
                 lo_i = jnp.clip(lo_rows[row], 0, PR - K)
                 idx = jnp.broadcast_to(lcm[row : row + 1, :], (cdim, BC))
@@ -402,9 +403,9 @@ def _kernel_pipelined_dual(
                     accs.append(acc)
                     hits.append(hit_i)
                 else:
-                    # add window B's contribution only where A missed —
-                    # values agree where both cover, but the sum must not
-                    # double-count
+                    # a later window contributes only where every earlier
+                    # one missed — values agree where windows overlap, but
+                    # the sum must not double-count
                     covered = hits[row] > 0
                     accs[row] = accs[row] + jnp.where(
                         (hit_i > 0) & ~covered, acc, 0
@@ -422,18 +423,19 @@ def _kernel_pipelined_dual(
             out_ref[0, :, v * BR + row, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("wrap",))
-def warp_gather_batched_dual(
+@functools.partial(jax.jit, static_argnames=("wrap", "anchors"))
+def warp_gather_batched_multi(
     planes: jnp.ndarray,
     r_idx: jnp.ndarray,
     c_idx: jnp.ndarray,
     active: jnp.ndarray,
     wrap: bool = True,
+    anchors: tuple = ("min", "max"),
 ):
-    """One-pass dual-anchored masked gather: covers active pixels reachable
-    by EITHER the min- or the max-anchored window of their tile (the union
-    of warp_gather_masked and warp_gather_masked_max over the same active
-    set).  Same operand/return contract as warp_gather_batched."""
+    """One-pass multi-anchored masked gather: covers active pixels reachable
+    by ANY of the per-anchor windows of their tile (the union of the
+    corresponding standalone passes over the same active set).  Same
+    operand/return contract as warp_gather_batched."""
     bsz, ht, cdim, wt = planes.shape
     _, ho, wo = r_idx.shape
     assert cdim in (4, 8), cdim
@@ -465,15 +467,21 @@ def warp_gather_batched_dual(
         if planes.dtype == jnp.int32
         else jax.lax.bitcast_convert_type(planes, jnp.int32)
     )
-    r0a, c0a = _tile_origins(
-        r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3], anchor="min"
-    )
-    r0b, c0b = _tile_origins(
-        r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3], anchor="max"
-    )
+    A = len(anchors)
+    origins = [
+        _tile_origins(
+            r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3],
+            # "mean" row policy uses min-anchored DMA windows, like
+            # warp_gather_batched's default pass
+            anchor="max" if a == "max" else "min",
+        )
+        for a in anchors
+    ]
+    r0s = jnp.stack([o[0] for o in origins])
+    c0s = jnp.stack([o[1] for o in origins])
     grid = (bsz, hop // (BR * VR), wop // BC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
@@ -485,15 +493,15 @@ def warp_gather_batched_dual(
             (1, cdim, BR * VR, BC), lambda b, i, j, *_: (b, 0, i, j)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * VR * 2 * PR, cdim, PC), jnp.int32),
-            pltpu.SemaphoreType.DMA((2 * VR * 2,)),
+            pltpu.VMEM((2 * VR * A * PR, cdim, PC), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * VR * A,)),
         ],
     )
     out_bits = pl.pallas_call(
-        functools.partial(_kernel_pipelined_dual, w_real=w_eff),
+        functools.partial(_kernel_pipelined_multi, w_real=w_eff, anchors=anchors),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
-    )(r0a, c0a, r0b, c0b, r_idx, c_idx, active, planes_bits)
+    )(r0s, c0s, r_idx, c_idx, active, planes_bits)
     if cdim == 8:
         out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
         mask = out[:, 6]
@@ -791,25 +799,33 @@ warp_gather_masked = _make_masked_entry("min")
 warp_gather_masked_max = _make_masked_entry("max")
 
 
-@jax.custom_batching.custom_vmap
-def warp_gather_masked_dual(planes, r_idx, c_idx, active):
-    """Single-pair dual-anchored masked gather: covers the union of the min-
-    and max-anchored windows in ONE kernel traversal (see
-    warp_gather_batched_dual)."""
-    out, mask = warp_gather_batched_dual(
-        planes[None], r_idx[None], c_idx[None], active[None]
-    )
-    return out[0], mask[0]
+def _make_multi_entry(anchors):
+    @jax.custom_batching.custom_vmap
+    def entry(planes, r_idx, c_idx, active):
+        out, mask = warp_gather_batched_multi(
+            planes[None], r_idx[None], c_idx[None], active[None], anchors=anchors
+        )
+        return out[0], mask[0]
+
+    @entry.def_vmap
+    def _vmap(axis_size, in_batched, planes, r_idx, c_idx, active):
+        pb, rb, cb, ab = in_batched
+
+        def ensure(x, batched):
+            return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        out, mask = warp_gather_batched_multi(
+            ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb),
+            ensure(active, ab), anchors=anchors,
+        )
+        return (out, mask), (True, True)
+
+    return entry
 
 
-@warp_gather_masked_dual.def_vmap
-def _warp_gather_masked_dual_vmap(axis_size, in_batched, planes, r_idx, c_idx, active):
-    pb, rb, cb, ab = in_batched
-
-    def ensure(x, batched):
-        return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-    out, mask = warp_gather_batched_dual(
-        ensure(planes, pb), ensure(r_idx, rb), ensure(c_idx, cb), ensure(active, ab)
-    )
-    return (out, mask), (True, True)
+# One traversal fusing the exact-final's min- then max-anchored re-gathers.
+warp_gather_masked_dual = _make_multi_entry(("min", "max"))
+# One traversal covering mean+min+max — a full-coverage single-pass gather
+# (candidate replacement for default-pass + mirror + two re-gathers when the
+# XLA window-mask recompute prices high; see tools/profile_stats_cost.py).
+warp_gather_masked_full = _make_multi_entry(("mean", "min", "max"))

@@ -40,11 +40,11 @@ def interpret_kernel():
 
     pl.pallas_call = patched
     wg.warp_gather_batched.clear_cache()
-    wg.warp_gather_batched_dual.clear_cache()
+    wg.warp_gather_batched_multi.clear_cache()
     yield
     pl.pallas_call = orig
     wg.warp_gather_batched.clear_cache()
-    wg.warp_gather_batched_dual.clear_cache()
+    wg.warp_gather_batched_multi.clear_cache()
 
 
 def _warp_indices(seed, h, w, dr, dc, seam=False):
@@ -261,3 +261,37 @@ def test_exact_final_dual_flag_matches_sequential_stats(interpret_kernel, monkey
         seq, dual, ["photo_err2", "n_photo", "depth_err2", "n_depth", "n_extra"]
     ):
         np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=name)
+
+
+def test_full_triple_anchored_pass_is_union_of_three(interpret_kernel):
+    """warp_gather_masked_full (mean+min+max windows, one traversal) covers
+    exactly the union of the three per-policy reference masks over the same
+    active set — the single-pass full-coverage candidate."""
+    rng = np.random.default_rng(29)
+    h, w = 64, 256
+    planes = rng.normal(size=(h, 8, w)).astype(np.float32)
+    planes[:, 6, :] = 0.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    band = (xx % 2) == 0
+    r = np.clip(yy + np.where(band, -10, 10), 0, h - 1).astype(np.int32)
+    c = ((xx + rng.integers(-5, 6, size=(h, w))) % w).astype(np.int32)
+    act = np.ones((h, w), bool)
+
+    out, hit = wg.warp_gather_masked_full(
+        jnp.asarray(planes), jnp.asarray(r), jnp.asarray(c), jnp.asarray(act)
+    )
+    out, hit = np.asarray(out), np.asarray(hit)
+
+    expect = np.zeros((h, w), bool)
+    for policy in ("mean", "min", "max"):
+        expect |= np.asarray(
+            wg.window_mask_reference(
+                jnp.asarray(r), jnp.asarray(c), jnp.asarray(act), row_policy=policy
+            )
+        )
+    np.testing.assert_array_equal(hit, expect)
+    assert hit.mean() > 0.9  # three anchors span both bands
+
+    direct = _direct(planes, r, c)
+    ch = [0, 1, 2, 3, 4, 5, 7]
+    np.testing.assert_array_equal(out[ch][:, hit], direct[ch][:, hit])
