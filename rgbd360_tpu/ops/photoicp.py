@@ -262,6 +262,13 @@ EMULATE_KERNEL_WINDOW_MASK = False
 # saves ~half the stats-pass fixed costs; tools/profile_stats_cost.py).
 EXACT_FINAL_DUAL = False
 
+# full_coverage sweeps (LC refinement, relocalization verify) as ONE
+# triple-anchored kernel pass (warp_gather_masked_full: mean+min+max
+# windows) instead of default + two sequential masked re-gathers — one
+# traversal per GN sweep instead of three. Same union-vs-residue coverage
+# caveat as EXACT_FINAL_DUAL. OFF until the on-chip A/B.
+FULL_COVERAGE_FUSED = False
+
 
 def _use_warp_kernel(shape) -> bool:
     import jax as _jax
@@ -484,8 +491,17 @@ def fused_sweep_sphere(
         src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
         c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
-        planes_out, in_window = warp_gather(target_packed, r2d, c2d)
-        if two_pass:
+        if two_pass and FULL_COVERAGE_FUSED:
+            from rgbd360_tpu.ops.warp_gather import warp_gather_masked_full
+
+            # one triple-anchored traversal (mean+min+max windows per tile)
+            # replaces the default pass plus both sequential re-gathers
+            planes_out, in_window = warp_gather_masked_full(
+                target_packed, r2d, c2d, visible.reshape(h, w)
+            )
+        else:
+            planes_out, in_window = warp_gather(target_packed, r2d, c2d)
+        if two_pass and not FULL_COVERAGE_FUSED:
             from rgbd360_tpu.ops.warp_gather import (
                 warp_gather_masked,
                 warp_gather_masked_max,
@@ -538,8 +554,18 @@ def fused_sweep_sphere(
             vis2d = visible.reshape(h, w)
             r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
             c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
-            mask = window_mask_reference(r2d, c2d)
-            if two_pass:
+            if two_pass and FULL_COVERAGE_FUSED:
+                # mirror the fused triple-anchored pass: all three window
+                # policies placed from the SAME (full visible) active set
+                mask = jnp.zeros_like(vis2d)
+                for policy in ("mean", "min", "max"):
+                    mask = mask | window_mask_reference(
+                        r2d, c2d, active=vis2d, row_policy=policy
+                    )
+                mask = mask & vis2d
+            else:
+                mask = window_mask_reference(r2d, c2d)
+            if two_pass and not FULL_COVERAGE_FUSED:
                 # banded re-gather coverage: the min- and max-anchored
                 # passes place their windows from the still-missed subset,
                 # exactly like warp_gather_masked/_masked_max (the values an

@@ -333,3 +333,28 @@ def test_full_coverage_pose_agreement_at_large_motion(pair):
     assert np.linalg.norm(p_e[:3, 3] - p_m[:3, 3]) < 0.02
     ang = float(se3.rot_angle_deg(jnp.asarray(p_e[:3, :3]), jnp.asarray(p_m[:3, :3])))
     assert ang <= 0.5, f"rotation drift {ang:.3f} deg"
+
+
+def test_full_coverage_fused_pose_agreement_at_large_motion(pair):
+    """FULL_COVERAGE_FUSED (one triple-anchored kernel pass per GN sweep
+    instead of default + two sequential re-gathers) must hold the same
+    <=0.5 deg / 2 cm gate vs the exact path — the union-anchored coverage
+    may differ from the sequential residue-anchored coverage on rare
+    pixels, and this pins that the accepted pose doesn't care."""
+    res_exact = _align(pair)
+    old_emu = photoicp.EMULATE_KERNEL_WINDOW_MASK
+    old_fused = photoicp.FULL_COVERAGE_FUSED
+    photoicp.EMULATE_KERNEL_WINDOW_MASK = True
+    photoicp.FULL_COVERAGE_FUSED = True
+    try:
+        res_masked = _align(pair, full_coverage=True)
+    finally:
+        photoicp.EMULATE_KERNEL_WINDOW_MASK = old_emu
+        photoicp.FULL_COVERAGE_FUSED = old_fused
+
+    assert not bool(res_masked.ill_posed)
+    p_e = np.asarray(res_exact.pose)
+    p_m = np.asarray(res_masked.pose)
+    assert np.linalg.norm(p_e[:3, 3] - p_m[:3, 3]) < 0.02
+    ang = float(se3.rot_angle_deg(jnp.asarray(p_e[:3, :3]), jnp.asarray(p_m[:3, :3])))
+    assert ang <= 0.5, f"rotation drift {ang:.3f} deg"
