@@ -28,6 +28,7 @@ Parity notes (kept bit-faithful up to f32 reduction order):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -260,14 +261,16 @@ EMULATE_KERNEL_WINDOW_MASK = False
 # pixels only a residue-anchored window reaches — stats stay exact over
 # whatever is covered either way. OFF until the on-chip A/B (the candidate
 # saves ~half the stats-pass fixed costs; tools/profile_stats_cost.py).
-EXACT_FINAL_DUAL = False
+# Env-overridable (RGBD360_EXACT_FINAL_DUAL=1) so the on-chip A/B needs no
+# code edit.
+EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "") == "1"
 
 # full_coverage sweeps (LC refinement, relocalization verify) as ONE
 # triple-anchored kernel pass (warp_gather_masked_full: mean+min+max
 # windows) instead of default + two sequential masked re-gathers — one
 # traversal per GN sweep instead of three. Same union-vs-residue coverage
 # caveat as EXACT_FINAL_DUAL. OFF until the on-chip A/B.
-FULL_COVERAGE_FUSED = False
+FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "") == "1"
 
 
 def _use_warp_kernel(shape) -> bool:
