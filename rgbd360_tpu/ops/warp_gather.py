@@ -289,7 +289,7 @@ def _kernel_pipelined(
 
 
 def _kernel_pipelined_multi(
-    r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
+    r0s, c0s, any_t, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
     *, w_real, anchors
 ):
     """Multi-window variant of _kernel_pipelined: each tile DMAs one window
@@ -302,7 +302,14 @@ def _kernel_pipelined_multi(
     re-gather, ("mean", "min", "max") is a full-coverage single pass.
     Coverage == the UNION of the standalone per-anchor passes over the same
     active set (window_mask_reference per policy) — gated in interpret mode
-    by tests/test_warp_kernel_interpret.py."""
+    by tests/test_warp_kernel_interpret.py.
+
+    Empty-tile skip: masked active sets are sparse (the exact-final miss set
+    concentrates in parallax bands), so a tile with NO active pixel — which
+    would contribute all-zero acc/hit anyway — skips its window DMAs and
+    gathers entirely and just writes zeros (any_t is the per-tile
+    any-active flag, scalar-prefetched; start/wait consult the same flag so
+    every started DMA is waited exactly once)."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
@@ -316,14 +323,16 @@ def _kernel_pipelined_multi(
         rem = jax.lax.rem(lin, nr * nc)
         in_, jn = rem // nc, jax.lax.rem(rem, nc)
         for v in range(VR):
-            for which in range(A):
-                r0n = r0s[which, bn, in_ * VR + v, jn]
-                c0n = pl.multiple_of(c0s[which, bn, in_ * VR + v, jn], 128)
-                pltpu.make_async_copy(
-                    planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
-                    patch.at[pl.ds(((slot_ * VR + v) * A + which) * PR, PR)],
-                    sems.at[(slot_ * VR + v) * A + which],
-                ).start()
+            @pl.when(any_t[bn, in_ * VR + v, jn] != 0)
+            def _():
+                for which in range(A):
+                    r0n = r0s[which, bn, in_ * VR + v, jn]
+                    c0n = pl.multiple_of(c0s[which, bn, in_ * VR + v, jn], 128)
+                    pltpu.make_async_copy(
+                        planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
+                        patch.at[pl.ds(((slot_ * VR + v) * A + which) * PR, PR)],
+                        sems.at[(slot_ * VR + v) * A + which],
+                    ).start()
 
     @pl.when(linear == 0)
     def _():
@@ -334,14 +343,39 @@ def _kernel_pipelined_multi(
         start_dma(linear + 1, jax.lax.rem(linear + 1, 2))
 
     for v in range(VR):
-        r = r_ref[0, v * BR : (v + 1) * BR]
-        c = c_ref[0, v * BR : (v + 1) * BR]
-        act = a_ref[0, v * BR : (v + 1) * BR] != 0
-        c_hi = jnp.where(act, c, -_BIG)
-        c_lo = jnp.where(act, c, _BIG)
-        straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
-        c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
+        tile_active = any_t[b, i * VR + v, j] != 0
 
+        @pl.when(jnp.logical_not(tile_active))
+        def _(v=v):
+            zero = jnp.zeros((cdim, BC), jnp.int32)
+            for row in range(BR):
+                out_ref[0, :, v * BR + row, :] = zero
+
+        @pl.when(tile_active)
+        def _(v=v):
+            _gather_tile(
+                v, r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch,
+                sems, b, i, j, slot, cdim, w_real, anchors,
+            )
+
+
+def _gather_tile(
+    v, r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
+    b, i, j, slot, cdim, w_real, anchors,
+):
+    """Body of one ACTIVE tile of _kernel_pipelined_multi: wait for its A
+    windows, gather each active pixel from the first window covering it,
+    write acc + hit flag."""
+    A = len(anchors)
+    r = r_ref[0, v * BR : (v + 1) * BR]
+    c = c_ref[0, v * BR : (v + 1) * BR]
+    act = a_ref[0, v * BR : (v + 1) * BR] != 0
+    c_hi = jnp.where(act, c, -_BIG)
+    c_lo = jnp.where(act, c, _BIG)
+    straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
+    c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
+
+    if True:  # (indentation kept aligned with _kernel_pipelined's body)
         for which in range(A):
             pltpu.make_async_copy(
                 planes_hbm.at[
@@ -479,9 +513,15 @@ def warp_gather_batched_multi(
     ]
     r0s = jnp.stack([o[0] for o in origins])
     c0s = jnp.stack([o[1] for o in origins])
+    # per-(8,128)-tile any-active flag: empty tiles skip DMA + gathers in
+    # the kernel (their acc/hit would be all-zero anyway)
+    nr_t, nc_t = hop // BR, wop // BC
+    any_t = (
+        active.reshape(bsz, nr_t, BR, nc_t, BC).max(axis=(2, 4)).astype(jnp.int32)
+    )
     grid = (bsz, hop // (BR * VR), wop // BC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
@@ -501,7 +541,7 @@ def warp_gather_batched_multi(
         functools.partial(_kernel_pipelined_multi, w_real=w_eff, anchors=anchors),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
-    )(r0s, c0s, r_idx, c_idx, active, planes_bits)
+    )(r0s, c0s, any_t, r_idx, c_idx, active, planes_bits)
     if cdim == 8:
         out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
         mask = out[:, 6]
