@@ -272,6 +272,13 @@ EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "") == "1"
 # caveat as EXACT_FINAL_DUAL. OFF until the on-chip A/B.
 FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "") == "1"
 
+# Third exact-final variant: recompute the finest level's stats with ONE
+# triple-anchored stats-only sweep (force_fused) instead of loop-state reuse
+# + the XLA window-mask mirror + banded re-gathers. Wins if the mirror
+# prices high on chip (profile_stats_cost.py stage A). Takes precedence
+# over EXACT_FINAL_DUAL when both are set.
+EXACT_FINAL_FULLPASS = os.environ.get("RGBD360_EXACT_FINAL_FULLPASS", "") == "1"
+
 
 def _use_warp_kernel(shape) -> bool:
     import jax as _jax
@@ -455,6 +462,7 @@ def fused_sweep_sphere(
     occlusion: int = 0,
     two_pass: bool = False,
     stats_only: bool = False,
+    force_fused: bool = False,
 ):
     """One fused pass: error + Hessian + gradient + stats at `pose`.
 
@@ -494,7 +502,7 @@ def fused_sweep_sphere(
         src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
         c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
-        if two_pass and FULL_COVERAGE_FUSED:
+        if two_pass and (FULL_COVERAGE_FUSED or force_fused):
             from rgbd360_tpu.ops.warp_gather import warp_gather_masked_full
 
             # one triple-anchored traversal (mean+min+max windows per tile)
@@ -504,7 +512,7 @@ def fused_sweep_sphere(
             )
         else:
             planes_out, in_window = warp_gather(target_packed, r2d, c2d)
-        if two_pass and not FULL_COVERAGE_FUSED:
+        if two_pass and not (FULL_COVERAGE_FUSED or force_fused):
             from rgbd360_tpu.ops.warp_gather import (
                 warp_gather_masked,
                 warp_gather_masked_max,
@@ -557,7 +565,7 @@ def fused_sweep_sphere(
             vis2d = visible.reshape(h, w)
             r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
             c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
-            if two_pass and FULL_COVERAGE_FUSED:
+            if two_pass and (FULL_COVERAGE_FUSED or force_fused):
                 # mirror the fused triple-anchored pass: all three window
                 # policies placed from the SAME (full visible) active set
                 mask = jnp.zeros_like(vis2d)
@@ -568,7 +576,7 @@ def fused_sweep_sphere(
                 mask = mask & vis2d
             else:
                 mask = window_mask_reference(r2d, c2d)
-            if two_pass and not FULL_COVERAGE_FUSED:
+            if two_pass and not (FULL_COVERAGE_FUSED or force_fused):
                 # banded re-gather coverage: the min- and max-anchored
                 # passes place their windows from the still-missed subset,
                 # exactly like warp_gather_masked/_masked_max (the values an
@@ -892,7 +900,16 @@ def align_level_sphere(
         # the accepted pose stay as the optimization sweep produced them
         # (windowed — they feed entropy/info-matrix uses,
         # tolerance-insensitive).
-        if occlusion == 0:
+        if occlusion == 0 and EXACT_FINAL_FULLPASS:
+            # one triple-anchored stats-only sweep re-derives the finest
+            # level's stats with no mask mirror and no loop-state algebra
+            exact = fused_sweep_sphere(
+                gray_src_flat, packed, shape, xyz, valid,
+                pose, method, occlusion, two_pass=True, stats_only=True,
+                force_fused=True,
+            )
+            state = exact[:1] + state[1:3] + exact[3:]
+        elif occlusion == 0:
             # fast path: the loop state's residual sums are already the
             # in-window contributions at the accepted pose; add ONLY the
             # missed pixels via the two masked re-gather passes (saves the
