@@ -295,3 +295,68 @@ def test_full_triple_anchored_pass_is_union_of_three(interpret_kernel):
     direct = _direct(planes, r, c)
     ch = [0, 1, 2, 3, 4, 5, 7]
     np.testing.assert_array_equal(out[ch][:, hit], direct[ch][:, hit])
+
+
+@pytest.mark.parametrize("variant", ["plain", "two_pass", "fused"])
+def test_fused_sweep_kernel_branch_matches_xla_branch(
+    interpret_kernel, monkeypatch, variant
+):
+    """Drive fused_sweep_sphere's KERNEL branch end-to-end on CPU (interpret
+    mode + forced routing) against the XLA branch at the same pose: packers,
+    i32 movement, window compositions and the sweep math all execute as the
+    chip would run them. At tracking-scale motion the windows cover ~all
+    visible pixels, so term counts must match exactly and the f32 sums
+    tightly (the kernel layout carries f32 gradients vs the XLA layout's
+    packed f16 — only sub-saliency-threshold noise differs)."""
+    from rgbd360_tpu.ops import photoicp as pi
+    from rgbd360_tpu.ops.sphere import sphere_xyz_lut
+
+    rng = np.random.default_rng(31)
+    h, w = 32, 128
+    mk = lambda lo, hi: rng.uniform(lo, hi, size=(h, w)).astype(np.float32)
+    g = lambda: rng.uniform(0.05, 0.5, size=(h, w)).astype(np.float32) * rng.choice(
+        [-1.0, 1.0], size=(h, w)
+    ).astype(np.float32)
+    level = pi.LevelData(
+        gray_src=jnp.asarray(mk(0.2, 0.8)), depth_src=jnp.asarray(mk(1.5, 3.5)),
+        gray_trg=jnp.asarray(mk(0.2, 0.8)), depth_trg=jnp.asarray(mk(1.5, 3.5)),
+        gray_trg_gx=jnp.asarray(g()), gray_trg_gy=jnp.asarray(g()),
+        depth_trg_gx=jnp.asarray(g()), depth_trg_gy=jnp.asarray(g()),
+    )
+    xyz, valid = sphere_xyz_lut(level.depth_src, pi.MIN_DEPTH, pi.MAX_DEPTH)
+    gray_flat = level.gray_src.reshape(-1)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.01, -0.02, 0.03)  # tracking-scale: near-full coverage
+
+    two_pass = variant != "plain"
+    force_fused = variant == "fused"
+    xla_out = [
+        np.asarray(x)
+        for x in pi.fused_sweep_sphere(
+            gray_flat, pi.pack_target_channels(level), (h, w), xyz, valid,
+            jnp.asarray(pose), pi.PHOTO_DEPTH, 0,
+        )
+    ]
+    monkeypatch.setattr(pi, "_use_warp_kernel", lambda shape: True)
+    kern_out = [
+        np.asarray(x)
+        for x in pi.fused_sweep_sphere(
+            gray_flat, pi.pack_target_planes8(level), (h, w), xyz, valid,
+            jnp.asarray(pose), pi.PHOTO_DEPTH, 0,
+            two_pass=two_pass, force_fused=force_fused,
+        )
+    ]
+    # state = (error, H, g, sso, pe2, n_photo, de2, n_depth)
+    names = ["error", "H", "g", "sso", "pe2", "n_photo", "de2", "n_depth"]
+    for a, b, name in zip(xla_out, kern_out, names):
+        if name in ("n_photo", "n_depth"):
+            assert int(a) == int(b), (name, a, b)
+        else:
+            # gradient values ride as f16 pairs in the XLA layout but f32 in
+            # the kernel layout (~0.05% per term); near-cancelling H/g
+            # entries amplify that, so tolerate relative to the MATRIX scale
+            scale = max(float(np.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                b, a, rtol=0, atol=2e-3 * scale, err_msg=name
+            )
+    assert int(kern_out[5]) > 1000  # the scene genuinely contributes terms
