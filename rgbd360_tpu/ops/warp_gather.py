@@ -527,7 +527,7 @@ def warp_gather_batched_multi(
             pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
             pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
             pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, cdim, BR * VR, BC), lambda b, i, j, *_: (b, 0, i, j)
@@ -644,7 +644,7 @@ def warp_gather_batched(
                 pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
                 pl.BlockSpec((1, BR * VR, BC), lambda b, i, j, *_: (b, i, j)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, cdim, BR * VR, BC), lambda b, i, j, *_: (b, 0, i, j)
@@ -677,7 +677,7 @@ def warp_gather_batched(
             in_specs=[
                 pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BR, BC), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec(
