@@ -48,6 +48,10 @@ assert np.allclose(p0, p1, atol=1e-6), "pose must not depend on the stats pass"
 assert abs(ad0-ad1) < 0.02 and abs(s0-s1) < 0.01, "dual stats drifted"
 print("dual-flag stats parity OK")
 EOF
+echo "== frame-assembly stage costs =="
+timeout 1200 python tools/profile_frame.py 2>&1 | grep -v WARNING | tail -8
+echo "== plane-extraction cost =="
+timeout 1800 python tools/profile_planes.py 2>&1 | grep -v WARNING | tail -8
 echo "== occ smoke =="
 timeout 900 python - <<'EOF' 2>&1 | grep -v WARNING
 import numpy as np, jax.numpy as jnp
