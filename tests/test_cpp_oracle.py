@@ -438,3 +438,51 @@ def test_ref_impl_robot_matches_cpp_double(oracle_bin, pinhole_crop, tmp_path, m
     np.testing.assert_allclose(r["g"], g_ref, rtol=0, atol=1e-9 * gs)
     if method != 0:
         assert n_dp > 100  # the rotated rig still lands a substantial set
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_ref_impl_matches_cpp_double_fuzz(oracle_bin, tmp_path, seed):
+    """Randomized scenes and poses (not just the fixed crop): ref_impl's
+    sphere sweep == the C++ double build to 1e-9 across varied depth
+    structure, invalid-pixel densities and motions — a transcription error
+    that happens to cancel on one scene can't hide behind the fixture."""
+    rng = np.random.default_rng(seed)
+    h, w = 16 + 8 * int(rng.integers(0, 3)), 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    f1, f2 = rng.uniform(3, 14, 2)
+    gray = (0.5 + 0.4 * np.sin(xx / f1) * np.cos(yy / f2)
+            + 0.05 * rng.normal(size=(h, w))).astype(np.float32)
+    gray2 = (0.5 + 0.4 * np.sin((xx + rng.uniform(0.5, 2)) / f1) * np.cos(yy / f2)
+             + 0.05 * rng.normal(size=(h, w))).astype(np.float32)
+    depth = (rng.uniform(1, 3) + rng.uniform(0.3, 1.2) * np.sin(xx / rng.uniform(6, 15))
+             + 0.3 * np.cos(yy / rng.uniform(4, 9))).astype(np.float32)
+    depth2 = depth + rng.normal(scale=0.05, size=(h, w)).astype(np.float32)
+    depth[rng.random((h, w)) < rng.uniform(0.0, 0.15)] = 0.0
+    gx, gy = ref_impl.gradient_xy(gray2.astype(np.float64))
+    dgx, dgy = ref_impl.gradient_xy(depth2.astype(np.float64))
+    crop = dict(
+        gray_src=gray, depth_src=depth, gray_trg=gray2, depth_trg=depth2,
+        gray_trg_gx=gx.astype(np.float32), gray_trg_gy=gy.astype(np.float32),
+        depth_trg_gx=dgx.astype(np.float32), depth_trg_gy=dgy.astype(np.float32),
+    )
+    xi = rng.uniform(-0.08, 0.08, 6)
+    pose32 = golden_ref.pseudo_exp(xi).astype(np.float32)
+    pose = pose32.astype(np.float64)
+    lvl64 = {k: np.asarray(v, np.float64) for k, v in crop.items()}
+    xyz, val = ref_impl.build_sphere_lut(lvl64["depth_src"])
+    e_ref = ref_impl.error_sphere(lvl64, xyz, val, pose, 2)
+    H_ref, g_ref, sso_ref = ref_impl.hess_grad_sphere(lvl64, xyz, val, pose, 2)
+
+    cpp_oracle.pack(
+        str(tmp_path / "in.bin"), [crop], pose32, mode=0, method=2,
+        use_double=True,
+    )
+    r = cpp_oracle.run(str(tmp_path / "in.bin"))
+    assert abs(r["error"] - e_ref) <= 1e-9 * max(e_ref, 1e-12)
+    np.testing.assert_allclose(
+        r["H"], H_ref, rtol=0, atol=1e-9 * max(np.abs(H_ref).max(), 1e-12)
+    )
+    np.testing.assert_allclose(
+        r["g"], g_ref, rtol=0, atol=1e-9 * max(np.abs(g_ref).max(), 1e-12)
+    )
+    assert abs(r["sso"] - sso_ref) < 1e-9
