@@ -479,11 +479,11 @@ def warp_gather_batched_multi(
     wop = _round_up(wo, BC)
     htp = max(ht, PR)
     if wrap:
-        if wt > 2 * PC and wt % BC != 0:
-            raise ValueError(
-                f"wrap=True needs width % {BC} == 0 (or width <= {2 * PC}); got {wt}"
-            )
-        planes = jnp.concatenate([planes, planes[..., : min(PC, wt)]], axis=3)
+        # pad-band-free halo rule — see warp_gather_batched
+        halo = min(PC, wt)
+        if wt > 2 * PC:
+            halo = max(_round_up(wt + PC, BC), PC + BC) - wt
+        planes = jnp.concatenate([planes, planes[..., :halo]], axis=3)
         w_eff = wt
     else:
         w_eff = 1 << 22
@@ -591,20 +591,20 @@ def warp_gather_batched(
     wop = _round_up(wo, BC)
     htp = max(ht, PR)
     if wrap:
-        # theta-wrap halo: replicate the first PC true columns after column
-        # wt so seam-straddling tiles gather through one contiguous window.
-        # Precondition: the halo only covers remapped coordinates up to
-        # wt + PC, so a width that both exceeds 2*PC (straddle remap active)
-        # and is not BC-aligned (zero-pad band after the halo) could let a
-        # max-anchored window gather padding flagged as in-window — refuse
-        # rather than corrupt (panorama widths 1920/960/480/240 all pass)
-        if wt > 2 * PC and wt % BC != 0:
-            raise ValueError(
-                f"wrap=True needs width % {BC} == 0 (or width <= {2 * PC}); "
-                f"got {wt} — the wrap halo would leave a zero-pad band that "
-                "seam-straddling windows can gather as valid data"
-            )
-        planes = jnp.concatenate([planes, planes[..., : min(PC, wt)]], axis=3)
+        # theta-wrap halo: replicate the first `halo` true columns after
+        # column wt so seam-straddling tiles gather through one contiguous
+        # window. For wt > 2*PC (straddle remap can reach past wt + PC) the
+        # halo is widened to fill the BC-aligned padded width with genuine
+        # wrapped data, so no window slot ever lands on zero padding — a
+        # max-anchored window at a non-BC-aligned width (the 960-wide L1
+        # pyramid level) would otherwise gather the pad band (halo <= PC +
+        # BC - 1 < 2*PC <= wt, so one slice of the true columns suffices).
+        # For wt <= 2*PC remapped coordinates stay below wt + min(PC, wt)
+        # and the pad band is unreachable.
+        halo = min(PC, wt)
+        if wt > 2 * PC:
+            halo = max(_round_up(wt + PC, BC), PC + BC) - wt
+        planes = jnp.concatenate([planes, planes[..., :halo]], axis=3)
         w_eff = wt  # straddle threshold = half the true width
     else:
         w_eff = 1 << 22  # spread can never exceed this: remap disabled
@@ -722,6 +722,9 @@ def window_mask_reference(
     hp = max(ht, PR)
     hop = _round_up(ho, BR)
     wop = _round_up(wo, BC)
+    # wp_ext equals the kernel's padded width under its pad-band-free halo
+    # rule (for wt > 2*PC the kernel widens the halo to exactly fill this
+    # aligned width with wrapped data, so geometric in-window == gatherable)
     halo = min(PC, wt) if wrap else 0
     wp_ext = max(_round_up(wt + halo, BC), PC + BC)
     w = wt if wrap else (1 << 22)  # straddle threshold (disabled when not wrapping)

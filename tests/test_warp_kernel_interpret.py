@@ -360,3 +360,65 @@ def test_fused_sweep_kernel_branch_matches_xla_branch(
                 b, a, rtol=0, atol=2e-3 * scale, err_msg=name
             )
     assert int(kern_out[5]) > 1000  # the scene genuinely contributes terms
+
+
+def test_nonaligned_wrap_width_fills_former_pad_band(interpret_kernel):
+    """Non-128-aligned wrap widths above 2*PC (the 960-wide L1 pyramid
+    level is the production case) used to leave a zero-pad band after the
+    256-column halo; a max-anchored window on a seam-straddling tile could
+    gather that band WITH the hit flag set — silent zero data — and a
+    later review guard turned that into a hard ValueError, killing L1 on
+    the kernel path entirely. The halo now widens to fill the aligned
+    width with genuine wrapped columns: this scene drives remapped
+    coordinates squarely into the former pad band [w+256, roundup) and
+    pins mask == XLA mirror and data == direct indexing."""
+    rng = np.random.default_rng(23)
+    h, w = 16, 576  # 576 % 128 = 64 and 576 > 2*PC: the refused combination
+    planes = rng.normal(size=(h, 8, w)).astype(np.float32)
+    planes[:, 6, :] = 0.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    # every tile straddles the seam: even output columns target c in
+    # [256, 320) — remapped to [832, 896), the former zero-pad band
+    # (halo used to end at 576+256=832, padded width 896) — odd columns
+    # target the high edge so spread > w//2 triggers the remap
+    c = np.where(
+        (xx % 2) == 0,
+        256 + (xx // 2) % 64,
+        512 + xx % 64,
+    ).astype(np.int32)
+    r = np.clip(yy + rng.integers(-2, 3, size=(h, w)), 0, h - 1).astype(np.int32)
+
+    direct = _direct(planes, r, c)
+    ch = [0, 1, 2, 3, 4, 5, 7]
+
+    # default (mean-anchored) pass: the alignment sweep's L1 call
+    out, mask = wg.warp_gather_batched(
+        jnp.asarray(planes)[None], jnp.asarray(r)[None], jnp.asarray(c)[None]
+    )
+    out, mask = np.asarray(out)[0], np.asarray(mask)[0]
+    ref_mask = np.asarray(
+        wg.window_mask_reference(jnp.asarray(r), jnp.asarray(c))
+    )
+    np.testing.assert_array_equal(mask, ref_mask)
+    np.testing.assert_array_equal(out[ch][:, mask], direct[ch][:, mask])
+
+    # max-anchored re-gather: the pass whose window actually reaches the
+    # former pad band
+    out_m, hit = wg.warp_gather_masked_max(
+        jnp.asarray(planes), jnp.asarray(r), jnp.asarray(c),
+        jnp.ones((h, w), bool),
+    )
+    out_m, hit = np.asarray(out_m), np.asarray(hit)
+    ref_hit = np.asarray(
+        wg.window_mask_reference(
+            jnp.asarray(r), jnp.asarray(c),
+            jnp.ones((h, w), bool), row_policy="max",
+        )
+    )
+    np.testing.assert_array_equal(hit, ref_hit)
+    # the max-anchored window must cover the remapped band — that's the
+    # regression surface; if nothing lands there the test is vacuous
+    assert hit[c >= 256][c[c >= 256] < 320].mean() > 0.5
+    np.testing.assert_array_equal(out_m[ch][:, hit], direct[ch][:, hit])
+    # covered data is never the pad band's zeros
+    assert np.abs(out_m[0][hit]).min() > 0.0

@@ -24,6 +24,10 @@ from functools import partial
 
 import numpy as np
 
+# script-mode execution (`python tools/profile_stats_cost.py`) puts tools/
+# on sys.path, not the repo root — same shim as every other tool here
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REFERENCE_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
 
 
