@@ -181,6 +181,16 @@ def main():
         # src/trg regression would pass a norm-only gate)
         t_diff = float(np.linalg.norm(pose[:3, 3] - g["free_pose"][:3, 3]))
         ok = ok and t_diff < 0.1 and err < float(g["free_error"]) + 0.35
+    # faithful-landscape signature: the three coarse levels run the XLA
+    # (full-coverage) path on every backend and settle at exactly these
+    # iteration counts on the bundled pair (verified identical on CPU f64,
+    # CPU f32 and TPU this round). The round-2/3 TPU denormal flush that
+    # silently thinned the saliency set showed up here first ([4,10,9,...]
+    # instead of [0,7,10,...]) while passing the pose gates — iterating
+    # less IS the artifact's speedup, so a perf headline must not pass
+    # without the faithful counts. Recalibrate only with a CPU cross-check.
+    iters = tuple(int(x) for x in np.asarray(res.num_iterations[0])[:3])
+    ok = ok and iters == (0, 7, 10)
 
     print(
         json.dumps(

@@ -259,11 +259,13 @@ EMULATE_KERNEL_WINDOW_MASK = False
 # union of both anchors over the full miss set; the sequential form anchors
 # the max pass on the post-min residue, so the two can differ on the rare
 # pixels only a residue-anchored window reaches — stats stay exact over
-# whatever is covered either way. OFF until the on-chip A/B (the candidate
-# saves ~half the stats-pass fixed costs; tools/profile_stats_cost.py).
-# Env-overridable (RGBD360_EXACT_FINAL_DUAL=1) so the on-chip A/B needs no
-# code edit.
-EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "") == "1"
+# whatever is covered either way. ON by default since the round-3 on-chip
+# A/B: 52.35 vs 50.82 pairs/s at the faithful-landscape iteration profile,
+# with on-chip stats parity avDepth 0.30810 vs 0.30808 / SSO 0.75503 vs
+# 0.75516 on the bundled pair (tools/tpu_revalidate.sh) and the
+# interpret-mode union gate (tests/test_warp_kernel_interpret.py).
+# Env-overridable (RGBD360_EXACT_FINAL_DUAL=0) for A/B reruns.
+EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "1") == "1"
 
 # full_coverage sweeps (LC refinement, relocalization verify) as ONE
 # triple-anchored kernel pass (warp_gather_masked_full: mean+min+max
