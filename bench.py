@@ -71,6 +71,11 @@ def main():
         probe_ok, probe_detail = _probe_device()
         if probe_ok or attempt == retries:
             break
+        # Only timeouts match the tunnel-flap rationale; a CPU-fallback
+        # refusal or a fast plugin crash is deterministic — retrying it just
+        # adds dead minutes to every bench in that failure mode.
+        if not probe_detail.startswith("probe timeout"):
+            break
         print(
             f"# probe attempt {attempt + 1}/{retries + 1} failed "
             f"({probe_detail}); retrying in 120 s",

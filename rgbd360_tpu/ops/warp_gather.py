@@ -122,6 +122,58 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _wrap_halo(wt: int) -> int:
+    """Pad-band-free theta-wrap halo width (single source of truth — the
+    kernel entries and window_mask_reference's wp_ext must agree on this
+    rule or the XLA mask mirror silently desynchronizes from the kernel).
+
+    Replicating the first `halo` true columns after column wt lets
+    seam-straddling tiles gather through one contiguous window. For
+    wt <= 2*PC remapped coordinates stay below wt + min(PC, wt) and the
+    BC-alignment pad band is unreachable; for wt > 2*PC (where the straddle
+    remap can reach past wt + PC) the halo is widened to exactly fill the
+    BC-aligned padded width with genuine wrapped data, so a max-anchored
+    window at a non-BC-aligned width (the 960-wide L1 pyramid level) can
+    never land on zero padding (halo <= PC + BC - 1 < 2*PC <= wt, so one
+    slice of the true columns suffices)."""
+    halo = min(PC, wt)
+    if wt > 2 * PC:
+        halo = max(_round_up(wt + PC, BC), PC + BC) - wt
+    return halo
+
+
+def _prep_operands(planes, r_idx, c_idx, active, wrap, row_granule):
+    """Shared operand prologue for the batched kernel entries: append the
+    wrap halo, zero-pad the planes to the aligned (htp, wtp) footprint, and
+    edge-replicate the index arrays to the (row_granule, BC) output grid
+    (edge mode so padded entries can't fake a seam straddle or drag a tile's
+    window origin away from its real targets; `active` pads with zeros so
+    pad pixels never participate). Returns the padded operands plus the
+    static geometry tuple."""
+    bsz, ht, cdim, wt = planes.shape
+    _, ho, wo = r_idx.shape
+    assert cdim in (4, 8), cdim
+    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
+    active = active.astype(jnp.int32)
+    hop = _round_up(ho, row_granule)
+    wop = _round_up(wo, BC)
+    htp = max(ht, PR)
+    if wrap:
+        planes = jnp.concatenate([planes, planes[..., : _wrap_halo(wt)]], axis=3)
+        w_eff = wt  # straddle threshold = half the true width
+    else:
+        w_eff = 1 << 22  # spread can never exceed this: remap disabled
+    wtp = max(_round_up(planes.shape[3], BC), PC + BC)
+    planes = jnp.pad(
+        planes, ((0, 0), (0, htp - ht), (0, 0), (0, wtp - planes.shape[3]))
+    )
+    if (hop, wop) != (ho, wo):
+        r_idx = jnp.pad(r_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        c_idx = jnp.pad(c_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
+        active = jnp.pad(active, ((0, 0), (0, hop - ho), (0, wop - wo)))
+    return planes, r_idx, c_idx, active, (bsz, cdim, ho, wo, hop, wop, htp, w_eff)
+
+
 # Double-buffer the per-tile window DMA across grid steps (PERF.md lever #1:
 # the kernel is DMA/overhead-bound). Window origins are precomputed in XLA
 # (one fused reduction) and scalar-prefetched so grid step t can start the
@@ -290,14 +342,14 @@ def _kernel_pipelined(
 
 def _kernel_pipelined_multi(
     r0s, c0s, any_t, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
-    *, w_real, anchors
+    *, w_real, anchors, slot_of
 ):
     """Multi-window variant of _kernel_pipelined: each tile DMAs one window
-    PER ANCHOR (origins arrive stacked as (A, B, nr, nc) scalar-prefetch
-    arrays) and gathers every active pixel from the first window that covers
-    it (values agree wherever windows overlap: same source planes).  One
-    grid traversal replaces A sequential masked passes — one out-array HBM
-    write, no XLA-side where-merges.  anchors is a static tuple drawn from
+    PER UNIQUE-ORIGIN ANCHOR (origins arrive stacked as (U, B, nr, nc)
+    scalar-prefetch arrays) and gathers every active pixel from the first
+    anchor that covers it (values agree wherever windows overlap: same
+    source planes).  One grid traversal replaces the sequential masked
+    passes — one out-array HBM write, no XLA-side where-merges.  anchors is a static tuple drawn from
     {"mean", "min", "max"}; ("min", "max") fuses the exact-final banded
     re-gather, ("mean", "min", "max") is a full-coverage single pass.
     Coverage == the UNION of the standalone per-anchor passes over the same
@@ -309,14 +361,21 @@ def _kernel_pipelined_multi(
     would contribute all-zero acc/hit anyway — skips its window DMAs and
     gathers entirely and just writes zeros (any_t is the per-tile
     any-active flag, scalar-prefetched; start/wait consult the same flag so
-    every started DMA is waited exactly once)."""
+    every started DMA is waited exactly once).
+
+    Anchors with identical window origins ("mean" and "min" both use
+    min-anchored windows) share one DMA'd patch slot: r0s/c0s are stacked
+    per UNIQUE window and the static slot_of tuple maps each anchor to its
+    slot — on a DMA/issue-bound kernel, transferring the ("mean","min")
+    window twice would erode exactly the traffic the fusion exists to
+    save."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
     total = nb * nr * nc
     slot = jax.lax.rem(linear, 2)
     cdim = planes_hbm.shape[2]
-    A = len(anchors)
+    U = r0s.shape[0]  # unique windows (<= len(anchors))
 
     def start_dma(lin, slot_):
         bn = lin // (nr * nc)
@@ -325,13 +384,13 @@ def _kernel_pipelined_multi(
         for v in range(VR):
             @pl.when(any_t[bn, in_ * VR + v, jn] != 0)
             def _():
-                for which in range(A):
+                for which in range(U):
                     r0n = r0s[which, bn, in_ * VR + v, jn]
                     c0n = pl.multiple_of(c0s[which, bn, in_ * VR + v, jn], 128)
                     pltpu.make_async_copy(
                         planes_hbm.at[bn, pl.ds(r0n, PR), :, pl.ds(c0n, PC)],
-                        patch.at[pl.ds(((slot_ * VR + v) * A + which) * PR, PR)],
-                        sems.at[(slot_ * VR + v) * A + which],
+                        patch.at[pl.ds(((slot_ * VR + v) * U + which) * PR, PR)],
+                        sems.at[(slot_ * VR + v) * U + which],
                     ).start()
 
     @pl.when(linear == 0)
@@ -355,18 +414,18 @@ def _kernel_pipelined_multi(
         def _(v=v):
             _gather_tile(
                 v, r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch,
-                sems, b, i, j, slot, cdim, w_real, anchors,
+                sems, b, i, j, slot, cdim, w_real, anchors, slot_of,
             )
 
 
 def _gather_tile(
     v, r0s, c0s, r_ref, c_ref, a_ref, planes_hbm, out_ref, patch, sems,
-    b, i, j, slot, cdim, w_real, anchors,
+    b, i, j, slot, cdim, w_real, anchors, slot_of,
 ):
-    """Body of one ACTIVE tile of _kernel_pipelined_multi: wait for its A
-    windows, gather each active pixel from the first window covering it,
-    write acc + hit flag."""
-    A = len(anchors)
+    """Body of one ACTIVE tile of _kernel_pipelined_multi: wait for its
+    unique windows, gather each active pixel from the first anchor covering
+    it, write acc + hit flag."""
+    U = r0s.shape[0]
     r = r_ref[0, v * BR : (v + 1) * BR]
     c = c_ref[0, v * BR : (v + 1) * BR]
     act = a_ref[0, v * BR : (v + 1) * BR] != 0
@@ -375,86 +434,86 @@ def _gather_tile(
     straddle = (jnp.max(c_hi) - jnp.min(c_lo)) > (w_real // 2)
     c = jnp.where(straddle & (c < w_real // 2), c + w_real, c)
 
-    if True:  # (indentation kept aligned with _kernel_pipelined's body)
-        for which in range(A):
-            pltpu.make_async_copy(
-                planes_hbm.at[
-                    b,
-                    pl.ds(r0s[which, b, i * VR + v, j], PR),
-                    :,
-                    pl.ds(pl.multiple_of(c0s[which, b, i * VR + v, j], 128), PC),
-                ],
-                patch.at[pl.ds(((slot * VR + v) * A + which) * PR, PR)],
-                sems.at[(slot * VR + v) * A + which],
-            ).wait()
+    for u in range(U):
+        pltpu.make_async_copy(
+            planes_hbm.at[
+                b,
+                pl.ds(r0s[u, b, i * VR + v, j], PR),
+                :,
+                pl.ds(pl.multiple_of(c0s[u, b, i * VR + v, j], 128), PC),
+            ],
+            patch.at[pl.ds(((slot * VR + v) * U + u) * PR, PR)],
+            sems.at[(slot * VR + v) * U + u],
+        ).wait()
 
-        accs = []
-        hits = []
-        for which, anchor in enumerate(anchors):
-            r0 = r0s[which, b, i * VR + v, j]
-            c0 = pl.multiple_of(c0s[which, b, i * VR + v, j], 128)
-            lr = r - r0
-            lc = c - c0
-            lc_ok = (lc >= 0) & (lc < PC) & act
-            lcc = jnp.clip(lc, 0, PC - 1)
-            lcm = jnp.remainder(lcc, 128)
-            sub_idx = lcc // 128
-            if anchor == "mean":  # centre on each row's mean target row
-                lr_f = lr.astype(jnp.float32)
-                lc_okf = lc_ok.astype(jnp.float32)
-                row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
-                row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
-                lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)
-            elif anchor == "min":  # cover the lowest active band
-                lo_rows = jnp.min(jnp.where(lc_ok, lr, _BIG), axis=1).astype(
-                    jnp.int32
-                )
-            else:  # "max": cover the highest active band
-                lo_rows = (
-                    jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=1) - (K - 1)
-                ).astype(jnp.int32)
+    accs = []
+    hits = []
+    for which, anchor in enumerate(anchors):
+        u = slot_of[which]
+        r0 = r0s[u, b, i * VR + v, j]
+        c0 = pl.multiple_of(c0s[u, b, i * VR + v, j], 128)
+        lr = r - r0
+        lc = c - c0
+        lc_ok = (lc >= 0) & (lc < PC) & act
+        lcc = jnp.clip(lc, 0, PC - 1)
+        lcm = jnp.remainder(lcc, 128)
+        sub_idx = lcc // 128
+        if anchor == "mean":  # centre on each row's mean target row
+            lr_f = lr.astype(jnp.float32)
+            lc_okf = lc_ok.astype(jnp.float32)
+            row_n = jnp.maximum(jnp.sum(lc_okf, axis=1), 1.0)
+            row_mean = jnp.sum(jnp.where(lc_ok, lr_f, 0.0), axis=1) / row_n
+            lo_rows = (row_mean - (K - 1) / 2 + 0.5).astype(jnp.int32)
+        elif anchor == "min":  # cover the lowest active band
+            lo_rows = jnp.min(jnp.where(lc_ok, lr, _BIG), axis=1).astype(
+                jnp.int32
+            )
+        else:  # "max": cover the highest active band
+            lo_rows = (
+                jnp.max(jnp.where(lc_ok, lr, -_BIG), axis=1) - (K - 1)
+            ).astype(jnp.int32)
 
-            base = ((slot * VR + v) * A + which) * PR
-            for row in range(BR):
-                lo_i = jnp.clip(lo_rows[row], 0, PR - K)
-                idx = jnp.broadcast_to(lcm[row : row + 1, :], (cdim, BC))
-                hit_i = jnp.zeros((1, BC), jnp.int32)
-                acc = jnp.zeros((cdim, BC), jnp.int32)
-                for kk in range(K):
-                    plane = patch[base + lo_i + kk]
-                    val = jnp.zeros((cdim, BC), jnp.int32)
-                    for sb in range(PC // 128):
-                        g = jnp.take_along_axis(
-                            plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1
-                        )
-                        val = jnp.where(sub_idx[row : row + 1, :] == sb, g, val)
-                    sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[
-                        row : row + 1, :
-                    ]
-                    acc = acc + jnp.where(sel, val, 0)
-                    hit_i = hit_i | sel.astype(jnp.int32)
-                if which == 0:
-                    accs.append(acc)
-                    hits.append(hit_i)
-                else:
-                    # a later window contributes only where every earlier
-                    # one missed — values agree where windows overlap, but
-                    # the sum must not double-count
-                    covered = hits[row] > 0
-                    accs[row] = accs[row] + jnp.where(
-                        (hit_i > 0) & ~covered, acc, 0
-                    )
-                    hits[row] = hits[row] | hit_i
-
+        base = ((slot * VR + v) * U + u) * PR
         for row in range(BR):
-            acc, hit_i = accs[row], hits[row]
-            if cdim == 8:
-                flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
-                acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
+            lo_i = jnp.clip(lo_rows[row], 0, PR - K)
+            idx = jnp.broadcast_to(lcm[row : row + 1, :], (cdim, BC))
+            hit_i = jnp.zeros((1, BC), jnp.int32)
+            acc = jnp.zeros((cdim, BC), jnp.int32)
+            for kk in range(K):
+                plane = patch[base + lo_i + kk]
+                val = jnp.zeros((cdim, BC), jnp.int32)
+                for sb in range(PC // 128):
+                    g = jnp.take_along_axis(
+                        plane[:, sb * 128 : (sb + 1) * 128], idx, axis=1
+                    )
+                    val = jnp.where(sub_idx[row : row + 1, :] == sb, g, val)
+                sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[
+                    row : row + 1, :
+                ]
+                acc = acc + jnp.where(sel, val, 0)
+                hit_i = hit_i | sel.astype(jnp.int32)
+            if which == 0:
+                accs.append(acc)
+                hits.append(hit_i)
             else:
-                flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
-                acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
-            out_ref[0, :, v * BR + row, :] = acc
+                # a later anchor contributes only where every earlier one
+                # missed — values agree where windows overlap, but the sum
+                # must not double-count
+                covered = hits[row] > 0
+                accs[row] = accs[row] + jnp.where(
+                    (hit_i > 0) & ~covered, acc, 0
+                )
+                hits[row] = hits[row] | hit_i
+
+    for row in range(BR):
+        acc, hit_i = accs[row], hits[row]
+        if cdim == 8:
+            flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
+            acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
+        else:
+            flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
+            acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
+        out_ref[0, :, v * BR + row, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("wrap", "anchors"))
@@ -470,47 +529,29 @@ def warp_gather_batched_multi(
     by ANY of the per-anchor windows of their tile (the union of the
     corresponding standalone passes over the same active set).  Same
     operand/return contract as warp_gather_batched."""
-    bsz, ht, cdim, wt = planes.shape
-    _, ho, wo = r_idx.shape
-    assert cdim in (4, 8), cdim
-    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
-    active = active.astype(jnp.int32)
-    hop = _round_up(ho, BR * VR)
-    wop = _round_up(wo, BC)
-    htp = max(ht, PR)
-    if wrap:
-        # pad-band-free halo rule — see warp_gather_batched
-        halo = min(PC, wt)
-        if wt > 2 * PC:
-            halo = max(_round_up(wt + PC, BC), PC + BC) - wt
-        planes = jnp.concatenate([planes, planes[..., :halo]], axis=3)
-        w_eff = wt
-    else:
-        w_eff = 1 << 22
-    wtp = max(_round_up(planes.shape[3], BC), PC + BC)
-    planes = jnp.pad(
-        planes, ((0, 0), (0, htp - ht), (0, 0), (0, wtp - planes.shape[3]))
-    )
-    if (hop, wop) != (ho, wo):
-        r_idx = jnp.pad(r_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
-        c_idx = jnp.pad(c_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
-        active = jnp.pad(active, ((0, 0), (0, hop - ho), (0, wop - wo)))
+    planes, r_idx, c_idx, active, (
+        bsz, cdim, ho, wo, hop, wop, htp, w_eff,
+    ) = _prep_operands(planes, r_idx, c_idx, active, wrap, BR * VR)
 
     planes_bits = (
         planes
         if planes.dtype == jnp.int32
         else jax.lax.bitcast_convert_type(planes, jnp.int32)
     )
-    A = len(anchors)
+    # "mean" row policy uses min-anchored DMA windows, like
+    # warp_gather_batched's default pass — so ("mean", "min") share one
+    # window; dedupe by origin kind so each unique window DMAs once
+    # (slot_of maps anchor index -> unique-window slot, static).
+    origin_kind = ["max" if a == "max" else "min" for a in anchors]
+    uniq = list(dict.fromkeys(origin_kind))
+    slot_of = tuple(uniq.index(k) for k in origin_kind)
     origins = [
         _tile_origins(
-            r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3],
-            # "mean" row policy uses min-anchored DMA windows, like
-            # warp_gather_batched's default pass
-            anchor="max" if a == "max" else "min",
+            r_idx, c_idx, active != 0, w_eff, htp, planes.shape[3], anchor=k
         )
-        for a in anchors
+        for k in uniq
     ]
+    U = len(uniq)
     r0s = jnp.stack([o[0] for o in origins])
     c0s = jnp.stack([o[1] for o in origins])
     # per-(8,128)-tile any-active flag: empty tiles skip DMA + gathers in
@@ -533,12 +574,15 @@ def warp_gather_batched_multi(
             (1, cdim, BR * VR, BC), lambda b, i, j, *_: (b, 0, i, j)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * VR * A * PR, cdim, PC), jnp.int32),
-            pltpu.SemaphoreType.DMA((2 * VR * A,)),
+            pltpu.VMEM((2 * VR * U * PR, cdim, PC), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * VR * U,)),
         ],
     )
     out_bits = pl.pallas_call(
-        functools.partial(_kernel_pipelined_multi, w_real=w_eff, anchors=anchors),
+        functools.partial(
+            _kernel_pipelined_multi, w_real=w_eff, anchors=anchors,
+            slot_of=slot_of,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
     )(r0s, c0s, any_t, r_idx, c_idx, active, planes_bits)
@@ -577,48 +621,16 @@ def warp_gather_batched(
     per-tile remap; pass False for non-periodic targets like sensor images.
     Returns (out (B, C, Ho, Wo) in the input dtype, in_window (B, Ho, Wo)
     bool)."""
-    bsz, ht, cdim, wt = planes.shape
-    _, ho, wo = r_idx.shape
-    assert cdim in (4, 8), cdim
-    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
     if active is None:
-        active = jnp.ones((bsz, ho, wo), jnp.int32)
-    else:
-        active = active.astype(jnp.int32)
+        active = jnp.ones(r_idx.shape, jnp.int32)
     # pipelined grid steps process VR stacked tiles: pad rows to BR*VR
     # (window placement stays per-BR-row tile; pad rows are inactive)
-    hop = _round_up(ho, BR * VR if PIPELINE_KERNEL else BR)
-    wop = _round_up(wo, BC)
-    htp = max(ht, PR)
-    if wrap:
-        # theta-wrap halo: replicate the first `halo` true columns after
-        # column wt so seam-straddling tiles gather through one contiguous
-        # window. For wt > 2*PC (straddle remap can reach past wt + PC) the
-        # halo is widened to fill the BC-aligned padded width with genuine
-        # wrapped data, so no window slot ever lands on zero padding — a
-        # max-anchored window at a non-BC-aligned width (the 960-wide L1
-        # pyramid level) would otherwise gather the pad band (halo <= PC +
-        # BC - 1 < 2*PC <= wt, so one slice of the true columns suffices).
-        # For wt <= 2*PC remapped coordinates stay below wt + min(PC, wt)
-        # and the pad band is unreachable.
-        halo = min(PC, wt)
-        if wt > 2 * PC:
-            halo = max(_round_up(wt + PC, BC), PC + BC) - wt
-        planes = jnp.concatenate([planes, planes[..., :halo]], axis=3)
-        w_eff = wt  # straddle threshold = half the true width
-    else:
-        w_eff = 1 << 22  # spread can never exceed this: remap disabled
-    wtp = max(_round_up(planes.shape[3], BC), PC + BC)
-    planes = jnp.pad(
-        planes, ((0, 0), (0, htp - ht), (0, 0), (0, wtp - planes.shape[3]))
+    planes, r_idx, c_idx, active, (
+        bsz, cdim, ho, wo, hop, wop, htp, w_eff,
+    ) = _prep_operands(
+        planes, r_idx, c_idx, active, wrap,
+        BR * VR if PIPELINE_KERNEL else BR,
     )
-    if (hop, wop) != (ho, wo):
-        # edge-replicate so padded entries can't fake a seam straddle or
-        # drag a tile's window origin away from its real targets (padding
-        # of `active` is zero: pad pixels never participate)
-        r_idx = jnp.pad(r_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
-        c_idx = jnp.pad(c_idx, ((0, 0), (0, hop - ho), (0, wop - wo)), mode="edge")
-        active = jnp.pad(active, ((0, 0), (0, hop - ho), (0, wop - wo)))
 
     out_shape = [
         jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.float32),
@@ -722,10 +734,11 @@ def window_mask_reference(
     hp = max(ht, PR)
     hop = _round_up(ho, BR)
     wop = _round_up(wo, BC)
-    # wp_ext equals the kernel's padded width under its pad-band-free halo
-    # rule (for wt > 2*PC the kernel widens the halo to exactly fill this
-    # aligned width with wrapped data, so geometric in-window == gatherable)
-    halo = min(PC, wt) if wrap else 0
+    # wp_ext equals the kernel's padded width under the shared pad-band-free
+    # halo rule (_wrap_halo): for wt > 2*PC the widened halo exactly fills
+    # the BC-aligned padded width with wrapped data, so geometric in-window
+    # == gatherable; the _round_up is then an identity
+    halo = _wrap_halo(wt) if wrap else 0
     wp_ext = max(_round_up(wt + halo, BC), PC + BC)
     w = wt if wrap else (1 << 22)  # straddle threshold (disabled when not wrapping)
     if active is None:

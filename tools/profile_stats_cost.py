@@ -151,7 +151,15 @@ def main():
         )
         return pe2 + de2 + n_x
 
-    chain_time(full_stats, gray_flat, pose, k=k, label="C _exact_final_missed_stats")
+    # EXACT_FINAL_DUAL defaults ON since 2920e26 — force it OFF here so C
+    # prices the sequential min+max path and the C-vs-F comparison stays a
+    # real A/B instead of timing the dual graph twice.
+    _dual_orig = photoicp.EXACT_FINAL_DUAL
+    photoicp.EXACT_FINAL_DUAL = False
+    try:
+        chain_time(full_stats, gray_flat, pose, k=k, label="C _exact_final_missed_stats")
+    finally:
+        photoicp.EXACT_FINAL_DUAL = _dual_orig
 
     # D: a plain L0 optimization sweep for scale
     def plain_sweep(g, pose_):
@@ -181,7 +189,7 @@ def main():
             label="F _exact_final_missed_stats (dual)",
         )
     finally:
-        photoicp.EXACT_FINAL_DUAL = False
+        photoicp.EXACT_FINAL_DUAL = _dual_orig
     return 0
 
 

@@ -14,8 +14,8 @@ echo "== bench =="
 timeout 1200 python bench.py
 echo "== stats cost =="
 timeout 1200 python tools/profile_stats_cost.py 20 2>&1 | grep -v WARNING
-echo "== bench A/B: EXACT_FINAL_DUAL =="
-timeout 1200 env RGBD360_EXACT_FINAL_DUAL=1 python bench.py
+echo "== bench A/B: EXACT_FINAL_DUAL=0 (sequential leg; dual is the default) =="
+timeout 1200 env RGBD360_EXACT_FINAL_DUAL=0 python bench.py
 echo "== bench A/B: EXACT_FINAL_FULLPASS =="
 timeout 1200 env RGBD360_EXACT_FINAL_FULLPASS=1 python bench.py
 echo "== dual-flag stats parity on chip =="
