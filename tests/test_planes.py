@@ -7,6 +7,7 @@ import pytest
 from rgbd360_tpu.core.matcher import (
     DEFAULT_6DOF,
     PLANAR_3DOF,
+    PLANAR_ODOMETRY_3DOF,
     MatcherConfig,
     SubgraphMatcher,
     estimate_pose_from_planes,
@@ -162,6 +163,110 @@ def test_matcher_recovers_known_pose():
     ok, pose_p, _ = estimate_pose_from_planes(ref, trg, match, PLANAR_3DOF)
     assert ok
     np.testing.assert_allclose(pose_p[:3, 3], t, atol=1e-5)
+
+
+def _brute_force_best_area(matcher, ref, trg, ref_idx, trg_idx, mode):
+    """Exhaustive search over every injective constraint-satisfying partial
+    assignment — the ground truth for SubgraphMatcher's branch-and-bound
+    (whose suffix-area pruning bound this fuzz exists to falsify)."""
+    ref_planes = [ref.planes[i] for i in ref_idx]
+    trg_planes = [trg.planes[j] for j in trg_idx]
+    nr, nt = len(ref_planes), len(trg_planes)
+    best_area = 0.0
+
+    def rec(k, assigned, used_t, area):
+        nonlocal best_area
+        if k == nr:
+            best_area = max(best_area, area)
+            return
+        pi = ref_planes[k]
+        for j in range(nt):
+            if j in used_t or not matcher._unary(pi, trg_planes[j], mode):
+                continue
+            if all(
+                matcher._binary(pi, ref_planes[i2], trg_planes[j], trg_planes[j2], mode)
+                for i2, j2 in assigned
+            ):
+                rec(k + 1, assigned + [(k, j)], used_t | {j}, area + pi.area_hull)
+        rec(k + 1, assigned, used_t, area)  # leave ref plane k unmatched
+
+    rec(0, [], set(), 0.0)
+    return best_area
+
+
+def test_matcher_brute_force_optimality_fuzz():
+    """The interpretation-tree search must return a constraint-satisfying
+    assignment whose matched reference area equals the exhaustive optimum
+    (assignments may differ under area ties)."""
+    rng = np.random.default_rng(20260818)
+    m = SubgraphMatcher(MatcherConfig())
+    checked_nonempty = 0
+    for trial in range(40):
+        nr = int(rng.integers(2, 6))
+        nt = int(rng.integers(2, 6))
+        ref_planes = []
+        for i in range(nr):
+            n = rng.normal(size=3)
+            p = _make_plane(
+                n, rng.uniform(-3, 3, 3), float(rng.uniform(0.5, 6.0)),
+                colors_seed=int(rng.integers(0, 4)),
+            )
+            p.elongation = float(rng.uniform(1.0, 3.0))
+            p.id = i
+            ref_planes.append(p)
+        # trg mixes transformed copies (true candidates), perturbed copies
+        # (near-misses that stress individual constraints), and fresh planes
+        theta = float(rng.uniform(-0.3, 0.3))
+        c, s = np.cos(theta), np.sin(theta)
+        R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        t = rng.uniform(-0.3, 0.3, 3)
+        trg_planes = []
+        for j in range(nt):
+            kind = rng.uniform()
+            if kind < 0.5 and nr > 0:
+                src = ref_planes[int(rng.integers(0, nr))]
+                q = _transform_plane(src, R, t)
+            elif kind < 0.8 and nr > 0:
+                src = ref_planes[int(rng.integers(0, nr))]
+                q = _transform_plane(src, R, t)
+                q.normal = q.normal + rng.normal(size=3) * 0.3
+                q.normal /= np.linalg.norm(q.normal)
+                q.center = q.center + rng.normal(size=3) * 0.8
+                q.d = float(-q.normal @ q.center)
+                q.area_hull = float(q.area_hull * rng.uniform(0.3, 3.0))
+            else:
+                q = _make_plane(
+                    rng.normal(size=3), rng.uniform(-3, 3, 3),
+                    float(rng.uniform(0.5, 6.0)),
+                    colors_seed=int(rng.integers(0, 4)),
+                )
+            q.elongation = float(rng.uniform(1.0, 3.0))
+            q.id = j
+            trg_planes.append(q)
+        ref, trg = PbMap(ref_planes), PbMap(trg_planes)
+        ref_idx, trg_idx = list(range(nr)), list(range(nt))
+        for mode in (DEFAULT_6DOF, PLANAR_ODOMETRY_3DOF):
+            match = m.compare_subgraphs(ref, trg, ref_idx, trg_idx, mode)
+            # 1. every returned pair satisfies the constraint set
+            items = list(match.items())
+            assert len(set(match.values())) == len(items), "non-injective match"
+            for i, j in items:
+                assert m._unary(ref.planes[i], trg.planes[j], mode)
+            for a in range(len(items)):
+                for b in range(a + 1, len(items)):
+                    i1, j1 = items[a]
+                    i2, j2 = items[b]
+                    assert m._binary(
+                        ref.planes[i1], ref.planes[i2],
+                        trg.planes[j1], trg.planes[j2], mode,
+                    )
+            # 2. matched area equals the exhaustive optimum
+            got = m.calc_area_matched(ref, match)
+            want = _brute_force_best_area(m, ref, trg, ref_idx, trg_idx, mode)
+            assert got == pytest.approx(want, rel=1e-9), (trial, mode, got, want)
+            if want > 0:
+                checked_nonempty += 1
+    assert checked_nonempty >= 20  # the fuzz must exercise real matches
 
 
 def test_matcher_rejects_underdetermined():
