@@ -17,6 +17,70 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 50.0  # north-star target (BASELINE.md)
 REFERENCE_ROOT = os.environ.get("RGBD360_REFERENCE", "/root/reference")
 
+# Known-legitimate FULL iteration signatures (coarse->fine) on the bundled
+# pair under the reference stopping rule (maxIters 10, tol_residual 1e-3,
+# tol_update 1e-4 — RegisterPhotoICP.h:4593-4611). Recorded with a CPU
+# cross-check (PERF.md "The honest landscape"); recalibrate only the same way.
+#   - Mosaic kernel path (TPU, the bench configuration): (0,7,10,10,10) —
+#     also the CPU f32/f64 golden free run (tests/golden/pair_1_10.npz).
+#   - XLA full-coverage fallback path: the exact chain can stop the finest
+#     level early in a legitimate flat spot — (0,7,10,10,3) observed all-XLA
+#     on TPU, (0,7,10,10,1) on one CPU configuration.
+# The round-2/3 denormal flush corrupted the coarse prefix first
+# ([4,10,9,...]), but a kernel-path artifact could equally early-stop ONLY
+# the finest level — where the time goes — so on the kernel path the whole
+# signature is pinned, not just the coarse prefix (VERDICT r3 weak #2).
+KERNEL_PATH_SIGNATURES = {(0, 7, 10, 10, 10)}
+FALLBACK_SIGNATURES = {(0, 7, 10, 10, 10), (0, 7, 10, 10, 3), (0, 7, 10, 10, 1)}
+
+# Two-sided exact-finest-error band around the golden free run: known-good
+# basins span 2.408-3.1 around golden 2.866 (PERF.md "Accuracy note"), so
+# [g-0.6, g+0.35] covers every legitimate basin. The UPPER bound catches
+# divergence; the LOWER bound catches term-set thinning — the denormal flush
+# made the error metric itself smaller by silently dropping residual terms.
+GOLDEN_ERR_BAND = (-0.6, 0.35)
+
+
+def sanity_check(pose, error, ill_posed, num_iterations, golden=None, kernel_path=True):
+    """Decide whether a bench result is a faithful registration.
+
+    Pure host-side logic, importable by tests (tests/test_bench_gate.py
+    proves an injected finest-level early stop flips it to False).
+
+    pose: (4,4) np.ndarray; error: float (finest-level exact error);
+    num_iterations: length-5 sequence coarse->fine; golden: the loaded
+    pair_1_10.npz (or None when the fixture is absent); kernel_path: whether
+    the Mosaic warp kernel drove the L0-L2 levels (the TPU bench config).
+    Returns (ok, reasons) where reasons names every failed rail.
+    """
+    reasons = []
+    t_norm = float(np.linalg.norm(np.asarray(pose)[:3, 3]))
+    if not (0.01 < t_norm < 2.0):
+        reasons.append(f"translation norm {t_norm:.4f} outside (0.01, 2.0)")
+    if bool(np.asarray(ill_posed).any()):
+        reasons.append("ill-posed system reported")
+    if golden is not None:
+        t_diff = float(np.linalg.norm(np.asarray(pose)[:3, 3] - golden["free_pose"][:3, 3]))
+        if not t_diff < 0.1:
+            reasons.append(f"translation vector {t_diff:.4f} m from golden basin (limit 0.1)")
+        g_err = float(golden["free_error"])
+        lo, hi = g_err + GOLDEN_ERR_BAND[0], g_err + GOLDEN_ERR_BAND[1]
+        if not (lo < float(error) < hi):
+            reasons.append(
+                f"finest-level error {float(error):.4f} outside two-sided band "
+                f"({lo:.3f}, {hi:.3f}) — too low means thinned term set, "
+                f"too high means divergence"
+            )
+    sig = tuple(int(x) for x in np.asarray(num_iterations).reshape(-1))
+    allowed = KERNEL_PATH_SIGNATURES if kernel_path else FALLBACK_SIGNATURES
+    if sig not in allowed:
+        reasons.append(
+            f"iteration signature {sig} not in the CPU-cross-checked set "
+            f"{sorted(allowed)} ({'kernel' if kernel_path else 'fallback'} path) "
+            "— a perf win must not come from computing less"
+        )
+    return (not reasons), reasons
+
 
 def _probe_device(timeout_s: float = 240.0):
     """The axon tunnel can be down for hours (CLAUDE.md); a trivial op that
@@ -167,49 +231,38 @@ def main():
     pairs_per_sec = batch * iters / dt
     res = last_res
 
-    # sanity: the result must be a real registration, not a no-op, and must
-    # land in the golden basin (tests/golden/pair_1_10.npz free-run |t|;
-    # tolerance covers the stopping-rule spread documented in PERF.md) so a
-    # perf win can't silently buy a worse basin
+    # sanity: the result must be a real registration, not a no-op; it must
+    # land in the golden basin with a faithful error (two-sided band); and
+    # the FULL iteration signature must be a CPU-cross-checked legitimate
+    # one — the denormal-flush lesson (PERF.md "The honest landscape"):
+    # gate what the next artifact would corrupt first, and never let a
+    # perf headline pass by computing less.
     pose = np.asarray(res.pose[0])
     t_norm = float(np.linalg.norm(pose[:3, 3]))
     err = float(np.asarray(res.error[0]))
     ill = bool(np.asarray(res.ill_posed).any())
-    ok = (0.01 < t_norm < 2.0) and not ill
     golden_path = os.path.join(os.path.dirname(__file__), "tests", "golden", "pair_1_10.npz")
-    if os.path.exists(golden_path):
-        g = np.load(golden_path)
-        # the exact finest-level error across known-good basins spans
-        # 2.40-3.1 (PERF.md "Accuracy note"; golden free run stops at 2.87);
-        # gate one-sided against divergence, and the translation VECTOR
-        # against the golden (|t| alone is inversion-invariant — a swapped
-        # src/trg regression would pass a norm-only gate)
-        t_diff = float(np.linalg.norm(pose[:3, 3] - g["free_pose"][:3, 3]))
-        ok = ok and t_diff < 0.1 and err < float(g["free_error"]) + 0.35
-    # faithful-landscape signature: the three coarse levels run the XLA
-    # (full-coverage) path on every backend and settle at exactly these
-    # iteration counts on the bundled pair (verified identical on CPU f64,
-    # CPU f32 and TPU this round). The round-2/3 TPU denormal flush that
-    # silently thinned the saliency set showed up here first ([4,10,9,...]
-    # instead of [0,7,10,...]) while passing the pose gates — iterating
-    # less IS the artifact's speedup, so a perf headline must not pass
-    # without the faithful counts. Recalibrate only with a CPU cross-check.
-    iters = tuple(int(x) for x in np.asarray(res.num_iterations[0])[:3])
-    ok = ok and iters == (0, 7, 10)
+    golden = np.load(golden_path) if os.path.exists(golden_path) else None
+    from rgbd360_tpu.ops import photoicp
 
-    print(
-        json.dumps(
-            {
-                "metric": "sphere_photoicp_pairs_per_sec",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-                "batch": batch,
-                "translation_norm_m": round(t_norm, 4),
-                "sane": ok,
-            }
-        )
+    ok, reasons = sanity_check(
+        pose, err, ill, np.asarray(res.num_iterations[0]),
+        golden=golden,
+        kernel_path=photoicp._use_warp_kernel(gray_src.shape[-2:]),
     )
+
+    out = {
+        "metric": "sphere_photoicp_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "batch": batch,
+        "translation_norm_m": round(t_norm, 4),
+        "sane": ok,
+    }
+    if reasons:
+        out["sanity_failures"] = reasons
+    print(json.dumps(out))
     return 0 if ok else 1
 
 
