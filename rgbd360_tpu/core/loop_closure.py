@@ -198,7 +198,11 @@ class LoopClosure360:
         """One vmapped align_batch call over all surviving candidates: the
         new keyframe's panorama is broadcast as the source, each candidate's
         as the target. Pads to a small bucket size so repeated LC sweeps hit
-        the same compiled executable."""
+        the same compiled executable. With more than one device present the
+        bucket is split over the pair mesh (SURVEY §2.3: LC candidate
+        refinement is one of the two map-level ops that scale across chips;
+        round-3 review flagged that only the prefilter used the mesh)."""
+        import jax
         import jax.numpy as jnp
 
         from rgbd360_tpu.parallel.batch import align_batch
@@ -223,15 +227,37 @@ class LoopClosure360:
             gt.append(np.asarray(cand_kf.sphere_gray))
             dt.append(np.asarray(cand_kf.sphere_depth_mm, np.float32) * 0.001)
             seeds.append(guess.astype(np.float32))
-        res = align_batch(
+        # shard the bucket over the largest power-of-two device count that
+        # divides it (bucket is a power of two, so this is min(bucket,
+        # 2^floor(log2(n_dev)))); a single device keeps the plain jit path
+        n_dev = len(jax.devices())
+        n_use = 1
+        while n_use * 2 <= n_dev and bucket % (n_use * 2) == 0:
+            n_use *= 2
+        args = (
             jnp.asarray(np.stack(gs)),
             jnp.asarray(np.stack(ds)),
             jnp.asarray(np.stack(gt)),
             jnp.asarray(np.stack(dt)),
             jnp.asarray(np.stack(seeds)),
-            n_levels=self.aligner.n_pyr_levels,
-            full_coverage=True,  # LC-scale motion: banded re-gather in-loop
         )
+        if n_use > 1:
+            from rgbd360_tpu.parallel.mesh import (
+                align_batch_sharded, make_mesh, shard_pairs,
+            )
+
+            mesh = make_mesh(jax.devices()[:n_use])
+            res = align_batch_sharded(
+                mesh, *shard_pairs(mesh, *args),
+                n_levels=self.aligner.n_pyr_levels,
+                full_coverage=True,  # LC-scale motion: banded re-gather in-loop
+            )
+        else:
+            res = align_batch(
+                *args,
+                n_levels=self.aligner.n_pyr_levels,
+                full_coverage=True,
+            )
         poses = np.asarray(res.pose)
         av_depth = np.asarray(res.av_depth_residual)
         hessians = np.asarray(res.hessian)

@@ -35,17 +35,36 @@ def shard_pairs(mesh: Mesh, *arrays):
 
 
 @functools.lru_cache(maxsize=32)
-def _align_sharded_fn(mesh: Mesh, method: int, n_levels: int, need_stats: bool = True):
-    """jit caches on the function object — build one jitted callable per
-    (mesh, method, n_levels, need_stats) so repeated calls with stable shapes
-    reuse the compiled executable instead of retracing."""
-    data_spec = NamedSharding(mesh, P(PAIR_AXIS))
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        functools.partial(align_batch, method=method, n_levels=n_levels, need_stats=need_stats),
-        in_shardings=(data_spec,) * 5,
-        out_shardings=repl,
+def _align_sharded_fn(
+    mesh: Mesh, method: int, n_levels: int, need_stats: bool = True,
+    full_coverage: bool = False,
+):
+    """One jitted callable per (mesh, method, n_levels, need_stats,
+    full_coverage) so repeated calls with stable shapes reuse the compiled
+    executable instead of retracing.
+
+    shard_map, not in_shardings: the L0-L2 sweeps run the Mosaic warp kernel
+    on TPU, and a Pallas custom call carries no GSPMD partitioning rule — the
+    auto-spmd partitioner cannot split it across chips, so the kernel must be
+    placed under MANUAL sharding where every chip runs the whole fused
+    program on its local slice of the pair axis. Pairs are independent
+    (SURVEY §2.3): no collectives in the body, outputs stay pair-sharded."""
+    local = functools.partial(
+        align_batch, method=method, n_levels=n_levels, need_stats=need_stats,
+        full_coverage=full_coverage,
     )
+    sharded = jax.shard_map(
+        lambda gs, ds, gt, dt, p: local(gs, ds, gt, dt, p),
+        mesh=mesh,
+        in_specs=(P(PAIR_AXIS),) * 5,
+        out_specs=P(PAIR_AXIS),
+        # the GN while_loop carries scalar constants (iteration counter,
+        # tolerance state) that start replicated and become device-varying on
+        # the first step; there are no collectives in the body, so the
+        # varying-axis bookkeeping the check enforces has nothing to protect
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def align_batch_sharded(
@@ -58,14 +77,15 @@ def align_batch_sharded(
     method: int = photoicp.PHOTO_DEPTH,
     n_levels: int = 5,
     need_stats: bool = True,
+    full_coverage: bool = False,
 ) -> photoicp.AlignResult:
-    """Data-parallel batched registration: batch axis split over PAIR_AXIS.
-
-    XLA partitions the whole fused program; no collectives are needed in the
-    steady state because pairs are independent (gradients/Hessians are
-    per-pair 6x6 — they never cross chips).
+    """Data-parallel batched registration: batch axis split over PAIR_AXIS
+    under shard_map (manual SPMD — required for the Mosaic kernel path, see
+    _align_sharded_fn). The batch must divide by the mesh size; no
+    collectives are needed in the steady state because pairs are independent
+    (gradients/Hessians are per-pair 6x6 — they never cross chips).
     """
-    fn = _align_sharded_fn(mesh, method, n_levels, need_stats)
+    fn = _align_sharded_fn(mesh, method, n_levels, need_stats, full_coverage)
     return fn(gray_src, depth_src, gray_trg, depth_trg, pose_guess)
 
 
