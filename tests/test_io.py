@@ -544,3 +544,102 @@ def test_rawlog_clean_gzip_cut_at_nested_header_raises_valueerror(tmp_path):
         p.write_bytes(gzip.compress(raw[:cut]))
         with pytest.raises(ValueError):
             list(read_rawlog(str(p)))
+
+
+def test_rawlog_adversarial_fuzz(tmp_path, rng):
+    """Adversarial robustness sweep (VERDICT r3 #8): truncation at every
+    stride, random single-byte corruption, wrong version bytes, oversized
+    dims, and damaged JPEG payloads must all surface as a clean ValueError
+    — or, for a cut landing exactly on an object boundary, a clean shorter
+    sequence — never a hang, another exception type, or a silently
+    misparsed STRUCTURE. (Corrupted pixel VALUES inside an image payload
+    are undetectable without checksums and may pass through; that is the
+    documented limit.) Byte fidelity vs archives written by real MRPT
+    stays ungated — no MRPT source or sample ships in this image and there
+    is no egress (reference Visualization/LoadRawlog.cpp:94-231) — so this
+    pins the failure mode instead."""
+    import gzip
+    import io as _io
+    import struct
+
+    import pytest
+
+    from rgbd360_tpu.io.rawlog import (
+        Obs3DRangeScan, _read_cimage, _write_cimage, read_rawlog, write_rawlog,
+    )
+
+    path = tmp_path / "base.rawlog"
+    obs_all = _synthetic_rawlog(path, rng, n_frames=2, h=12, w=16)
+    payload = gzip.decompress(path.read_bytes())
+
+    # object-boundary offsets: decompressed length of every prefix rawlog
+    boundaries = {0}
+    for k in range(1, len(obs_all) + 1):
+        p = tmp_path / "prefix.rawlog"
+        write_rawlog(str(p), obs_all[:k])
+        boundaries.add(len(gzip.decompress(p.read_bytes())))
+    assert max(boundaries) == len(payload)
+
+    def parse(buf: bytes):
+        p = tmp_path / "fuzz.rawlog"
+        p.write_bytes(gzip.compress(buf))
+        return list(read_rawlog(str(p)))
+
+    # -- truncation sweep: every stride plus every exact boundary ----------
+    n_before = {b: sum(1 for x in sorted(boundaries) if 0 < x <= b) for b in boundaries}
+    cuts = set(range(1, len(payload), max(1, len(payload) // 64))) | boundaries
+    for cut in sorted(cuts):
+        if cut in boundaries:
+            got = parse(payload[:cut])
+            assert len(got) == n_before[cut], f"boundary cut {cut}"
+        else:
+            with pytest.raises(ValueError):
+                parse(payload[:cut])
+
+    # -- single-byte corruption: ValueError or termination, nothing else ---
+    outcomes = {"ValueError": 0, "parsed": 0}
+    for _ in range(150):
+        pos = int(rng.integers(0, len(payload)))
+        xor = int(rng.integers(1, 256))
+        buf = bytearray(payload)
+        buf[pos] ^= xor
+        try:
+            got = parse(bytes(buf))
+            outcomes["parsed"] += 1
+            assert len(got) <= len(obs_all)
+        except ValueError:
+            outcomes["ValueError"] += 1
+    # both outcomes occur on this payload mix: structural bytes trip the
+    # guards, payload bytes pass through — if either count is zero the
+    # sweep stopped exercising one side
+    assert outcomes["ValueError"] > 0 and outcomes["parsed"] > 0, outcomes
+
+    # -- wrong version bytes ------------------------------------------------
+    for name, ver in (("CObservation3DRangeScan", 99), ("CObservation2DRangeScan", 42)):
+        hdr = struct.pack("<B", len(name) | 0x80) + name.encode() + struct.pack("<b", ver)
+        with pytest.raises(ValueError, match="version"):
+            parse(hdr + b"\x00" * 64)
+
+    # -- oversized dims refuse BEFORE allocating ---------------------------
+    def cimage_obj(payload_bytes):
+        return (
+            struct.pack("<B", len("CImage") | 0x80)
+            + b"CImage"
+            + struct.pack("<b", 9)
+            + payload_bytes
+            + b"\x88"
+        )
+
+    huge = struct.pack("<BB", 0, 1) + struct.pack("<iiii", 1 << 30, 1 << 30, 0, 2**31 - 1)
+    with pytest.raises(ValueError, match="implausible"):
+        _read_cimage(_io.BytesIO(cimage_obj(huge)))
+
+    # -- damaged JPEG blob: decode failure is a loud ValueError -------------
+    yy, xx = np.mgrid[0:16, 0:24]
+    c = np.stack([100 + 4 * xx, 80 + 3 * yy, 60 + 2 * (xx + yy)], -1).astype(np.uint8)
+    buf = _io.BytesIO()
+    _write_cimage(buf, c, jpeg=True)
+    blob = bytearray(buf.getvalue())
+    blob[len(blob) // 2 :] = bytes(len(blob) - len(blob) // 2)  # zero the tail
+    with pytest.raises((ValueError, EOFError)):
+        _read_cimage(_io.BytesIO(bytes(blob)))
