@@ -371,7 +371,11 @@ def group_planes(local_planes: List[List[Plane]]) -> PbMap:
         for cand in local_planes[sensor_id]:
             target = None
             if cand.area_hull > 0.5 or cand.curvature < MAX_CURVATURE:
-                for j in prev_ids:
+                # ascending id order: the reference iterates std::set<unsigned>
+                # and merges into the FIRST match (:766-817) — when several
+                # previous planes match, the target is order-dependent, and a
+                # Python set's iteration order is not a contract
+                for j in sorted(prev_ids):
                     pj = planes[j]
                     if pj.area_hull < 0.5 or pj.curvature > MAX_CURVATURE:
                         continue
