@@ -19,6 +19,14 @@ PHOTO_DEPTH = photoicp.PHOTO_DEPTH
 
 
 class RegisterPhotoICP:
+    # pyramids cached per (frame arrays identity, role): the SLAM tracking
+    # loop re-sets the same target keyframe panorama up to 5 times per frame
+    # and the same source frame per attempt — each set was a fresh
+    # host->device upload + pyramid dispatch (PERF.md round-4 host-loop
+    # bisect). Entries hold strong references to the key arrays, so `is`
+    # identity stays valid; keyframe panoramas are never mutated in place.
+    _PYR_CACHE_SIZE = 8
+
     def __init__(self, n_pyr_levels: int = 4):
         self.n_pyr_levels = n_pyr_levels
         self.min_depth = photoicp.MIN_DEPTH
@@ -26,6 +34,9 @@ class RegisterPhotoICP:
         self._src = None  # pyramid tuples
         self._trg = None
         self._result: Optional[photoicp.AlignResult] = None
+        self._flat = None  # device (K,) f32: every host-consumed output
+        self._host: Optional[dict] = None  # unpacked copy of _flat
+        self._pyr_cache = []  # [(rgb, depth, is_target, n_levels, pyramids)]
 
     # -- reference API --------------------------------------------------------
     def set_num_pyr(self, n: int) -> None:
@@ -42,17 +53,29 @@ class RegisterPhotoICP:
             depth = depth.astype(jnp.float32) * 0.001
         return gray, depth.astype(jnp.float32)
 
-    def set_source_frame(self, rgb_bgr_u8, depth) -> None:
+    def _pyramids(self, rgb_bgr_u8, depth, is_target: bool):
+        for entry in self._pyr_cache:
+            if (
+                entry[0] is rgb_bgr_u8
+                and entry[1] is depth
+                and entry[2] == is_target
+                and entry[3] == self.n_pyr_levels
+            ):
+                return entry[4]
         gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
-        self._src = photoicp.build_pyramid_set_jit(
-            gray, depth_m, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
+        pyr = photoicp.build_pyramid_set_jit(
+            gray, depth_m, self.n_pyr_levels, is_target=is_target, sphere_seam_mask=True
         )
+        self._pyr_cache.append((rgb_bgr_u8, depth, is_target, self.n_pyr_levels, pyr))
+        if len(self._pyr_cache) > self._PYR_CACHE_SIZE:
+            self._pyr_cache.pop(0)
+        return pyr
+
+    def set_source_frame(self, rgb_bgr_u8, depth) -> None:
+        self._src = self._pyramids(rgb_bgr_u8, depth, is_target=False)
 
     def set_target_frame(self, rgb_bgr_u8, depth) -> None:
-        gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
-        self._trg = photoicp.build_pyramid_set_jit(
-            gray, depth_m, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
-        )
+        self._trg = self._pyramids(rgb_bgr_u8, depth, is_target=True)
 
     def align_frames360(
         self,
@@ -71,12 +94,13 @@ class RegisterPhotoICP:
 
         with stage(
             "Dense alignment 360",
-            sync=lambda: np.asarray(self._result.pose) if self._result else None,
+            sync=lambda: np.asarray(self._flat) if self._flat is not None else None,
         ):
-            self._result = photoicp.align_frames360_jit(
+            self._result, self._flat = photoicp.align_frames360_packed(
                 self._src, self._trg, guess, method, occlusion=occlusion,
                 full_coverage=full_coverage,
             )
+            self._host = None  # fetched lazily, ONCE, on first accessor
         return self.get_optimal_pose()
 
     def prewarm(
@@ -104,11 +128,11 @@ class RegisterPhotoICP:
                 trg = photoicp.build_pyramid_set_jit(
                     gray, depth, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
                 )
-                res = photoicp.align_frames360_jit(
+                _res, flat = photoicp.align_frames360_packed(
                     src, trg, jnp.eye(4), method, occlusion=occlusion,
                     full_coverage=full_coverage,
                 )
-                np.asarray(res.pose)  # force completion (axon: block_until_ready lies)
+                np.asarray(flat)  # force completion (axon: block_until_ready lies)
             except Exception:
                 pass
 
@@ -122,39 +146,66 @@ class RegisterPhotoICP:
         return None
 
     # -- accessors -------------------------------------------------------------
+    # Every scalar/matrix accessor reads one host-side unpack of the packed
+    # result vector — a SINGLE device->host transfer per alignment, however
+    # many quantities the caller reads (each np.asarray on the axon backend
+    # is a ~30 ms RPC; the old per-accessor fetches dominated the SLAM
+    # loop's host time).
     @property
     def result(self) -> photoicp.AlignResult:
         assert self._result is not None, "align first"
         return self._result
 
+    def _fetch(self) -> dict:
+        assert self._flat is not None, "align first"
+        if self._host is None:
+            flat = np.asarray(self._flat)
+            n = len(flat) - 63
+            self._host = {
+                "pose": flat[0:16].reshape(4, 4).copy(),
+                "hessian": flat[16:52].reshape(6, 6).copy(),
+                "gradient": flat[52:58].copy(),
+                "error": float(flat[58]),
+                "av_photo": float(flat[59]),
+                "av_depth": float(flat[60]),
+                "sso": float(flat[61]),
+                "ill": bool(flat[62] != 0.0),
+                "iters": flat[63 : 63 + n].astype(np.int32),
+            }
+        return self._host
+
     def get_optimal_pose(self) -> np.ndarray:
-        return np.asarray(self.result.pose)
+        return self._fetch()["pose"]
 
     def get_hessian(self) -> np.ndarray:
-        return np.asarray(self.result.hessian)
+        return self._fetch()["hessian"]
 
     def get_gradient(self) -> np.ndarray:
-        return np.asarray(self.result.gradient)
+        return self._fetch()["gradient"]
 
     def calc_entropy(self) -> float:
-        return float(photoicp.calc_entropy(self.result.hessian))
+        """Kerl-IROS13 pose entropy (reference RegisterPhotoICP.h:4789-4797)
+        from the host-cached Hessian — numpy, no eager device dispatch."""
+        sign, logdet = np.linalg.slogdet(self._fetch()["hessian"].astype(np.float64))
+        logdet = logdet if sign > 0 else -np.inf
+        return float(0.5 * (6.0 * (1.0 + np.log(2.0 * np.pi)) - logdet))
 
     @property
     def sso(self) -> float:
-        return float(self.result.sso)
+        return self._fetch()["sso"]
 
     @property
     def av_photo_residual(self) -> float:
-        return float(self.result.av_photo_residual)
+        return self._fetch()["av_photo"]
 
     @property
     def av_depth_residual(self) -> float:
-        return float(self.result.av_depth_residual)
+        return self._fetch()["av_depth"]
 
     @property
     def ill_posed(self) -> bool:
-        return bool(np.asarray(self.result.ill_posed))
+        return self._fetch()["ill"]
 
     @property
     def num_iterations(self) -> np.ndarray:
-        return np.asarray(self.result.num_iterations)
+        return self._fetch()["iters"]

@@ -1010,6 +1010,46 @@ def align_frames360(
 align_frames360_jit = functools.partial(
     jax.jit, static_argnames=("method", "max_iters", "occlusion", "need_stats", "full_coverage")
 )(align_frames360)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "max_iters", "occlusion", "need_stats", "full_coverage")
+)
+def align_frames360_packed(
+    src_pyrs, trg_pyrs, pose_guess, method: int = PHOTO_DEPTH, *,
+    max_iters: int = MAX_ITERS, occlusion: int = 0, need_stats: bool = True,
+    full_coverage: bool = False,
+):
+    """align_frames360 plus a single flat f32 vector of every host-consumed
+    output: [pose 16, hessian 36, gradient 6, error, av_photo, av_depth,
+    sso, ill_posed, num_iterations (n_levels)].
+
+    On the axon backend every device->host transfer pays a ~30 ms RPC
+    (CLAUDE.md); the OO facade's per-accessor np.asarray calls made a single
+    tracked SLAM frame spend ~100-150 ms just FETCHING scalars (pose,
+    avDepthResidual, hessian, sso each a round trip — PERF.md round-4
+    bisect). Packing them inside the jit makes the whole result one
+    transfer. The structured AlignResult is still returned for device-side
+    consumers."""
+    res = align_frames360(
+        src_pyrs, trg_pyrs, pose_guess, method, max_iters=max_iters,
+        occlusion=occlusion, need_stats=need_stats, full_coverage=full_coverage,
+    )
+    flat = jnp.concatenate(
+        [
+            res.pose.reshape(-1).astype(jnp.float32),
+            res.hessian.reshape(-1).astype(jnp.float32),
+            res.gradient.reshape(-1).astype(jnp.float32),
+            jnp.stack(
+                [
+                    res.error, res.av_photo_residual, res.av_depth_residual,
+                    res.sso, res.ill_posed.astype(jnp.float32),
+                ]
+            ),
+            res.num_iterations.astype(jnp.float32),
+        ]
+    )
+    return res, flat
 build_pyramid_set_jit = functools.partial(
     jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
 )(build_pyramid_set)
