@@ -48,16 +48,23 @@ from jax.experimental.pallas import tpu as pltpu
 # separate full-resolution mask array has to round-trip HBM
 C = 8
 BR, BC = 8, 128  # source tile (the window-placement granule)
-PR = 14  # target window rows (row alignment-free: leading axis untiled)
+# Window constants, env-overridable for on-chip sweeps
+# (tools/sweep_window_constants.py runs one subprocess per configuration —
+# they are read once at import and baked into every kernel/mirror trace).
+# Defaults are the measured optimum: K=6/PR=14 (round 2), VR=2 (round 3).
+import os as _os
+
+PR = int(_os.environ.get("RGBD360_WARP_PR", "14"))  # target window rows
 # Vertical tiles gathered per grid step: each step processes VR stacked
 # (8,128) tiles through VR independent windows (origins stay per-8-row
 # tile, so window/coverage semantics are IDENTICAL to one-tile steps —
 # window_mask_reference needs no VR awareness). Fewer grid steps amortize
 # the per-step fixed costs (origin loads, pipeline control, DMA issue):
 # measured 2.82 -> 2.37 ms per batch-4 L0 gather at VR=2.
-VR = 2
-K = 6  # per-output-row row window
-PC = 256  # target window columns (128-aligned origin + 128 spread budget)
+VR = int(_os.environ.get("RGBD360_WARP_VR", "2"))
+K = int(_os.environ.get("RGBD360_WARP_K", "6"))  # per-output-row row window
+# target window columns (128-aligned origin + 128 spread budget)
+PC = int(_os.environ.get("RGBD360_WARP_PC", "256"))
 
 
 def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem, *, w_real):
