@@ -335,3 +335,64 @@ def test_edge_only_contact_exercises_branch_c(tmp_path):
     assert len(pb.planes) == len(cpp["final"])
     for i, (p, cp) in enumerate(zip(pb.planes, cpp["final"])):
         _assert_plane_close(_snapshot(p), cp, f"cross p{i}")
+
+
+def _plane_both_reprs(rng, origin, a1, a2, n=120):
+    """One planar patch as (points-repr, moments-repr) Plane twins."""
+    from rgbd360_tpu.core.pbmap import HIST_H_BINS, Plane, rgb_to_hue_hist
+
+    t = rng.uniform(-0.4, 0.4, size=(n, 2))
+    pts = np.asarray(origin) + t[:, :1] * np.asarray(a1) + t[:, 1:] * np.asarray(a2)
+    pts = pts + rng.normal(0, 2e-3, size=pts.shape)
+    cols = rng.integers(0, 255, size=(n, 3)).astype(np.uint8)
+    center = pts.mean(axis=0)
+    cov = (pts - center).T @ (pts - center) / n
+    w, v = np.linalg.eigh(cov)
+    normal = v[:, 0] if v[:, 0] @ center <= 0 else -v[:, 0]
+    curv = float(w[0] / w.sum())
+
+    def mk(points_repr):
+        p = Plane(
+            id=0, normal=normal.copy(), center=center.copy(),
+            d=float(-normal @ center), curvature=curv,
+        )
+        if points_repr:
+            p.points = pts.copy()
+            p.colors = cols.copy()
+            p.compute_colors()
+        else:
+            p.n_pts = n
+            p.cov = cov.copy()
+            hist = rgb_to_hue_hist(cols)
+            p.hist_counts = hist * n  # raw counts
+            p.hist_h = hist
+            p.main_color = cols.mean(axis=0) / 255.0
+        p.compute_hull_area(pts)
+        return p
+
+    return mk(True), mk(False)
+
+
+def test_merge_plane_moments_equals_points():
+    """Plane.merge_plane's sufficient-statistics branch (the device
+    extraction path) must equal the point-union re-estimation branch — the
+    branch the C++ oracle executes. This closes the chain: oracle gates the
+    points semantics, this gates moments == points."""
+    rng = np.random.default_rng(11)
+    fa1, fa2 = np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0])
+    a_pts, a_mom = _plane_both_reprs(rng, np.array([0.5, 0.2, -1.3]), fa1, fa2)
+    b_pts, b_mom = _plane_both_reprs(rng, np.array([0.9, 0.3, -1.31]), fa1, fa2)
+
+    a_pts.merge_plane(b_pts)
+    a_mom.merge_plane(b_mom)
+
+    np.testing.assert_allclose(a_mom.center, a_pts.center, atol=1e-12)
+    np.testing.assert_allclose(a_mom.normal, a_pts.normal, atol=1e-9)
+    assert abs(a_mom.d - a_pts.d) < 1e-9
+    assert abs(a_mom.curvature - a_pts.curvature) < 1e-12
+    np.testing.assert_allclose(a_mom.area_hull, a_pts.area_hull, rtol=1e-12)
+    np.testing.assert_allclose(a_mom.elongation, a_pts.elongation, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(a_mom.hist_h), np.asarray(a_pts.hist_h), atol=1e-12
+    )
+    assert a_mom.n_pts == 240
