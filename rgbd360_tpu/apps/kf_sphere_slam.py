@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument("--calib-root", default=None)
     ap.add_argument("--save-map", default=None,
                     help="checkpoint the map (keyframes + state) to this dir")
+    ap.add_argument("--live-view", default=None, metavar="DIR",
+                    help="serve a live map viewer (reference Map360_Visualizer"
+                         " analogue); open the printed URL in a browser")
+    ap.add_argument("--live-port", type=int, default=0)
     ap.add_argument("--resume", default=None,
                     help="resume from a map saved with --save-map")
     args = ap.parse_args(argv)
@@ -47,6 +51,13 @@ def main(argv=None) -> int:
         matcher_config=default_matcher_config(args.calib_root),
     )
     slam.aligner.prewarm()  # overlap align compile/load with the first frames
+    viewer = None
+    if args.live_view:
+        from rgbd360_tpu.utils.live_viewer import LiveMapViewer
+
+        viewer = LiveMapViewer(args.live_view, port=args.live_port,
+                               title="KF-SLAM live")
+        print(f"live viewer: {viewer.url or args.live_view}")
 
     n_frames = 0
     from rgbd360_tpu.core.plane_extraction import planes_pipeline
@@ -56,10 +67,15 @@ def main(argv=None) -> int:
     ):
         status = slam.process_frame(frame)
         n_frames += 1
+        if viewer is not None and status not in ("skip_pbmap", "skip_tracked"):
+            viewer.update(slam.world)
         print(f"frame {frame_no}: {status}  (kf={slam.n_keyframes_selected}, "
               f"lc={slam.n_loop_closures}, nearest={slam.nearest_kf})")
 
     world = slam.world
+    if viewer is not None:
+        viewer.update(world)
+        viewer.close()
     print(f"{n_frames} frames -> {len(world)} keyframes, {len(world.areas)} areas, "
           f"{slam.n_loop_closures} extra connections")
     if args.out:

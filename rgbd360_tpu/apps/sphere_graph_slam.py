@@ -48,6 +48,12 @@ def main(argv=None) -> int:
     ap.add_argument("--lc-thread", action="store_true",
                     help="run loop closure on a background thread (reference"
                          " behavior); default is synchronous/deterministic")
+    ap.add_argument("--live-view", default=None, metavar="DIR",
+                    help="serve a live map viewer (reference Map360_Visualizer"
+                         " analogue): writes DIR/live.html + live.json and an"
+                         " HTTP server; open the printed URL in a browser")
+    ap.add_argument("--live-port", type=int, default=0,
+                    help="live viewer port (0 = ephemeral)")
     args = ap.parse_args(argv)
 
     calib = load_calib(args.calib_root)
@@ -70,6 +76,13 @@ def main(argv=None) -> int:
 
     current_pose = np.eye(4, dtype=np.float64)
     n_lc = 0
+    viewer = None
+    if args.live_view:
+        from rgbd360_tpu.utils.live_viewer import LiveMapViewer
+
+        viewer = LiveMapViewer(args.live_view, port=args.live_port,
+                               title="SphereGraphSLAM live")
+        print(f"live viewer: {viewer.url or args.live_view}")
 
     from rgbd360_tpu.core.plane_extraction import planes_pipeline
 
@@ -191,9 +204,14 @@ def main(argv=None) -> int:
         if len(world) % PARTITION_EVERY == 0:
             if topo.partitioner():
                 print(f"  topology re-partitioned: {len(world.areas)} areas")
+        if viewer is not None:
+            viewer.update(world)
 
     if args.lc_thread:
         loop_closer.stop()
+    if viewer is not None:
+        viewer.update(world)
+        viewer.close()
     print(f"map: {len(world)} keyframes, {len(world.areas)} areas, {n_lc} loop closures")
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -36,8 +36,7 @@ def _frustum_lines(pose: np.ndarray, scale: float = 0.12) -> List[List[float]]:
     return segs
 
 
-def write_map_html(
-    path: str,
+def build_map_data(
     trajectory: Optional[Sequence[np.ndarray]] = None,
     optimized: Optional[Sequence[np.ndarray]] = None,
     planes: Optional[list] = None,  # dicts {hull: (K,3) list, color, id, area}
@@ -45,10 +44,12 @@ def write_map_html(
     points: Optional[np.ndarray] = None,  # (N,3) world cloud (subsampled)
     point_colors: Optional[np.ndarray] = None,  # (N,3) u8 RGB
     title: str = "rgbd360 map",
-) -> None:
+) -> dict:
+    """The viewer's JSON payload (shared by the offline dump and the live
+    viewer's live.json)."""
     trajectory = [np.asarray(p, float) for p in (trajectory or [])]
     optimized = [np.asarray(p, float) for p in (optimized or [])]
-    data = {
+    return {
         "title": title,
         "traj": [p[:3, 3].tolist() for p in trajectory],
         "opt": [p[:3, 3].tolist() for p in optimized],
@@ -64,11 +65,21 @@ def write_map_html(
             np.asarray(point_colors, int).tolist() if point_colors is not None else []
         ),
     }
-    html = _TEMPLATE.replace("__TITLE__", title).replace(
-        "__DATA__", json.dumps(data, separators=(",", ":"))
-    )
+
+
+def write_map_html(path: str, title: str = "rgbd360 map", **kwargs) -> None:
+    data = build_map_data(title=title, **kwargs)
     with open(path, "w") as f:
-        f.write(html)
+        f.write(render_html(data, title))
+
+
+def render_html(data: dict, title: str, live_interval_ms: Optional[int] = None) -> str:
+    return (
+        _TEMPLATE.replace("__TITLE__", title)
+        .replace("__DATA__", json.dumps(data, separators=(",", ":")))
+        .replace("__LIVE__", "true" if live_interval_ms else "false")
+        .replace("__INTERVAL_MS__", str(live_interval_ms or 0))
+    )
 
 
 def planes_payload(frames: Sequence, poses: Sequence[np.ndarray]) -> list:
@@ -98,12 +109,9 @@ def planes_payload(frames: Sequence, poses: Sequence[np.ndarray]) -> list:
     return out
 
 
-def map_to_html(path: str, world, cloud_stride: int = 0, title: str = "rgbd360 map") -> None:
-    """Dump a Map360 as an explorable offline HTML artifact: trajectory,
-    optimized trajectory, KF frusta, world-frame plane hulls and
-    loop-closure edges (connections between non-consecutive keyframes);
-    optionally a subsampled global point cloud (cloud_stride > 0 keeps every
-    stride-th point of each KF's sphere cloud)."""
+def map_view_kwargs(world, cloud_stride: int = 0) -> dict:
+    """build_map_data/write_map_html kwargs for a Map360 (shared by the
+    offline dump and the live viewer)."""
     poses = [np.asarray(p, float) for p in world.trajectory_poses]
     lc = []
     for kf2, conns in world.connection_kfs.items():
@@ -125,16 +133,23 @@ def map_to_html(path: str, world, cloud_stride: int = 0, title: str = "rgbd360 m
         if chunks:
             pts = np.concatenate(chunks)
             colors = np.concatenate(cchunks)
-    write_map_html(
-        path,
+    return dict(
         trajectory=poses,
         optimized=world.optimized_poses,
         planes=planes_payload(world.frames, poses),
         lc_edges=lc,
         points=pts,
         point_colors=colors,
-        title=title,
     )
+
+
+def map_to_html(path: str, world, cloud_stride: int = 0, title: str = "rgbd360 map") -> None:
+    """Dump a Map360 as an explorable offline HTML artifact: trajectory,
+    optimized trajectory, KF frusta, world-frame plane hulls and
+    loop-closure edges (connections between non-consecutive keyframes);
+    optionally a subsampled global point cloud (cloud_stride > 0 keeps every
+    stride-th point of each KF's sphere cloud)."""
+    write_map_html(path, title=title, **map_view_kwargs(world, cloud_stride))
 
 
 _TEMPLATE = """<!DOCTYPE html>
@@ -158,10 +173,10 @@ _TEMPLATE = """<!DOCTYPE html>
 </div>
 <div id="stat"></div>
 <script>
-const D=__DATA__;
+let D=__DATA__;
 const cv=document.getElementById('c'),ctx=cv.getContext('2d');
 let yaw=-0.6,pitch=-0.45,dist=0,cx=[0,0,0],panX=0,panY=0;
-(function(){ // fit view to content
+function fitView(){ // fit view to content
  const all=[...D.traj,...D.opt,...D.pts];
  for(const pl of D.planes) all.push(...pl.hull);
  if(!all.length){dist=10;return;}
@@ -169,7 +184,8 @@ let yaw=-0.6,pitch=-0.45,dist=0,cx=[0,0,0],panX=0,panY=0;
  for(const p of all)for(let i=0;i<3;i++){lo[i]=Math.min(lo[i],p[i]);hi[i]=Math.max(hi[i],p[i]);}
  for(let i=0;i<3;i++)cx[i]=(lo[i]+hi[i])/2;
  dist=2.2*Math.max(1e-3,Math.hypot(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2]));
-})();
+}
+fitView();
 function proj(p){
  const x=p[0]-cx[0],y=p[1]-cx[1],z=p[2]-cx[2];
  const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
@@ -213,6 +229,7 @@ function draw(){
  if(on('l'))for(const s of D.lc)seg(s[0],s[1],'#f1fa8c',1.5);
  document.getElementById('stat').textContent=
   `${D.traj.length} keyframes | ${D.planes.length} plane hulls | `+
+  `${D.traj.length&&LIVE?(frozen?'[k] FROZEN | ':'[k] live | '):''}`+
   `${D.lc.length} LC edges | ${D.pts.length} cloud points`;
 }
 let drag=0,lx=0,ly=0;
@@ -225,9 +242,26 @@ onmousemove=e=>{if(!drag)return;
  draw();};
 cv.onwheel=e=>{e.preventDefault();dist*=Math.exp(e.deltaY*0.001);draw();};
 onresize=draw;
-onkeydown=e=>{const k={'t':'tg_t','o':'tg_o','f':'tg_f','p':'tg_p','l':'tg_l','c':'tg_c'}[e.key];
+onkeydown=e=>{
+ if(e.key==='k'||e.key==='K'){frozen=!frozen;draw();return;} // freeze (Map360_Visualizer.h:325)
+ const k={'t':'tg_t','o':'tg_o','f':'tg_f','p':'tg_p','l':'tg_l','c':'tg_c'}[e.key];
  if(k){const b=document.getElementById(k);b.checked=!b.checked;draw();}};
 for(const el of document.querySelectorAll('#hud input'))el.onchange=draw;
 draw();
+// live mode: poll live.json and redraw (the reference visualizer's render
+// thread, Map360_Visualizer.h:95-319; 'k' freezes like bFreezeFrame)
+const LIVE=__LIVE__;
+let frozen=false, fitted=D.traj.length>0;
+if(LIVE){
+ (async function tick(){
+  if(!frozen){
+   try{
+    const r=await fetch('live.json?'+Date.now());
+    if(r.ok){D=await r.json();if(!fitted&&D.traj.length){fitView();fitted=true;}draw();}
+   }catch(e){}
+  }
+  setTimeout(tick,__INTERVAL_MS__);
+ })();
+}
 </script></body></html>
 """
