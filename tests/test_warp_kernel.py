@@ -313,19 +313,53 @@ def test_two_pass_sweep_stats_near_exact_on_tpu():
     assert (n_e - n_2) <= 0.35 * (n_e - n_1) + 0.005 * n_e, (n_e, n_2, n_1)
 
 
+def _exact_vs_full_coverage(pair, fused: bool):
+    """exact-path vs full-coverage-masked alignment, per backend:
+
+    * CPU: exact = plain XLA align; masked = XLA align with the window-mask
+      EMULATION applied at the kernel-routed levels.
+    * real TPU (RGBD360_TEST_TPU=1): exact = the XLA path FORCED
+      (_use_warp_kernel disabled — on the chip the default align runs the
+      REAL windowed kernel, so it cannot serve as the exact side); masked =
+      the real Mosaic kernel with full coverage. This is the stronger form
+      of the same gate: the hardware kernel itself against the exact
+      program it approximates.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        orig = photoicp._use_warp_kernel
+        photoicp._use_warp_kernel = lambda shape: False
+        try:
+            res_exact = _align(pair)
+        finally:
+            photoicp._use_warp_kernel = orig
+        old_fused = photoicp.FULL_COVERAGE_FUSED
+        photoicp.FULL_COVERAGE_FUSED = fused
+        try:
+            res_masked = _align(pair, full_coverage=True)
+        finally:
+            photoicp.FULL_COVERAGE_FUSED = old_fused
+        return res_exact, res_masked
+    res_exact = _align(pair)
+    old = photoicp.EMULATE_KERNEL_WINDOW_MASK
+    old_fused = photoicp.FULL_COVERAGE_FUSED
+    photoicp.EMULATE_KERNEL_WINDOW_MASK = True
+    photoicp.FULL_COVERAGE_FUSED = fused
+    try:
+        res_masked = _align(pair, full_coverage=True)
+    finally:
+        photoicp.EMULATE_KERNEL_WINDOW_MASK = old
+        photoicp.FULL_COVERAGE_FUSED = old_fused
+    return res_exact, res_masked
+
+
 def test_full_coverage_pose_agreement_at_large_motion(pair):
     """With full_coverage (banded min/max re-gathers inside every GN sweep —
     the LC/relocalization configuration) the kernel-masked alignment must
     track the exact path to <=0.5 deg / 2 cm even at the bundled pair's
     LC-scale 27 cm motion (VERDICT r2 #3: tightened from the 2.0-deg
     single-window gate above)."""
-    res_exact = _align(pair)
-    old = photoicp.EMULATE_KERNEL_WINDOW_MASK
-    photoicp.EMULATE_KERNEL_WINDOW_MASK = True
-    try:
-        res_masked = _align(pair, full_coverage=True)
-    finally:
-        photoicp.EMULATE_KERNEL_WINDOW_MASK = old
+    res_exact, res_masked = _exact_vs_full_coverage(pair, fused=False)
 
     assert not bool(res_masked.ill_posed)
     p_e = np.asarray(res_exact.pose)
@@ -341,16 +375,7 @@ def test_full_coverage_fused_pose_agreement_at_large_motion(pair):
     <=0.5 deg / 2 cm gate vs the exact path — the union-anchored coverage
     may differ from the sequential residue-anchored coverage on rare
     pixels, and this pins that the accepted pose doesn't care."""
-    res_exact = _align(pair)
-    old_emu = photoicp.EMULATE_KERNEL_WINDOW_MASK
-    old_fused = photoicp.FULL_COVERAGE_FUSED
-    photoicp.EMULATE_KERNEL_WINDOW_MASK = True
-    photoicp.FULL_COVERAGE_FUSED = True
-    try:
-        res_masked = _align(pair, full_coverage=True)
-    finally:
-        photoicp.EMULATE_KERNEL_WINDOW_MASK = old_emu
-        photoicp.FULL_COVERAGE_FUSED = old_fused
+    res_exact, res_masked = _exact_vs_full_coverage(pair, fused=True)
 
     assert not bool(res_masked.ill_posed)
     p_e = np.asarray(res_exact.pose)
