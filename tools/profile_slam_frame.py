@@ -1,0 +1,120 @@
+"""Per-stage bisect of the KF-SLAM frame loop on a real sequence.
+
+VERDICT r3 #5: PbMap-tracked SLAM frames measured 210-250 ms (round 3) /
+~240-330 ms (round-4 session) against a <150 ms target, with the gap
+attributed to "host matching/bookkeeping" — but the axon tunnel prices
+every synchronous device round trip at ~30+ ms, so the first step is an
+honest per-stage breakdown separating:
+
+  - frame build       (load + undistort + stitch dispatch; host-blocking part)
+  - planes dispatch   (build_sensor_plane_stats jit call issue)
+  - planes collect    (np.asarray sync on the stats buffer = RTT + residual
+                       device time not hidden by the lookahead)
+  - planes host fit   (_fit_from_stats_buffer: qhull + plane objects)
+  - register_pbmap    (host interpretation-tree match)
+  - Dense alignment   (facade bracket: dispatch + packed-fetch sync)
+  - process_frame     (total, per returned frame kind)
+
+Usage:  python tools/profile_slam_frame.py [seq_dir] [n_frames]
+(defaults /tmp/room_seq, all frames). Mirrors the reference's stdout timing
+oracle stage names where they exist (Frame360.h:295-308,626-627;
+RegisterRGBD360.h:298-299; RegisterPhotoICP.h:4522,4776).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from rgbd360_tpu.utils.timing import stage, stage_timing, timing_summary
+
+stage_timing(True)
+
+import rgbd360_tpu.core.plane_extraction as pe
+from rgbd360_tpu.apps.common import default_matcher_config, load_calib, sequence_frames
+from rgbd360_tpu.core.kf_slam import KFSphereSLAM
+from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
+
+
+def timed_frames(gen):
+    it = iter(gen)
+    while True:
+        with stage("frame build (load+undistort+stitch dispatch)"):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
+
+
+def profiled_pipeline(frames_iter):
+    """plane_extraction.planes_pipeline with each stage bracketed."""
+    pending = None
+    for frame_no, frame in frames_iter:
+        with stage("planes dispatch"):
+            fut = pe.build_sensor_plane_stats(
+                frame.depth_undistorted_m, frame.rgb, ship_labels=False
+            )
+        if pending is not None:
+            no, fr, f2 = pending
+            with stage("planes collect (sync)"):
+                buf = np.asarray(f2)
+            with stage("planes host fit"):
+                fr.planes, fr.local_planes = pe._fit_from_stats_buffer(fr, buf, False)
+            yield no, fr
+        pending = (frame_no, frame, fut)
+    if pending is not None:
+        no, fr, f2 = pending
+        with stage("planes collect (sync)"):
+            buf = np.asarray(f2)
+        with stage("planes host fit"):
+            fr.planes, fr.local_planes = pe._fit_from_stats_buffer(fr, buf, False)
+        yield no, fr
+
+
+def main():
+    seq = sys.argv[1] if len(sys.argv) > 1 else "/tmp/room_seq"
+    limit = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+
+    orig_reg = RegisterRGBD360.register_pbmap
+
+    def reg_wrapped(self, *a, **k):
+        with stage("register_pbmap (host)"):
+            return orig_reg(self, *a, **k)
+
+    RegisterRGBD360.register_pbmap = reg_wrapped
+
+    calib = load_calib(None)
+    slam = KFSphereSLAM(matcher_config=default_matcher_config(None))
+    slam.aligner.prewarm()
+
+    times, kinds = [], []
+    t_prev = time.perf_counter()
+    for frame_no, frame in profiled_pipeline(
+        timed_frames(sequence_frames(calib, seq, 1, 1))
+    ):
+        with stage("process_frame"):
+            kind = slam.process_frame(frame)
+        t_now = time.perf_counter()
+        times.append((t_now - t_prev) * 1e3)
+        kinds.append(kind)
+        t_prev = t_now
+        print(f"frame {frame_no}: {kind} {times[-1]:.1f} ms")
+        if len(times) >= limit:
+            break
+
+    print("\n==== per-kind frame wall (after 5-frame warmup) ====")
+    arr = np.array(times[5:])
+    ks = kinds[5:]
+    for k in sorted(set(ks)):
+        sel = arr[[i for i, x in enumerate(ks) if x == k]]
+        print(f"{k}: n={len(sel)} median={np.median(sel):.1f} ms p90={np.percentile(sel, 90):.1f} ms")
+    print(f"ALL steady-state: median={np.median(arr):.1f} ms")
+
+    print("\n==== stage summary (mean over all frames incl. warmup) ====")
+    for name, (total, count, mean) in sorted(timing_summary().items()):
+        print(f"{name:48s} n={count:3d} mean={mean:8.2f} ms total={total:9.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
