@@ -397,7 +397,9 @@ def test_map_html_viewer(tmp_path):
     assert "<canvas" in text and "http" not in text.split("</title>")[1]
     import json as _json
 
-    data = _json.loads(text.split("const D=")[1].split(";\n")[0])
+    # `let` (not const): the live viewer (utils/live_viewer.py) reassigns D
+    # when it polls for an updated snapshot of the same page template
+    data = _json.loads(text.split("let D=")[1].split(";\n")[0])
     assert len(data["traj"]) == 4 and len(data["opt"]) == 4
     assert len(data["planes"]) == 4 and len(data["lc"]) == 1
     assert data["lc"][0] == [[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]]
