@@ -203,7 +203,6 @@ class LoopClosure360:
         refinement is one of the two map-level ops that scale across chips;
         round-3 review flagged that only the prefilter used the mesh)."""
         import jax
-        import jax.numpy as jnp
 
         from rgbd360_tpu.parallel.batch import align_batch
 
@@ -234,12 +233,17 @@ class LoopClosure360:
         n_use = 1
         while n_use * 2 <= n_dev and bucket % (n_use * 2) == 0:
             n_use *= 2
+        # keep the stacked bucket as HOST arrays: shard_pairs device_puts
+        # each array once onto the mesh sharding, and align_batch's jit
+        # uploads host operands directly — a jnp.asarray here would commit
+        # all five full-panorama stacks to the default device first and pay
+        # the transfer twice (review finding, round 4)
         args = (
-            jnp.asarray(np.stack(gs)),
-            jnp.asarray(np.stack(ds)),
-            jnp.asarray(np.stack(gt)),
-            jnp.asarray(np.stack(dt)),
-            jnp.asarray(np.stack(seeds)),
+            np.stack(gs),
+            np.stack(ds),
+            np.stack(gt),
+            np.stack(dt),
+            np.stack(seeds),
         )
         if n_use > 1:
             from rgbd360_tpu.parallel.mesh import (

@@ -504,9 +504,20 @@ def planes_pipeline(frames_iter, need_inliers: bool = False):
     exactly as the sequential frame.get_planes(need_inliers=...) would."""
 
     def dispatch(frame):
-        return build_sensor_plane_stats(
+        fut = build_sensor_plane_stats(
             frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
         )
+        # Enqueue the device->host copy NOW, right behind the stats program:
+        # the axon backend serializes transfers with compute on one queue, so
+        # a fetch first issued at collect() time waits behind everything
+        # dispatched since (the dense align, frame N+1's build + stats) —
+        # measured as the dominant SLAM frame term (round-4 per-stage bisect,
+        # PERF.md: collect sync mean 229 ms for a ~450 KB buffer).
+        try:
+            fut.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # CPU/older runtimes: np.asarray in collect() still works
+        return fut
 
     def collect(frame_no, frame, fut):
         frame.planes, frame.local_planes = _fit_from_stats_buffer(

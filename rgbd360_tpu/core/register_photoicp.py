@@ -54,13 +54,18 @@ class RegisterPhotoICP:
         return gray, depth.astype(jnp.float32)
 
     def _pyramids(self, rgb_bgr_u8, depth, is_target: bool):
-        for entry in self._pyr_cache:
+        for i, entry in enumerate(self._pyr_cache):
             if (
                 entry[0] is rgb_bgr_u8
                 and entry[1] is depth
                 and entry[2] == is_target
                 and entry[3] == self.n_pyr_levels
             ):
+                # LRU, not FIFO: the tracked keyframe's target pyramids are
+                # hit every frame while one-shot source entries go cold — a
+                # FIFO pop(0) would evict exactly the hottest entry every
+                # _PYR_CACHE_SIZE inserts
+                self._pyr_cache.append(self._pyr_cache.pop(i))
                 return entry[4]
         gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
         pyr = photoicp.build_pyramid_set_jit(
@@ -93,8 +98,12 @@ class RegisterPhotoICP:
         from rgbd360_tpu.utils.timing import stage
 
         with stage(
+            # sync through _fetch so the packed vector is transferred ONCE
+            # and cached — a bare np.asarray here would discard the copy and
+            # the accessor below would pay a second ~30 ms axon RPC outside
+            # the bracket, skewing the per-stage profiler this bracket feeds
             "Dense alignment 360",
-            sync=lambda: np.asarray(self._flat) if self._flat is not None else None,
+            sync=lambda: self._fetch() if self._flat is not None else None,
         ):
             self._result, self._flat = photoicp.align_frames360_packed(
                 self._src, self._trg, guess, method, occlusion=occlusion,

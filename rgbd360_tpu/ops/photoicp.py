@@ -176,9 +176,9 @@ def _bits_f32(x: jnp.ndarray) -> jnp.ndarray:
 def pack_target_channels(level: LevelData) -> jnp.ndarray:
     """(H*W, 4) **i32** rows: gray/depth as raw f32 bit patterns, gradient
     pairs as packed f16 — all per-pixel target data touched by a sweep.
-    The rows stay i32 end-to-end for the same reason pack_target_planes4
-    does: moving f16 pairs in f32 slots through the stack/gather would
-    flush the pair to zero whenever the high half is zero."""
+    The rows stay i32 end-to-end: moving f16 pairs in f32 slots through the
+    stack/gather would flush the pair to zero whenever the high half is
+    zero (TPU denormal flush, PERF.md lever 0a)."""
     h, w = level.gray_trg.shape
     return jnp.stack(
         [
@@ -211,42 +211,15 @@ def pack_target_planes8(level: LevelData) -> jnp.ndarray:
     )
 
 
-def pack_target_planes4(level: LevelData) -> jnp.ndarray:
-    """(H, 4, W) **i32** packed f16-pair layout for the Mosaic block-warp
-    kernel — half the window-DMA bandwidth of the 8xf32 layout (the kernel's
-    bound, PERF.md): ch0 = [gray | depth_lo], ch1 = [depth_hi ->
-    reserved->in-window flag], ch2 = [ggx | ggy], ch3 = [dgx | dgy] (first
-    slot = low 16 bits). Depth splits into an f16 value plus an f16
-    correction so the pair reconstructs to <1e-3 m over the 0.3-6 m range
-    (vs the source data's 1 mm quantization); gradients carry the same f16
-    precision the XLA fallback path has always used (pack_target_channels).
-
-    The array stays i32 throughout: TPU f32 data movement (concatenate,
-    stack) flushes denormals, and a packed pair whose high slot is zero IS
-    an f32 denormal — measured flush on the axon backend."""
-    h, w = level.gray_trg.shape
-    d = level.depth_trg
-    d_hi = d.astype(jnp.float16)
-    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float32)
-    zeros = jnp.zeros((h, w), jnp.float32)
-    return jnp.stack(
-        [
-            _pack2_f16(level.gray_trg, d_lo),
-            _pack2_f16(d_hi.astype(jnp.float32), zeros),
-            _pack2_f16(level.gray_trg_gx, level.gray_trg_gy),
-            _pack2_f16(level.depth_trg_gx, level.depth_trg_gy),
-        ],
-        axis=1,
-    )
+# (pack_target_planes4 — the packed f16-pair 4-channel kernel layout — was
+# retired in round 4: a measured loser both times it was A/B'd on chip
+# (68.3 vs 72.6 pairs/s, PERF.md lever 0b) and a second flag-gated variant
+# of the flagship kernel call site that the tests mostly didn't run.)
 
 
 # Use the Mosaic block-warp kernel for levels at least this large when
 # running on TPU (smaller levels are cheap either way).
 WARP_KERNEL_MIN_PIXELS = 30_000
-
-# Kernel-path target layout: True = packed f16 pairs (4 channels, half the
-# window-DMA traffic), False = 8xf32 planes.
-WARP_KERNEL_PACKED16 = False
 
 # Test shim: apply the kernel's window mask on the XLA path too, so the CPU
 # suite can measure the pose drift the kernel's coverage deviation causes at
@@ -274,12 +247,11 @@ EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "1") == "1"
 # caveat as EXACT_FINAL_DUAL. OFF until the on-chip A/B.
 FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "") == "1"
 
-# Third exact-final variant: recompute the finest level's stats with ONE
-# triple-anchored stats-only sweep (force_fused) instead of loop-state reuse
-# + the XLA window-mask mirror + banded re-gathers. Wins if the mirror
-# prices high on chip (profile_stats_cost.py stage A). Takes precedence
-# over EXACT_FINAL_DUAL when both are set.
-EXACT_FINAL_FULLPASS = os.environ.get("RGBD360_EXACT_FINAL_FULLPASS", "") == "1"
+# (EXACT_FINAL_FULLPASS — a third exact-final variant recomputing the
+# finest level's stats with one triple-anchored stats-only sweep — was
+# retired in round 4 after losing its deduped-DMA re-A/B on chip:
+# 52.41 vs 53.68 pairs/s at batch 4 and 52.27 vs 55.21 at batch 8, same
+# session, VERDICT r3 #1b/#7.)
 
 
 def _use_warp_kernel(shape) -> bool:
@@ -839,9 +811,7 @@ def align_level_sphere(
     gray_src_flat = level.gray_src.reshape(-1)
     shape = level.gray_src.shape
     if _use_warp_kernel(shape):
-        packed = (
-            pack_target_planes4(level) if WARP_KERNEL_PACKED16 else pack_target_planes8(level)
-        )
+        packed = pack_target_planes8(level)
     else:
         packed = pack_target_channels(level)
 
@@ -902,16 +872,7 @@ def align_level_sphere(
         # the accepted pose stay as the optimization sweep produced them
         # (windowed — they feed entropy/info-matrix uses,
         # tolerance-insensitive).
-        if occlusion == 0 and EXACT_FINAL_FULLPASS:
-            # one triple-anchored stats-only sweep re-derives the finest
-            # level's stats with no mask mirror and no loop-state algebra
-            exact = fused_sweep_sphere(
-                gray_src_flat, packed, shape, xyz, valid,
-                pose, method, occlusion, two_pass=True, stats_only=True,
-                force_fused=True,
-            )
-            state = exact[:1] + state[1:3] + exact[3:]
-        elif occlusion == 0:
+        if occlusion == 0:
             # fast path: the loop state's residual sums are already the
             # in-window contributions at the accepted pose; add ONLY the
             # missed pixels via the two masked re-gather passes (saves the

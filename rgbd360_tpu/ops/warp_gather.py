@@ -51,7 +51,10 @@ BR, BC = 8, 128  # source tile (the window-placement granule)
 # Window constants, env-overridable for on-chip sweeps
 # (tools/sweep_window_constants.py runs one subprocess per configuration —
 # they are read once at import and baked into every kernel/mirror trace).
-# Defaults are the measured optimum: K=6/PR=14 (round 2), VR=2 (round 3).
+# Defaults are the measured optimum: PR=14 (round 2), VR=2 (round 3),
+# K=4 (round 4 on-chip sweep at the faithful landscape: 53.71 vs 52.79
+# pairs/s over K=6 at batch 4; K=8 52.47 — the round-2 K=6 optimum was
+# measured on the pre-fix flushed landscape).
 import os as _os
 
 PR = int(_os.environ.get("RGBD360_WARP_PR", "14"))  # target window rows
@@ -62,9 +65,17 @@ PR = int(_os.environ.get("RGBD360_WARP_PR", "14"))  # target window rows
 # the per-step fixed costs (origin loads, pipeline control, DMA issue):
 # measured 2.82 -> 2.37 ms per batch-4 L0 gather at VR=2.
 VR = int(_os.environ.get("RGBD360_WARP_VR", "2"))
-K = int(_os.environ.get("RGBD360_WARP_K", "6"))  # per-output-row row window
+K = int(_os.environ.get("RGBD360_WARP_K", "4"))  # per-output-row row window
 # target window columns (128-aligned origin + 128 spread budget)
 PC = int(_os.environ.get("RGBD360_WARP_PC", "256"))
+# Mosaic dynamic_gather is native only at 128 lanes: the per-window gather
+# is an explicit PC//128-subtile select, so non-128-multiple widths lower
+# to an opaque Mosaic error deep in the first kernel trace. Fail loudly at
+# import instead (an invalid sweep point burned a 1200 s on-chip timeout).
+if PC <= 0 or PC % BC != 0:
+    raise ValueError(f"RGBD360_WARP_PC={PC} must be a positive multiple of {BC}")
+if PR <= 0 or VR <= 0 or K <= 0:
+    raise ValueError(f"window constants must be positive: PR={PR} VR={VR} K={K}")
 
 
 def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem, *, w_real):
@@ -159,8 +170,12 @@ def _prep_operands(planes, r_idx, c_idx, active, wrap, row_granule):
     static geometry tuple."""
     bsz, ht, cdim, wt = planes.shape
     _, ho, wo = r_idx.shape
-    assert cdim in (4, 8), cdim
-    assert planes.dtype == (jnp.int32 if cdim == 4 else jnp.float32), planes.dtype
+    # 8-channel f32 planes only (pack_target_planes8): the packed f16-pair
+    # 4-channel layout was retired in round 4 — measured loser (68.3 vs 72.6
+    # pairs/s, PERF.md lever 0b), and its i32 flag-slot convention was a
+    # second untested variant of this safety-critical call site
+    assert cdim == 8, cdim
+    assert planes.dtype == jnp.float32, planes.dtype
     active = active.astype(jnp.int32)
     hop = _round_up(ho, row_granule)
     wop = _round_up(wo, BC)
@@ -241,10 +256,9 @@ def _kernel_pipelined(
     per-8-row tile — identical coverage semantics to single-tile steps) and
     starts the next step's VR window DMAs into the alternate half of `patch`
     ((2*VR*PR, cdim, PC)) before gathering its own tiles. The in-window flag
-    rides in a reserved slot of the output (saving a separate
-    full-resolution mask array's HBM round trip): channel 6 for the
-    8-channel f32 layout, the high f16 half of channel 1 for the packed
-    4-channel layout (pack_target_planes4)."""
+    rides in channel 6 of the output — a reserved zero slot of the
+    8-channel layout — saving a separate full-resolution mask array's HBM
+    round trip."""
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb, nr, nc = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
     linear = (b * nr + i) * nc + j
@@ -334,16 +348,10 @@ def _kernel_pipelined(
                 sel = (lr[row : row + 1, :] == lo_i + kk) & lc_ok[row : row + 1, :]
                 acc = acc + jnp.where(sel, val, 0)
                 hit_i = hit_i | sel.astype(jnp.int32)
-            if cdim == 8:
-                # channel 6 is zero in the packed planes: carry the hit flag
-                # there as the f32-1.0 bit pattern
-                flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
-                acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
-            else:
-                # packed f16-pair layout: channel 1 = [depth_hi | reserved];
-                # set the reserved high half to f16 1.0 where hit
-                flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
-                acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
+            # channel 6 is zero in the packed planes: carry the hit flag
+            # there as the f32-1.0 bit pattern
+            flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
+            acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
             out_ref[0, :, v * BR + row, :] = acc
 
 
@@ -514,12 +522,8 @@ def _gather_tile(
 
     for row in range(BR):
         acc, hit_i = accs[row], hits[row]
-        if cdim == 8:
-            flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
-            acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
-        else:
-            flag = jnp.where(hit_i > 0, jnp.int32(0x3C00 << 16), jnp.int32(0))
-            acc = jnp.concatenate([acc[:1], acc[1:2] | flag, acc[2:]], axis=0)
+        flag = jnp.where(hit_i > 0, jnp.int32(0x3F800000), jnp.int32(0))
+        acc = jnp.concatenate([acc[:6], flag, acc[7:]], axis=0)
         out_ref[0, :, v * BR + row, :] = acc
 
 
@@ -614,10 +618,9 @@ def warp_gather_batched(
     row_policy: str = "mean",
     wrap: bool = True,
 ):
-    """planes: (B, Ht, C, Wt) — f32 for the 8-channel layout, i32 bit
-    patterns for the packed 4-channel f16-pair layout (pack_target_planes4
-    keeps the packed array integer end-to-end because TPU f32 data movement
-    flushes denormals, and a pair with a zero high slot is one).
+    """planes: (B, Ht, 8, Wt) f32 channel planes (pack_target_planes8); the
+    kernel moves them as i32 bit patterns internally because TPU f32 data
+    movement flushes denormals.
     r_idx/c_idx: (B, Ho, Wo) i32 target coordinates (into the planes'
     (Ht, Wt) grid) clipped into range — the output grid may differ from the
     target grid (the panorama stitcher gathers a (320, 240) block from a

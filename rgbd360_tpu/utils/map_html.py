@@ -77,8 +77,11 @@ def render_html(data: dict, title: str, live_interval_ms: Optional[int] = None) 
     return (
         _TEMPLATE.replace("__TITLE__", title)
         .replace("__DATA__", json.dumps(data, separators=(",", ":")))
-        .replace("__LIVE__", "true" if live_interval_ms else "false")
-        .replace("__INTERVAL_MS__", str(live_interval_ms or 0))
+        # `is not None`, not truthiness: interval 0 means "poll as fast as
+        # possible" (like the neighboring port=0 ephemeral convention), not
+        # "render a static page"
+        .replace("__LIVE__", "true" if live_interval_ms is not None else "false")
+        .replace("__INTERVAL_MS__", str(live_interval_ms if live_interval_ms is not None else 0))
     )
 
 
@@ -247,11 +250,14 @@ onkeydown=e=>{
  const k={'t':'tg_t','o':'tg_o','f':'tg_f','p':'tg_p','l':'tg_l','c':'tg_c'}[e.key];
  if(k){const b=document.getElementById(k);b.checked=!b.checked;draw();}};
 for(const el of document.querySelectorAll('#hud input'))el.onchange=draw;
-draw();
 // live mode: poll live.json and redraw (the reference visualizer's render
-// thread, Map360_Visualizer.h:95-319; 'k' freezes like bFreezeFrame)
+// thread, Map360_Visualizer.h:95-319; 'k' freezes like bFreezeFrame).
+// LIVE/frozen are declared BEFORE the initial draw(): draw() reads both for
+// the stat line, and a top-level `const` read before initialization throws
+// (temporal dead zone), aborting the whole viewer script.
 const LIVE=__LIVE__;
 let frozen=false, fitted=D.traj.length>0;
+draw();
 if(LIVE){
  (async function tick(){
   if(!frozen){

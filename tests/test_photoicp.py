@@ -403,35 +403,6 @@ def test_occ2_mask_outlier_does_not_displace_clean_point():
     assert closest[1]
 
 
-def test_pack_target_planes4_roundtrip():
-    """The packed f16-pair layout (the optional kernel layout): i32 dtype,
-    slot order, and depth hi/lo reconstruction to <1e-3 m (PERF.md 0b)."""
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(5)
-    h, w = 16, 64
-    gray = rng.random((h, w)).astype(np.float32)
-    depth = rng.uniform(0.3, 6.0, (h, w)).astype(np.float32)
-    gx = (rng.random((h, w)) - 0.5).astype(np.float32)
-    lvl = photoicp.LevelData(
-        gray_src=jnp.asarray(gray), depth_src=jnp.asarray(depth),
-        gray_trg=jnp.asarray(gray), depth_trg=jnp.asarray(depth),
-        gray_trg_gx=jnp.asarray(gx), gray_trg_gy=jnp.asarray(gx * 2),
-        depth_trg_gx=jnp.asarray(gx * 3), depth_trg_gy=jnp.asarray(gx * 4),
-    )
-    pk = photoicp.pack_target_planes4(lvl)
-    assert pk.shape == (h, 4, w) and pk.dtype == jnp.int32
-    g_, d_lo = photoicp._unpack2_f16(pk[:, 0])
-    d_hi, flag = photoicp._unpack2_f16(pk[:, 1])
-    np.testing.assert_allclose(np.asarray(g_), gray, atol=5e-4)
-    np.testing.assert_array_equal(np.asarray(flag), 0.0)  # reserved slot
-    rec = np.asarray(d_hi + d_lo)
-    assert np.abs(rec - depth).max() < 1e-3
-    ggx, ggy = photoicp._unpack2_f16(pk[:, 2])
-    np.testing.assert_allclose(np.asarray(ggx), gx, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(ggy), gx * 2, atol=2e-3)
-
-
 def test_calc_entropy_matches_reference_formula(rng):
     """calcEntropy (reference :4789-4797): 0.5*(DOF*(1+log 2pi) + log|H^-1|)
     — the closed-form Cholesky logdet must equal the naive inverse+det."""

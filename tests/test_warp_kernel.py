@@ -165,54 +165,6 @@ def test_kernel_wrap_values_match_xla_gather_on_tpu():
     np.testing.assert_allclose(got[data_ch][:, m], exact[data_ch][:, m], rtol=0, atol=0)
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel is TPU-only")
-def test_kernel_packed16_values_and_flag_on_tpu():
-    """The packed f16-pair layout (pack_target_planes4): gathered values
-    must equal the exact XLA gather of the packed planes, the in-window
-    flag must equal the emulation, and depth must reconstruct to <1e-3 m."""
-    from rgbd360_tpu.ops import photoicp
-    from rgbd360_tpu.ops.warp_gather import warp_gather, window_mask_reference
-
-    rng = np.random.default_rng(7)
-    h, w = 32, 512
-    gray = rng.random((h, w)).astype(np.float32)
-    depth = rng.uniform(0.3, 6.0, (h, w)).astype(np.float32)
-    lvl = photoicp.LevelData(
-        gray_src=jnp.asarray(gray), depth_src=jnp.asarray(depth),
-        gray_trg=jnp.asarray(gray), depth_trg=jnp.asarray(depth),
-        gray_trg_gx=jnp.asarray(rng.random((h, w)).astype(np.float32)),
-        gray_trg_gy=jnp.asarray(rng.random((h, w)).astype(np.float32)),
-        depth_trg_gx=jnp.asarray(rng.random((h, w)).astype(np.float32)),
-        depth_trg_gy=jnp.asarray(rng.random((h, w)).astype(np.float32)),
-    )
-    planes = photoicp.pack_target_planes4(lvl)
-    assert planes.shape == (h, 4, w) and planes.dtype == jnp.int32
-
-    rows = np.broadcast_to(np.arange(h)[:, None], (h, w))
-    cols = np.broadcast_to(np.arange(w)[None, :], (h, w))
-    r = np.clip(rows + rng.integers(-2, 3, (h, w)), 0, h - 1).astype(np.int32)
-    c = ((cols - 25 + rng.integers(-3, 4, (h, w))) % w).astype(np.int32)
-    out, in_win = warp_gather(planes, jnp.asarray(r), jnp.asarray(c))
-    ref_mask = window_mask_reference(jnp.asarray(r), jnp.asarray(c))
-    np.testing.assert_array_equal(np.asarray(in_win), np.asarray(ref_mask))
-
-    m = np.asarray(in_win)
-    exact = np.asarray(planes).transpose(1, 0, 2)[:, r, c]  # (4, h, w)
-    got = np.asarray(out)
-    # channels 0,2,3 bit-exact; channel 1's high half carries the flag
-    for ch in (0, 2, 3):
-        np.testing.assert_array_equal(got[ch][m], exact[ch][m])
-    lo16 = np.asarray(got[1]) & 0xFFFF
-    exact_lo16 = exact[1] & 0xFFFF
-    np.testing.assert_array_equal(lo16[m], exact_lo16[m])
-    # depth reconstruction accuracy
-    d_hi, _f = photoicp._unpack2_f16(out[1].reshape(-1))
-    _g, d_lo = photoicp._unpack2_f16(out[0].reshape(-1))
-    rec = np.asarray(d_hi + d_lo).reshape(h, w)
-    warped_depth = depth[r, c]
-    assert np.abs(rec[m] - warped_depth[m]).max() < 1e-3
-
-
 def test_two_pass_window_coverage_emulation():
     """Pass 2's windows, placed from the pixels pass 1 missed, must recover
     nearly all of them (the exact-final stats path relies on this)."""
@@ -270,11 +222,7 @@ def test_two_pass_sweep_stats_near_exact_on_tpu():
     xyz, valid = sphere_xyz_lut(lvl.depth_src, 0.3, 6.0)
     gsf = lvl.gray_src.reshape(-1)
     shape = lvl.gray_src.shape
-    pk = (
-        photoicp.pack_target_planes4(lvl)
-        if photoicp.WARP_KERNEL_PACKED16
-        else photoicp.pack_target_planes8(lvl)
-    )
+    pk = photoicp.pack_target_planes8(lvl)
 
     @jax.jit
     def run():

@@ -134,36 +134,41 @@ def test_masked_regather_matches_reference(interpret_kernel, policy, entry_name)
     np.testing.assert_array_equal(out[ch][:, hit], direct[ch][:, hit])
 
 
-def test_packed_i32_layout_is_bit_exact_incl_denormals(interpret_kernel):
-    """The packed f16-pair layout moves as i32 bit patterns precisely because
-    TPU float data movement flushes denormals; interpret mode lets the CPU
-    suite pin the bit-exactness contract on the real kernel body, denormal
-    patterns included."""
+def test_kernel_moves_f32_denormals_bit_exactly(interpret_kernel):
+    """The kernel DMAs and selects plane data as i32 bit patterns precisely
+    because TPU float data movement flushes denormals (PERF.md lever 0);
+    interpret mode pins the bit-exactness contract on the real kernel body,
+    denormal f32 payloads included — genuine denormal gradient values exist
+    on the coarse pyramid levels, and a flushed gradient silently drops the
+    pixel's saliency (the round-3 corruption class). The retired packed
+    4-channel layout used to carry this gate; the 8-channel layout needs it
+    just as much."""
     rng = np.random.default_rng(7)
     h, w = 32, 256
-    packed = rng.integers(-(2**31), 2**31, size=(h, 4, w), dtype=np.int64).astype(
-        np.int32
-    )
-    # plant f32-denormal bit patterns (tiny nonzero mantissas, zero exponent)
-    packed[::3, 0, ::5] = 0x00000007
-    packed[:, 1, :] &= 0x0000FFFF  # channel 1 high half is the flag slot
-    r, c = _warp_indices(9, h, w, dr=2, dc=10)
+    planes = rng.normal(size=(h, 8, w)).astype(np.float32)
+    # plant genuine f32 denormals (zero exponent, nonzero mantissa) in the
+    # gradient channels, plus the exact bit pattern 0x7 as a float
+    planes[::3, 2, ::5] = np.float32(1e-42)
+    planes[1::3, 3, ::4] = np.frombuffer(np.int32(7).tobytes(), np.float32)[0]
+    planes[:, 6, :] = 0.0  # reserved flag slot
+    # dr=1: row spread 3 fits the K=4 row window, keeping near-full coverage
+    r, c = _warp_indices(9, h, w, dr=1, dc=10)
 
     out, mask = wg.warp_gather_batched(
-        jnp.asarray(packed)[None], jnp.asarray(r)[None], jnp.asarray(c)[None]
+        jnp.asarray(planes)[None], jnp.asarray(r)[None], jnp.asarray(c)[None]
     )
     out = np.asarray(out)[0]
     mask = np.asarray(mask)[0]
     assert mask.mean() > 0.9  # small offsets: nearly full coverage
-
-    direct = packed[r, :, c].transpose(2, 0, 1)
-    np.testing.assert_array_equal(out[[0, 2, 3]][:, mask], direct[[0, 2, 3]][:, mask])
-    # channel 1: low half is data, high half carries the f16-1.0 hit flag
+    # at least one denormal must actually land in the covered set, or the
+    # gate is vacuous
+    data_ch = [0, 1, 2, 3, 4, 5, 7]
+    direct = planes[r, :, c].transpose(2, 0, 1)
+    covered_bits = direct[data_ch][:, mask].view(np.int32)
+    assert ((covered_bits != 0) & (np.abs(covered_bits) < 0x00800000)).any()
+    # bit-level equality (view as i32: NaN-safe, denormal-flush-sensitive)
     np.testing.assert_array_equal(
-        out[1][mask] & 0xFFFF, direct[1][mask] & 0xFFFF
-    )
-    np.testing.assert_array_equal(
-        (out[1][mask] >> 16) & 0xFFFF, np.int32(0x3C00)
+        out[data_ch][:, mask].view(np.int32), covered_bits
     )
 
 
@@ -418,7 +423,10 @@ def test_nonaligned_wrap_width_fills_former_pad_band(interpret_kernel):
     np.testing.assert_array_equal(hit, ref_hit)
     # the max-anchored window must cover the remapped band — that's the
     # regression surface; if nothing lands there the test is vacuous
-    assert hit[c >= 256][c[c >= 256] < 320].mean() > 0.5
+    # threshold scales with the K-row window: K=6 covered 0.52 of the band,
+    # K=4 (round-4 default) 0.47 — anything well above zero proves the
+    # max-anchored window reaches the remapped band (non-vacuous)
+    assert hit[c >= 256][c[c >= 256] < 320].mean() > 0.08 * wg.K
     np.testing.assert_array_equal(out_m[ch][:, hit], direct[ch][:, hit])
     # covered data is never the pad band's zeros
     assert np.abs(out_m[0][hit]).min() > 0.0

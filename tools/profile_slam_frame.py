@@ -21,10 +21,13 @@ oracle stage names where they exist (Frame360.h:295-308,626-627;
 RegisterRGBD360.h:298-299; RegisterPhotoICP.h:4522,4776).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rgbd360_tpu.utils.timing import stage, stage_timing, timing_summary
 

@@ -54,12 +54,7 @@ def main():
         trg = photoicp.build_pyramid_set(gtl, dtl, 1, is_target=True, sphere_seam_mask=True)
         lvl = photoicp.make_level_data(src, trg, 0)
         xyz, valid = sphere_xyz_lut(lvl.depth_src, 0.3, 6.0)
-        pack = (
-            photoicp.pack_target_planes4
-            if photoicp.WARP_KERNEL_PACKED16
-            else photoicp.pack_target_planes8
-        )
-        planes = pack(lvl)
+        planes = photoicp.pack_target_planes8(lvl)
         return lvl, xyz, valid, planes
 
     lvls, xyzs, valids, planes = jax.vmap(level0)(gs, ds, gt, dt)

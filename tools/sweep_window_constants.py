@@ -22,7 +22,10 @@ DEFAULT_POINTS = [
     (6, 12, 2, 256),
     (6, 16, 2, 256),
     (4, 12, 2, 256),
-    (6, 14, 2, 192),  # smaller window DMA (VERDICT 1a footprint probe)
+    # PC=192 removed: Mosaic dynamic_gather is native only at 128 lanes, so
+    # window widths must be 128-multiples (ops/warp_gather.py validates);
+    # the footprint probe at PC=128 would change coverage semantics and is
+    # not a drop-in point for this sweep
 ]
 
 

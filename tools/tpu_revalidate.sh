@@ -16,8 +16,8 @@ echo "== stats cost =="
 timeout 1200 python tools/profile_stats_cost.py 20 2>&1 | grep -v WARNING
 echo "== bench A/B: EXACT_FINAL_DUAL=0 (sequential leg; dual is the default) =="
 timeout 1200 env RGBD360_EXACT_FINAL_DUAL=0 python bench.py
-echo "== bench A/B: EXACT_FINAL_FULLPASS =="
-timeout 1200 env RGBD360_EXACT_FINAL_FULLPASS=1 python bench.py
+# (EXACT_FINAL_FULLPASS A/B removed: retired round 4 after losing the
+# deduped-DMA rerun — 52.41 vs 53.68 b4, 52.27 vs 55.21 b8, PERF.md)
 echo "== dual-flag stats parity on chip =="
 # The flag only engages on the kernel (TPU) path — pytest runs on CPU, so
 # compare the flagged vs sequential exact-final stats on the chip directly.
