@@ -99,7 +99,9 @@ def frame360_from_obs(calib, group, frame_id: int = 0) -> Frame360:
     frame = Frame360(calib, frame_id)
     frame.rgb = jnp.asarray(np.stack(rgbs))
     frame.depth_raw_mm = jnp.asarray(np.stack(depths))
-    frame.depth_undistorted_m = frame.depth_raw_mm.astype(jnp.float32) * 0.001
+    # depth_undistorted_m: the lazy Frame360 property provides the plain
+    # u16-mm -> f32-m conversion on first access (no CLAMS undistort here —
+    # rawlog depth is already the sensor's registered range image)
     frame.timestamp = group[0].timestamp
     return frame
 

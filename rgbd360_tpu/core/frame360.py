@@ -18,8 +18,15 @@ from rgbd360_tpu.io.calib import Calib360
 from rgbd360_tpu.ops.image import gray_f32
 from rgbd360_tpu.ops.sphere import sphere_cloud_from_image
 from rgbd360_tpu.ops.stitch import stitch_spherical
-from rgbd360_tpu.ops.undistort import undistort_depth
+from rgbd360_tpu.ops.undistort import undistort_depth_mm
 from rgbd360_tpu.utils.timing import stage
+
+import jax as _jax
+
+
+@_jax.jit
+def _depth_mm_to_m(depth_raw_mm: jnp.ndarray) -> jnp.ndarray:
+    return depth_raw_mm.astype(jnp.float32) * 0.001
 
 
 class Frame360:
@@ -34,7 +41,7 @@ class Frame360:
 
         self.rgb: Optional[jnp.ndarray] = None  # (8,H,W,3) u8 BGR
         self.depth_raw_mm: Optional[jnp.ndarray] = None  # (8,H,W) u16
-        self.depth_undistorted_m: Optional[jnp.ndarray] = None  # (8,H,W) f32
+        self._depth_undistorted_m: Optional[jnp.ndarray] = None  # (8,H,W) f32
         self.sphere_rgb: Optional[jnp.ndarray] = None  # (320,1920,3) u8 BGR
         self.sphere_depth_mm: Optional[jnp.ndarray] = None  # (320,1920) u16
         self.sphere_gray: Optional[jnp.ndarray] = None  # (320,1920) f32 [0,1]
@@ -52,9 +59,24 @@ class Frame360:
     def set_raw(self, raw: RawFrame360) -> None:
         self.rgb = jnp.asarray(raw.rgb)
         self.depth_raw_mm = jnp.asarray(raw.depth)
-        # loadDepthEigen: u16 mm -> f32 metres (CloudRGBD_Ext.h:64-76)
-        self.depth_undistorted_m = self.depth_raw_mm.astype(jnp.float32) * 0.001
+        self._depth_undistorted_m = None  # lazy (see depth_undistorted_m)
         self.timestamp = raw.timestamp
+
+    @property
+    def depth_undistorted_m(self) -> Optional[jnp.ndarray]:
+        """Metric per-sensor depth: the CLAMS-undistorted field once
+        undistort() has run, else the plain loadDepthEigen u16-mm -> f32-m
+        conversion (CloudRGBD_Ext.h:64-76) — computed lazily because the app
+        flows always call undistort(), whose output replaces it; the eager
+        conversion set_raw used to do was a wasted ~30 ms device dispatch
+        per frame on the axon backend (round-4 SLAM bisect)."""
+        if self._depth_undistorted_m is None and self.depth_raw_mm is not None:
+            self._depth_undistorted_m = _depth_mm_to_m(self.depth_raw_mm)
+        return self._depth_undistorted_m
+
+    @depth_undistorted_m.setter
+    def depth_undistorted_m(self, value) -> None:
+        self._depth_undistorted_m = value
 
     def serialize(self, path: str) -> None:
         """Write the reference-compatible .bin (include/Frame360.h:333-345)."""
@@ -75,11 +97,14 @@ class Frame360:
         u16 depth consumed by the stitcher stays distorted (the eigen2cv
         write-back at Frame360.h:302 is commented out)."""
         with stage("Frame360.undistort"):
-            mults, counts, geom = self.calib.stacked_intrinsic_arrays()
-            self.depth_undistorted_m = undistort_depth(
-                self.depth_raw_mm.astype(jnp.float32) * 0.001,
-                jnp.asarray(mults),
-                jnp.asarray(counts),
+            # cached device calib + in-jit u16->metres conversion: the
+            # previous form paid 3 per-frame RPCs (two calib uploads + an
+            # eager astype*0.001 dispatch) over the axon tunnel
+            mults, counts, geom = self.calib.device_intrinsic_arrays()
+            self.depth_undistorted_m = undistort_depth_mm(
+                self.depth_raw_mm,
+                mults,
+                counts,
                 bin_width=geom.bin_width,
                 bin_height=geom.bin_height,
                 bin_depth=geom.bin_depth,
@@ -89,11 +114,12 @@ class Frame360:
         """Build the 1920x320 spherical RGB-D panorama
         (reference include/Frame360.h:386-405)."""
         with stage("Frame360.stitchSphericalImage"):
+            _rt, rt_inv, cam = self.calib.device_extrinsic_arrays()
             self.sphere_rgb, self.sphere_depth_mm = stitch_spherical(
                 self.rgb,
                 self.depth_raw_mm,
-                jnp.asarray(self.calib.Rt_inv),
-                jnp.asarray(self.calib.camera_matrix),
+                rt_inv,
+                cam,
             )
             self.sphere_gray = gray_f32(self.sphere_rgb)
 

@@ -132,13 +132,14 @@ class RegisterRGBD360:
         guess = jnp.asarray(
             pose_estim if pose_estim is not None else np.eye(4, dtype=np.float32)
         )
+        rt, _rt_inv, cam = frame1.calib.device_extrinsic_arrays()  # cached uploads
         res = register_dense_photoicp_jit(
             gray_src,
             depth_src,
             gray_trg,
             depth_trg,
-            jnp.asarray(frame1.calib.Rt),
-            jnp.asarray(frame1.calib.camera_matrix),
+            rt,
+            cam,
             guess,
             method=method,
             n_levels=n_levels,

@@ -31,6 +31,7 @@ class Calib360:
         self.Rt = np.tile(np.eye(4, dtype=np.float32), (NUM_SENSORS, 1, 1))
         self.Rt_inv = np.tile(np.eye(4, dtype=np.float32), (NUM_SENSORS, 1, 1))
         self.intrinsic_model: List[Optional[DepthDistortionModel]] = [None] * NUM_SENSORS
+        self._device_cache = {}
 
     # -- loading ------------------------------------------------------------
     def load_extrinsic_calibration(self, path: str) -> None:
@@ -41,6 +42,7 @@ class Calib360:
             self.Rt_inv[sensor_id] = np.linalg.inv(
                 self.Rt[sensor_id].astype(np.float64)
             ).astype(np.float32)
+        self._device_cache.clear()
 
     def load_intrinsic_calibration(self, path: str, downsample: int = 2) -> None:
         """Load distortion_model1..8 and downsample to QVGA
@@ -48,6 +50,44 @@ class Calib360:
         for sensor_id in range(NUM_SENSORS):
             model = load_clams_model(os.path.join(path, f"distortion_model{sensor_id + 1}"))
             self.intrinsic_model[sensor_id] = model.downsample_params(downsample)
+        self._device_cache.clear()
+
+    # -- cached device copies ------------------------------------------------
+    # The calibration is constant across a run, but jnp.asarray(np_array) at
+    # a call site re-uploads on EVERY call — over the axon tunnel each upload
+    # is an RPC, and the per-frame undistort/stitch path paid 3-4 of them per
+    # frame (round-4 SLAM bisect: frame-build host block ~45 ms/frame).
+    # Mutating Rt/Rt_inv/intrinsic_model in place after first device use is
+    # not supported; the load_* methods invalidate the cache.
+    def _device(self, key: str, make):
+        if key not in self._device_cache:
+            self._device_cache[key] = make()
+        return self._device_cache[key]
+
+    def device_intrinsic_arrays(self):
+        """(multipliers, counts) as device arrays + the shared geometry."""
+
+        def make():
+            import jax.numpy as jnp
+
+            mults, counts, geom = self.stacked_intrinsic_arrays()
+            return jnp.asarray(mults), jnp.asarray(counts), geom
+
+        return self._device("intrinsics", make)
+
+    def device_extrinsic_arrays(self):
+        """(Rt, Rt_inv, camera_matrix) as device arrays."""
+
+        def make():
+            import jax.numpy as jnp
+
+            return (
+                jnp.asarray(self.Rt),
+                jnp.asarray(self.Rt_inv),
+                jnp.asarray(self.camera_matrix),
+            )
+
+        return self._device("extrinsics", make)
 
     @classmethod
     def load(

@@ -150,7 +150,9 @@ def test_kernel_wrap_values_match_xla_gather_on_tpu():
     planes = jnp.asarray(rng.random((h, 8, w)).astype(np.float32))
     rows = np.broadcast_to(np.arange(h)[:, None], (h, w))
     cols = np.broadcast_to(np.arange(w)[None, :], (h, w))
-    r = np.clip(rows + rng.integers(-2, 3, (h, w)), 0, h - 1).astype(np.int32)
+    # row spread 3 (dr=+-1) fits the K=4 row window (round-4 default), so
+    # the >0.99 coverage guarantee below stays meaningful
+    r = np.clip(rows + rng.integers(-1, 2, (h, w)), 0, h - 1).astype(np.int32)
     c = ((cols - 25 + rng.integers(-3, 4, (h, w))) % w).astype(np.int32)
     out, in_win = warp_gather(planes, jnp.asarray(r), jnp.asarray(c))
     ref_mask = window_mask_reference(jnp.asarray(r), jnp.asarray(c))
