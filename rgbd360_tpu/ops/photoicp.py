@@ -503,19 +503,14 @@ def fused_sweep_sphere(
                 # 8xf32 layout the values are true f32s so float select is fine
                 planes_out = jnp.where(in_window[None], planes_out, out_k)
                 in_window = in_window | hit_k
-        if target_packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
-            gray2, d_lo = _unpack2_f16(planes_out[0].reshape(-1))
-            d_hi, _ = _unpack2_f16(planes_out[1].reshape(-1))
-            depth2 = d_hi + d_lo
-            ggx, ggy = _unpack2_f16(planes_out[2].reshape(-1))
-            dgx, dgy = _unpack2_f16(planes_out[3].reshape(-1))
-        else:
-            gray2 = planes_out[0].reshape(-1)
-            depth2 = planes_out[1].reshape(-1)
-            ggx = planes_out[2].reshape(-1)
-            ggy = planes_out[3].reshape(-1)
-            dgx = planes_out[4].reshape(-1)
-            dgy = planes_out[5].reshape(-1)
+        # 8xf32 channel planes (the only kernel layout since the packed
+        # 4-channel retirement; _prep_operands asserts cdim == 8)
+        gray2 = planes_out[0].reshape(-1)
+        depth2 = planes_out[1].reshape(-1)
+        ggx = planes_out[2].reshape(-1)
+        ggy = planes_out[3].reshape(-1)
+        dgx = planes_out[4].reshape(-1)
+        dgy = planes_out[5].reshape(-1)
         visible = visible & in_window.reshape(-1)
     else:
         tgt = _gather_rows(target_packed, flat)  # (N, 4): the sweep's one gather
@@ -692,19 +687,13 @@ def _exact_final_missed_stats(
                 covered = covered | hit_k
             in_window = in_window | hit_k
 
-    if packed.shape[1] == 4:  # packed f16 pairs (i32 bit patterns)
-        gray2, d_lo = _unpack2_f16(planes_out[0].reshape(-1))
-        d_hi, _ = _unpack2_f16(planes_out[1].reshape(-1))
-        depth2 = d_hi + d_lo
-        ggx, ggy = _unpack2_f16(planes_out[2].reshape(-1))
-        dgx, dgy = _unpack2_f16(planes_out[3].reshape(-1))
-    else:
-        gray2 = planes_out[0].reshape(-1)
-        depth2 = planes_out[1].reshape(-1)
-        ggx = planes_out[2].reshape(-1)
-        ggy = planes_out[3].reshape(-1)
-        dgx = planes_out[4].reshape(-1)
-        dgy = planes_out[5].reshape(-1)
+    # 8xf32 channel planes (cdim == 8 asserted in _prep_operands)
+    gray2 = planes_out[0].reshape(-1)
+    depth2 = planes_out[1].reshape(-1)
+    ggx = planes_out[2].reshape(-1)
+    ggy = planes_out[3].reshape(-1)
+    dgx = planes_out[4].reshape(-1)
+    dgy = planes_out[5].reshape(-1)
 
     extra = (visible & covered.reshape(-1)).astype(jnp.float32)
     n_extra = jnp.sum(extra)

@@ -76,6 +76,11 @@ if PC <= 0 or PC % BC != 0:
     raise ValueError(f"RGBD360_WARP_PC={PC} must be a positive multiple of {BC}")
 if PR <= 0 or VR <= 0 or K <= 0:
     raise ValueError(f"window constants must be positive: PR={PR} VR={VR} K={K}")
+if K > PR:
+    # window-origin clips are jnp.clip(lo, 0, PR - K): K > PR makes the
+    # bound negative and the kernel gathers rows outside the window's
+    # scratch slot while still flagging them as hits — silently wrong poses
+    raise ValueError(f"RGBD360_WARP_K={K} must be <= RGBD360_WARP_PR={PR}")
 
 
 def _kernel(r_ref, c_ref, planes_hbm, out_ref, mask_ref, patch, sem, *, w_real):
@@ -597,12 +602,9 @@ def warp_gather_batched_multi(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
     )(r0s, c0s, any_t, r_idx, c_idx, active, planes_bits)
-    if cdim == 8:
-        out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
-        mask = out[:, 6]
-    else:
-        out = out_bits
-        mask = ((out_bits[:, 1] >> 16) & 0xFFFF == 0x3C00).astype(jnp.float32)
+    # cdim == 8 asserted in _prep_operands (packed 4-channel layout retired)
+    out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+    mask = out[:, 6]
     if (hop, wop) != (ho, wo):
         out = out[:, :, :ho, :wo]
         mask = mask[:, :ho, :wo]
@@ -681,14 +683,8 @@ def warp_gather_batched(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bsz, cdim, hop, wop), jnp.int32),
         )(r0s, c0s, r_idx, c_idx, active, planes_bits)
-        if cdim == 8:
-            out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
-            mask = out[:, 6]
-        else:  # stay integer; hit flag = high f16 half of channel 1
-            out = out_bits
-            mask = (
-                (out_bits[:, 1] >> 16) & 0xFFFF == 0x3C00
-            ).astype(jnp.float32)
+        out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+        mask = out[:, 6]
     else:
         assert cdim == 8, "the single-buffer fallback kernel is 8-channel only"
         # (the fallback ignores `active`; it exists only for A/B debugging of

@@ -423,10 +423,11 @@ def test_nonaligned_wrap_width_fills_former_pad_band(interpret_kernel):
     np.testing.assert_array_equal(hit, ref_hit)
     # the max-anchored window must cover the remapped band — that's the
     # regression surface; if nothing lands there the test is vacuous
-    # threshold scales with the K-row window: K=6 covered 0.52 of the band,
-    # K=4 (round-4 default) 0.47 — anything well above zero proves the
-    # max-anchored window reaches the remapped band (non-vacuous)
-    assert hit[c >= 256][c[c >= 256] < 320].mean() > 0.08 * wg.K
+    # constant floor: measured band coverage is NOT linear in K (K=6 -> 0.52,
+    # K=4 -> 0.47), so a K-scaled threshold would false-fail larger swept K
+    # values; anything well above zero proves the max-anchored window
+    # reaches the remapped band (non-vacuous)
+    assert hit[c >= 256][c[c >= 256] < 320].mean() > 0.3
     np.testing.assert_array_equal(out_m[ch][:, hit], direct[ch][:, hit])
     # covered data is never the pad band's zeros
     assert np.abs(out_m[0][hit]).min() > 0.0

@@ -48,20 +48,24 @@ def main():
 
     from functools import partial
 
+    # operands are jit ARGUMENTS, not closure captures: captured device
+    # arrays become jaxpr constants whose values lowering fetches back over
+    # the axon tunnel (the 40-270 s stall class, CLAUDE.md) — bench.py
+    # passes them the same way
     @partial(jax.jit, static_argnames=("k",))
-    def chain(p0, k):
+    def chain(gs_, ds_, gt_, dt_, p0, k):
         def body(_, carry):
             p, acc = carry
-            res = align_batch(gs, ds, gt, dt, p, full_coverage=True)
+            res = align_batch(gs_, ds_, gt_, dt_, p, full_coverage=True)
             return p0 + res.error[:, None, None] * eps, acc + res.error
 
-        _, acc = jax.lax.fori_loop(0, k, body, (p0, jnp.zeros(batch)))
+        _, acc = jax.lax.fori_loop(0, k, body, (p0, jnp.zeros(gs_.shape[0])))
         return acc
 
     last = align_batch(gs, ds, gt, dt, poses, full_coverage=True)
-    np.asarray(chain(poses, iters))  # warmup/compile
+    np.asarray(chain(gs, ds, gt, dt, poses, iters))  # warmup/compile
     t0 = time.perf_counter()
-    np.asarray(chain(poses, iters))
+    np.asarray(chain(gs, ds, gt, dt, poses, iters))
     dt_s = time.perf_counter() - t0
     pose = np.asarray(last.pose[0])
     print(

@@ -21,8 +21,12 @@ stamp "git head"; git rev-parse HEAD
 bench1 "K4 b4 (confirm sweep best)"        RGBD360_WARP_K=4 BENCH_BATCH=4
 bench1 "K4 b8"                             RGBD360_WARP_K=4 BENCH_BATCH=8
 bench1 "K6 b8"                             RGBD360_WARP_K=6 BENCH_BATCH=8
-bench1 "K4 b4 FULLPASS (deduped DMA)"      RGBD360_WARP_K=4 BENCH_BATCH=4 RGBD360_EXACT_FINAL_FULLPASS=1
-bench1 "K4 b8 FULLPASS (deduped DMA)"      RGBD360_WARP_K=4 BENCH_BATCH=8 RGBD360_EXACT_FINAL_FULLPASS=1
+# HISTORICAL: the two FULLPASS legs below were measured BEFORE the flag was
+# retired (52.41/52.27 vs 53.68/55.21 — PERF.md round-4 session). The env
+# var no longer exists; re-running them now would just measure the default
+# path twice under a misleading label.
+# bench1 "K4 b4 FULLPASS (deduped DMA)"    RGBD360_WARP_K=4 BENCH_BATCH=4 RGBD360_EXACT_FINAL_FULLPASS=1
+# bench1 "K4 b8 FULLPASS (deduped DMA)"    RGBD360_WARP_K=4 BENCH_BATCH=8 RGBD360_EXACT_FINAL_FULLPASS=1
 bench1 "K4 b6 (cliff shape probe)"         RGBD360_WARP_K=4 BENCH_BATCH=6
 
 stamp "SLAM per-stage bisect (synthetic 40-frame loop)"
