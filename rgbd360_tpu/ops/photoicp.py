@@ -242,10 +242,16 @@ EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "1") == "1"
 
 # full_coverage sweeps (LC refinement, relocalization verify) as ONE
 # triple-anchored kernel pass (warp_gather_masked_full: mean+min+max
-# windows) instead of default + two sequential masked re-gathers — one
-# traversal per GN sweep instead of three. Same union-vs-residue coverage
-# caveat as EXACT_FINAL_DUAL. OFF until the on-chip A/B.
-FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "") == "1"
+# windows, identical-origin anchors sharing one DMA'd slot) instead of
+# default + two sequential masked re-gathers — one traversal per GN sweep
+# instead of three. Same union-vs-residue coverage caveat as
+# EXACT_FINAL_DUAL. ON since the round-4 on-chip A/B: 37.53 vs 30.58
+# full-coverage aligns/s at batch 4 with identical iteration signature
+# [0,7,10,10,10] and in-basin pose (|t| 0.2587 vs 0.2605 — PERF.md);
+# gated by the interpret-mode union test and the on-chip pose-agreement
+# tests (tests/test_warp_kernel.py). RGBD360_FULL_COVERAGE_FUSED=0 keeps
+# the sequential composition reachable for A/B.
+FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "1") == "1"
 
 # (EXACT_FINAL_FULLPASS — a third exact-final variant recomputing the
 # finest level's stats with one triple-anchored stats-only sweep — was
