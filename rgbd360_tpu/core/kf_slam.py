@@ -91,7 +91,11 @@ class KFSphereSLAM:
         aligner: Optional[RegisterPhotoICP] = None,
         optimizer: Optional[GraphOptimizer] = None,
         topo: Optional[TopologicalMap360] = None,
+        speculative_align: bool = True,
     ):
+        self.speculative_align = speculative_align
+        self._spec = None  # (frame id, kf id, seed) of an in-flight dispatch
+        self._last_kind = ""
         self.world = world if world is not None else Map360()
         # a resumed map must bring its topological SSO state along
         # (core/map_io.load_map_full) — a fresh TopologicalMap360 over a
@@ -124,11 +128,46 @@ class KFSphereSLAM:
             self.n_keyframes_selected = len(self.world)
 
     # ------------------------------------------------------------------ dense
+    def prefetch_align(self, frame) -> None:
+        """Speculatively dispatch the step-2 tracking alignment (vs the
+        current nearest KF, seeded by the running sphere-frame seed) so the
+        ~46 ms device program overlaps the plane-stats transfer and host
+        plane fit that precede process_frame (planes_pipeline's pre_collect
+        hook calls this). The dispatch uses exactly the state step 2 will
+        read — nearest_kf and seed_ref are only mutated by process_frame —
+        so _dense_align reuses the in-flight result when it matches and the
+        outcome is identical to the unprefetched loop. If PbMap tracking
+        then skips the frame, the result is simply never fetched.
+
+        Adaptive: skipped right after a PbMap-tracked frame (streaks of
+        strong PbMap tracking never reach step 2, and the wasted device
+        program would put the device on the critical path)."""
+        if len(self.world) == 0 or not self.speculative_align:
+            return
+        if self._last_kind == "skip_pbmap":
+            return
+        kf = self.world.frames[self.nearest_kf]
+        self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
+        self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
+        self.aligner.dispatch_frames360(self.seed_ref.astype(np.float32), PHOTO_DEPTH)
+        self._spec = (id(frame), self.nearest_kf, self.seed_ref.copy())
+
     def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray,
                      reuse_source: bool = False):
         """reuse_source: the nearby-KF scan aligns the SAME source frame
         against several targets — rebuild only the target pyramid then
         (the source pyramid build is a full jitted dispatch per call)."""
+        spec = self._spec
+        self._spec = None
+        if (
+            spec is not None
+            and spec[0] == id(frame)
+            and spec[1] == kf_id
+            and np.array_equal(spec[2], seed_sphere)
+        ):
+            # the speculative dispatch IS this alignment — just read it
+            ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
+            return ref_pose, self.off_inv @ ref_pose @ self.off
         kf = self.world.frames[kf_id]
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
         if not reuse_source:
@@ -147,6 +186,12 @@ class KFSphereSLAM:
 
     # ------------------------------------------------------------------ frame
     def process_frame(self, frame) -> str:
+        kind = self._process_frame(frame)
+        self._last_kind = kind
+        self._spec = None  # a dispatch not consumed this frame is stale now
+        return kind
+
+    def _process_frame(self, frame) -> str:
         world = self.world
         if len(world) == 0:
             world.add_keyframe(frame, self.current_pose)

@@ -494,14 +494,20 @@ def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[
     return _fit_from_stats_buffer(frame, buf, need_inliers)
 
 
-def planes_pipeline(frames_iter, need_inliers: bool = False):
+def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     """One-frame-lookahead plane extraction over a (frame_no, frame)
     iterator: frame N+1's device program is dispatched BEFORE frame N's
     buffer is collected and host-fitted, so the ~45 ms of device+transfer
     and the ~25 ms of host fitting overlap (the axon dispatch is async —
     measured: 60 ms of injected host work costs only ~13 ms end-to-end).
     Yields (frame_no, frame) with frame.planes / frame.local_planes set,
-    exactly as the sequential frame.get_planes(need_inliers=...) would."""
+    exactly as the sequential frame.get_planes(need_inliers=...) would.
+
+    pre_collect(frame): optional hook called with frame N (panorama built,
+    planes not yet fitted) right before its stats buffer is collected —
+    the SLAM loop uses it to speculatively dispatch frame N's tracking
+    alignment so the device program overlaps the collect + host fit
+    (KFSphereSLAM.prefetch_align)."""
 
     def dispatch(frame):
         fut = build_sensor_plane_stats(
@@ -527,9 +533,16 @@ def planes_pipeline(frames_iter, need_inliers: bool = False):
 
     pending = None
     for frame_no, frame in frames_iter:
+        # hook BEFORE dispatching frame N+1's stats so the speculative
+        # alignment of frame N sits ahead of them in the device queue —
+        # its result is consumed this frame, theirs only next frame
+        if pending is not None and pre_collect is not None:
+            pre_collect(pending[1])
         fut = dispatch(frame)
         if pending is not None:
             yield collect(*pending)
         pending = (frame_no, frame, fut)
     if pending is not None:
+        if pre_collect is not None:
+            pre_collect(pending[1])
         yield collect(*pending)

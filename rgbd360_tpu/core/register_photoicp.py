@@ -112,6 +112,34 @@ class RegisterPhotoICP:
             self._host = None  # fetched lazily, ONCE, on first accessor
         return self.get_optimal_pose()
 
+    def dispatch_frames360(
+        self,
+        pose_guess: Optional[np.ndarray] = None,
+        method: int = PHOTO_CONSISTENCY,
+        occlusion: int = 0,
+        full_coverage: bool = False,
+    ) -> None:
+        """align_frames360 without the trailing result fetch: dispatch the
+        device program and enqueue the (tiny) packed-result transfer, then
+        return immediately. Accessors fetch lazily as usual — callers use
+        this to overlap the alignment with host work (the SLAM loop
+        dispatches the tracking alignment while the plane-stats transfer
+        and host fit of the same frame still run)."""
+        assert self._src is not None and self._trg is not None, "set frames first"
+        guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
+        self._result, self._flat = photoicp.align_frames360_packed(
+            self._src, self._trg, guess, method, occlusion=occlusion,
+            full_coverage=full_coverage,
+        )
+        self._host = None
+        try:
+            # enqueue the D2H copy right behind the align program so the
+            # later _fetch doesn't queue behind newer dispatches (the same
+            # RPC-ordering lesson as planes_pipeline.dispatch, PERF.md)
+            self._flat.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
     def prewarm(
         self,
         method: int = PHOTO_DEPTH,

@@ -254,3 +254,42 @@ def test_loop_drift_correction_end_to_end(calib):
     opt_err = np.linalg.norm(optimized[2][:3, 3] - gt[2][:3, 3])
     assert opt_err < 0.6 * drift_err, f"drift {drift_err:.3f} -> optimized {opt_err:.3f}"
     assert opt_err < 0.08, f"optimized error {opt_err:.3f} m"
+
+
+def test_speculative_align_is_outcome_identical(calib, monkeypatch):
+    """prefetch_align (the planes_pipeline pre_collect hook) dispatches the
+    step-2 tracking alignment early; _dense_align reuses the in-flight
+    result when frame/keyframe/seed match. The speculative run must produce
+    EXACTLY the per-frame kinds and trajectory of the plain run — same
+    jitted program, same inputs, just issued earlier. STRONG_PBMAP gates
+    are raised so every frame reaches the dense step (a box room tracks
+    too well to exercise the reuse path otherwise)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from room_scene import room_frame
+
+    monkeypatch.setattr(kf_slam, "STRONG_PBMAP_MATCHES", 99)
+
+    def pose_y(y):
+        p = np.eye(4)
+        p[1, 3] = y
+        return p
+
+    gt = [pose_y(0.0), pose_y(0.12), pose_y(0.5), pose_y(0.62)]
+
+    def run(spec):
+        slam = KFSphereSLAM(speculative_align=spec)
+        kinds = []
+        for i, g in enumerate(gt):
+            f = room_frame(calib, g, i)
+            if spec:
+                slam.prefetch_align(f)  # what planes_pipeline's hook does
+            kinds.append(slam.process_frame(f))
+        return kinds, [np.asarray(p).copy() for p in slam.world.trajectory_poses]
+
+    kinds_plain, traj_plain = run(False)
+    kinds_spec, traj_spec = run(True)
+    assert kinds_plain == kinds_spec
+    assert "skip_tracked" in kinds_plain or "keyframe" in kinds_plain  # non-vacuous
+    np.testing.assert_array_equal(np.stack(traj_plain), np.stack(traj_spec))

@@ -50,14 +50,26 @@ def timed_frames(gen):
         yield item
 
 
-def profiled_pipeline(frames_iter):
+def profiled_pipeline(frames_iter, pre_collect=None):
     """plane_extraction.planes_pipeline with each stage bracketed."""
+
+    def dispatch(frame):
+        fut = pe.build_sensor_plane_stats(
+            frame.depth_undistorted_m, frame.rgb, ship_labels=False
+        )
+        try:
+            fut.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return fut
+
     pending = None
     for frame_no, frame in frames_iter:
+        if pending is not None and pre_collect is not None:
+            with stage("speculative align dispatch"):
+                pre_collect(pending[1])
         with stage("planes dispatch"):
-            fut = pe.build_sensor_plane_stats(
-                frame.depth_undistorted_m, frame.rgb, ship_labels=False
-            )
+            fut = dispatch(frame)
         if pending is not None:
             no, fr, f2 = pending
             with stage("planes collect (sync)"):
@@ -68,6 +80,9 @@ def profiled_pipeline(frames_iter):
         pending = (frame_no, frame, fut)
     if pending is not None:
         no, fr, f2 = pending
+        if pre_collect is not None:
+            with stage("speculative align dispatch"):
+                pre_collect(fr)
         with stage("planes collect (sync)"):
             buf = np.asarray(f2)
         with stage("planes host fit"):
@@ -76,8 +91,10 @@ def profiled_pipeline(frames_iter):
 
 
 def main():
-    seq = sys.argv[1] if len(sys.argv) > 1 else "/tmp/room_seq"
-    limit = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+    args = [a for a in sys.argv[1:] if a != "--no-spec"]
+    spec = "--no-spec" not in sys.argv
+    seq = args[0] if args else "/tmp/room_seq"
+    limit = int(args[1]) if len(args) > 1 else 10**9
 
     orig_reg = RegisterRGBD360.register_pbmap
 
@@ -88,13 +105,17 @@ def main():
     RegisterRGBD360.register_pbmap = reg_wrapped
 
     calib = load_calib(None)
-    slam = KFSphereSLAM(matcher_config=default_matcher_config(None))
+    slam = KFSphereSLAM(
+        matcher_config=default_matcher_config(None), speculative_align=spec
+    )
     slam.aligner.prewarm()
+    print(f"speculative_align={spec}")
 
     times, kinds = [], []
     t_prev = time.perf_counter()
     for frame_no, frame in profiled_pipeline(
-        timed_frames(sequence_frames(calib, seq, 1, 1))
+        timed_frames(sequence_frames(calib, seq, 1, 1)),
+        pre_collect=slam.prefetch_align if spec else None,
     ):
         with stage("process_frame"):
             kind = slam.process_frame(frame)
