@@ -43,16 +43,6 @@ class RegisterPhotoICP:
         self.n_pyr_levels = n
         self._src = self._trg = None
 
-    @staticmethod
-    def _to_gray_depth(rgb_bgr_u8, depth):
-        from rgbd360_tpu.ops.image import gray_f32
-
-        gray = gray_f32(jnp.asarray(rgb_bgr_u8))
-        depth = jnp.asarray(depth)
-        if depth.dtype == jnp.uint16:  # millimetres -> metres (buildPyramidRange)
-            depth = depth.astype(jnp.float32) * 0.001
-        return gray, depth.astype(jnp.float32)
-
     def _pyramids(self, rgb_bgr_u8, depth, is_target: bool):
         for i, entry in enumerate(self._pyr_cache):
             if (
@@ -67,9 +57,12 @@ class RegisterPhotoICP:
                 # _PYR_CACHE_SIZE inserts
                 self._pyr_cache.append(self._pyr_cache.pop(i))
                 return entry[4]
-        gray, depth_m = self._to_gray_depth(rgb_bgr_u8, depth)
-        pyr = photoicp.build_pyramid_set_jit(
-            gray, depth_m, self.n_pyr_levels, is_target=is_target, sphere_seam_mask=True
+        # ONE jit call on the raw arrays: gray conversion and mm->m run
+        # inside the jit, and host (numpy) operands upload with the call —
+        # each eager op / separate device_put here was a ~20-30 ms axon RPC
+        pyr = photoicp.build_pyramid_set_raw_jit(
+            rgb_bgr_u8, depth, self.n_pyr_levels,
+            is_target=is_target, sphere_seam_mask=True,
         )
         self._pyr_cache.append((rgb_bgr_u8, depth, is_target, self.n_pyr_levels, pyr))
         if len(self._pyr_cache) > self._PYR_CACHE_SIZE:
@@ -94,7 +87,11 @@ class RegisterPhotoICP:
         full_coverage: banded re-gather inside every GN sweep — for
         large-motion callers (LC refinement, relocalization verify)."""
         assert self._src is not None and self._trg is not None, "set frames first"
-        guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
+        # host np array, NOT jnp.asarray: the jit uploads host operands with
+        # the call; a separate eager device_put is one more ~20-30 ms axon RPC
+        guess = np.asarray(
+            pose_guess if pose_guess is not None else np.eye(4), dtype=np.float32
+        )
         from rgbd360_tpu.utils.timing import stage
 
         with stage(
@@ -126,7 +123,9 @@ class RegisterPhotoICP:
         dispatches the tracking alignment while the plane-stats transfer
         and host fit of the same frame still run)."""
         assert self._src is not None and self._trg is not None, "set frames first"
-        guess = jnp.asarray(pose_guess if pose_guess is not None else np.eye(4, dtype=np.float32))
+        guess = np.asarray(
+            pose_guess if pose_guess is not None else np.eye(4), dtype=np.float32
+        )
         self._result, self._flat = photoicp.align_frames360_packed(
             self._src, self._trg, guess, method, occlusion=occlusion,
             full_coverage=full_coverage,

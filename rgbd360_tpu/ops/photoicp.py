@@ -1011,6 +1011,43 @@ build_pyramid_set_jit = functools.partial(
 )(build_pyramid_set)
 
 
+def build_pyramid_set_raw(
+    rgb_bgr_u8: jnp.ndarray,
+    depth: jnp.ndarray,
+    n_levels: int,
+    *,
+    is_target: bool,
+    sphere_seam_mask: bool,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+):
+    """build_pyramid_set taking the RAW panorama (u8 BGR + u16-mm or f32-m
+    depth) with the gray and metre conversions fused inside the jit: the
+    facade previously ran them as eager ops, and each eager op over the
+    axon tunnel is a ~20-30 ms dispatch RPC per set_*_frame call (round-4
+    SLAM bisect: the 24 ms 'speculative align dispatch' host block was
+    these conversions, not the jit issue)."""
+    from rgbd360_tpu.ops.image import gray_f32
+
+    gray = gray_f32(rgb_bgr_u8)
+    if depth.dtype == jnp.uint16:  # millimetres -> metres (buildPyramidRange)
+        depth = depth.astype(jnp.float32) * 0.001
+    return build_pyramid_set(
+        gray,
+        depth.astype(jnp.float32),
+        n_levels,
+        is_target=is_target,
+        sphere_seam_mask=sphere_seam_mask,
+        min_depth=min_depth,
+        max_depth=max_depth,
+    )
+
+
+build_pyramid_set_raw_jit = functools.partial(
+    jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
+)(build_pyramid_set_raw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("method", "n_levels", "max_iters", "occlusion", "need_stats", "full_coverage"),
