@@ -150,7 +150,13 @@ class KFSphereSLAM:
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
         self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
         self.aligner.dispatch_frames360(self.seed_ref.astype(np.float32), PHOTO_DEPTH)
-        self._spec = (id(frame), self.nearest_kf, self.seed_ref.copy())
+        # the key records the full dispatch configuration, not just
+        # (frame, kf, seed): _dense_align must never "reuse" a result from
+        # a differently-configured program (method/occlusion/full_coverage)
+        self._spec = (
+            id(frame), self.nearest_kf, self.seed_ref.copy(),
+            (PHOTO_DEPTH, 0, False),
+        )
 
     def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray,
                      reuse_source: bool = False):
@@ -164,6 +170,7 @@ class KFSphereSLAM:
             and spec[0] == id(frame)
             and spec[1] == kf_id
             and np.array_equal(spec[2], seed_sphere)
+            and spec[3] == (PHOTO_DEPTH, 0, False)  # this call's exact config
         ):
             # the speculative dispatch IS this alignment — just read it
             ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
@@ -186,9 +193,15 @@ class KFSphereSLAM:
 
     # ------------------------------------------------------------------ frame
     def process_frame(self, frame) -> str:
-        kind = self._process_frame(frame)
+        try:
+            kind = self._process_frame(frame)
+        finally:
+            # clear even on an exception: a stale entry could later match a
+            # NEW frame object reallocated at the same id() and silently
+            # hand it the aborted frame's alignment
+            self._spec = None
+            self._last_kind = "error"
         self._last_kind = kind
-        self._spec = None  # a dispatch not consumed this frame is stale now
         return kind
 
     def _process_frame(self, frame) -> str:

@@ -509,6 +509,8 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     alignment so the device program overlaps the collect + host fit
     (KFSphereSLAM.prefetch_align)."""
 
+    from rgbd360_tpu.utils.timing import stage
+
     def dispatch(frame):
         fut = build_sensor_plane_stats(
             frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
@@ -526,23 +528,34 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
         return fut
 
     def collect(frame_no, frame, fut):
-        frame.planes, frame.local_planes = _fit_from_stats_buffer(
-            frame, np.asarray(fut), need_inliers
-        )
+        # brackets are no-ops unless RGBD360_PRINT_TIMINGS is on; the stage
+        # profiler (tools/profile_slam_frame.py) reads THESE brackets so it
+        # always measures the shipped pipeline schedule, not a copy of it
+        with stage("planes collect (sync)"):
+            buf = np.asarray(fut)
+        with stage("planes host fit"):
+            frame.planes, frame.local_planes = _fit_from_stats_buffer(
+                frame, buf, need_inliers
+            )
         return frame_no, frame
+
+    def hook(frame):
+        if pre_collect is not None:
+            with stage("speculative align dispatch"):
+                pre_collect(frame)
 
     pending = None
     for frame_no, frame in frames_iter:
         # hook BEFORE dispatching frame N+1's stats so the speculative
         # alignment of frame N sits ahead of them in the device queue —
         # its result is consumed this frame, theirs only next frame
-        if pending is not None and pre_collect is not None:
-            pre_collect(pending[1])
-        fut = dispatch(frame)
+        if pending is not None:
+            hook(pending[1])
+        with stage("planes dispatch"):
+            fut = dispatch(frame)
         if pending is not None:
             yield collect(*pending)
         pending = (frame_no, frame, fut)
     if pending is not None:
-        if pre_collect is not None:
-            pre_collect(pending[1])
+        hook(pending[1])
         yield collect(*pending)

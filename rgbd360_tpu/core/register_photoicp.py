@@ -86,12 +86,6 @@ class RegisterPhotoICP:
         mirroring the reference parameter (RegisterPhotoICP.h:4519).
         full_coverage: banded re-gather inside every GN sweep — for
         large-motion callers (LC refinement, relocalization verify)."""
-        assert self._src is not None and self._trg is not None, "set frames first"
-        # host np array, NOT jnp.asarray: the jit uploads host operands with
-        # the call; a separate eager device_put is one more ~20-30 ms axon RPC
-        guess = np.asarray(
-            pose_guess if pose_guess is not None else np.eye(4), dtype=np.float32
-        )
         from rgbd360_tpu.utils.timing import stage
 
         with stage(
@@ -102,11 +96,11 @@ class RegisterPhotoICP:
             "Dense alignment 360",
             sync=lambda: self._fetch() if self._flat is not None else None,
         ):
-            self._result, self._flat = photoicp.align_frames360_packed(
-                self._src, self._trg, guess, method, occlusion=occlusion,
-                full_coverage=full_coverage,
+            # one body: the synchronous path IS dispatch + fetch (and gets
+            # dispatch_frames360's copy_to_host_async RPC ordering for free)
+            self.dispatch_frames360(
+                pose_guess, method, occlusion=occlusion, full_coverage=full_coverage
             )
-            self._host = None  # fetched lazily, ONCE, on first accessor
         return self.get_optimal_pose()
 
     def dispatch_frames360(
@@ -156,17 +150,22 @@ class RegisterPhotoICP:
 
         def _go():
             try:
-                gray = jnp.zeros((320, 1920), jnp.float32)
-                depth = jnp.full((320, 1920), 2.0, jnp.float32)
-                src = photoicp.build_pyramid_set_jit(
-                    gray, depth, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
+                # the EXACT production signature: _pyramids calls
+                # build_pyramid_set_raw_jit on the u8 panorama + u16-mm
+                # depth — warming any other dtype/entry compiles a program
+                # the real path never runs and leaves the first keyframe's
+                # trace/compile on the critical path
+                rgb = jnp.zeros((320, 1920, 3), jnp.uint8)
+                depth = jnp.full((320, 1920), 2000, jnp.uint16)
+                src = photoicp.build_pyramid_set_raw_jit(
+                    rgb, depth, self.n_pyr_levels, is_target=False, sphere_seam_mask=True
                 )
-                trg = photoicp.build_pyramid_set_jit(
-                    gray, depth, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
+                trg = photoicp.build_pyramid_set_raw_jit(
+                    rgb, depth, self.n_pyr_levels, is_target=True, sphere_seam_mask=True
                 )
                 _res, flat = photoicp.align_frames360_packed(
-                    src, trg, jnp.eye(4), method, occlusion=occlusion,
-                    full_coverage=full_coverage,
+                    src, trg, np.eye(4, dtype=np.float32), method,
+                    occlusion=occlusion, full_coverage=full_coverage,
                 )
                 np.asarray(flat)  # force completion (axon: block_until_ready lies)
             except Exception:

@@ -51,43 +51,10 @@ def timed_frames(gen):
 
 
 def profiled_pipeline(frames_iter, pre_collect=None):
-    """plane_extraction.planes_pipeline with each stage bracketed."""
-
-    def dispatch(frame):
-        fut = pe.build_sensor_plane_stats(
-            frame.depth_undistorted_m, frame.rgb, ship_labels=False
-        )
-        try:
-            fut.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
-        return fut
-
-    pending = None
-    for frame_no, frame in frames_iter:
-        if pending is not None and pre_collect is not None:
-            with stage("speculative align dispatch"):
-                pre_collect(pending[1])
-        with stage("planes dispatch"):
-            fut = dispatch(frame)
-        if pending is not None:
-            no, fr, f2 = pending
-            with stage("planes collect (sync)"):
-                buf = np.asarray(f2)
-            with stage("planes host fit"):
-                fr.planes, fr.local_planes = pe._fit_from_stats_buffer(fr, buf, False)
-            yield no, fr
-        pending = (frame_no, frame, fut)
-    if pending is not None:
-        no, fr, f2 = pending
-        if pre_collect is not None:
-            with stage("speculative align dispatch"):
-                pre_collect(fr)
-        with stage("planes collect (sync)"):
-            buf = np.asarray(f2)
-        with stage("planes host fit"):
-            fr.planes, fr.local_planes = pe._fit_from_stats_buffer(fr, buf, False)
-        yield no, fr
+    """The REAL planes_pipeline — it carries its own stage brackets
+    (no-ops unless timing is enabled), so the profiler measures the shipped
+    schedule rather than a hand-maintained copy of it."""
+    return pe.planes_pipeline(frames_iter, pre_collect=pre_collect)
 
 
 def main():
