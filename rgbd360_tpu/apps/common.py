@@ -42,11 +42,18 @@ def sequence_files(path: str, first: int, sample: int):
         n += sample
 
 
-def sequence_frames(calib, path: str, first: int, sample: int):
+def sequence_frames(calib, path: str, first: int, sample: int,
+                    defer_device: bool = False):
     """Yield (frame_number, built Frame360) over a dataset, with disk IO +
     archive parsing of upcoming frames prefetched on native C++ threads when
     the toolchain allows (io/native_loader.py) so it overlaps device compute;
-    falls back to the synchronous Python reader otherwise."""
+    falls back to the synchronous Python reader otherwise.
+
+    defer_device=True yields raw-only frames (no undistort/stitch dispatch):
+    planes_pipeline then runs the whole per-frame device pipeline as ONE
+    fused program (Frame360.build_device_fused) — the SLAM-loop
+    configuration; leave False for consumers that read sphere images without
+    the planes pipeline."""
     from rgbd360_tpu.core.frame360 import Frame360
     from rgbd360_tpu.io.native_loader import iter_frames
 
@@ -55,6 +62,7 @@ def sequence_frames(calib, path: str, first: int, sample: int):
     for (frame_no, _), raw in zip(numbered, raws):
         frame = Frame360(calib, frame_no)
         frame.set_raw(raw)
-        frame.undistort()
-        frame.stitch_spherical_image()
+        if not defer_device:
+            frame.undistort()
+            frame.stitch_spherical_image()
         yield frame_no, frame

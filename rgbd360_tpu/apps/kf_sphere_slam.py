@@ -63,7 +63,8 @@ def main(argv=None) -> int:
     from rgbd360_tpu.core.plane_extraction import planes_pipeline
 
     for frame_no, frame in planes_pipeline(
-        sequence_frames(calib, args.dataset, args.first, args.sample),
+        sequence_frames(calib, args.dataset, args.first, args.sample,
+                        defer_device=True),  # fused per-frame device program
         pre_collect=slam.prefetch_align,  # overlap tracking align w/ planes
     ):
         status = slam.process_frame(frame)

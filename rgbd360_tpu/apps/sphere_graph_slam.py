@@ -89,7 +89,8 @@ def main(argv=None) -> int:
     # one-frame-lookahead extraction: frame N+1's plane program runs on the
     # device while the host does frame N's PbMap/graph work
     for frame_no, frame in planes_pipeline(
-        sequence_frames(calib, args.dataset, args.first, args.sample)
+        sequence_frames(calib, args.dataset, args.first, args.sample,
+                        defer_device=True)  # fused per-frame device program
     ):
         if len(world) == 0:
             world.add_keyframe(frame, current_pose)

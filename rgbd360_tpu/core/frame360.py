@@ -123,6 +123,38 @@ class Frame360:
             )
             self.sphere_gray = gray_f32(self.sphere_rgb)
 
+    def build_device_fused(self, ship_labels: bool = False):
+        """Run the whole per-frame device pipeline (CLAMS undistort +
+        spherical stitch + gray + plane-stats) as ONE jitted program and
+        return the (device) plane-stats buffer; sphere_rgb/sphere_depth_mm/
+        sphere_gray/depth_undistorted_m are set from the program outputs.
+        The SLAM planes_pipeline uses this on deferred-build frames — one
+        dispatch instead of 3-4 per frame over the axon tunnel."""
+        from rgbd360_tpu.core.plane_extraction import fused_frame_program
+
+        with stage("Frame360.build_device_fused"):
+            mults, counts, geom = self.calib.device_intrinsic_arrays()
+            _rt, rt_inv, cam = self.calib.device_extrinsic_arrays()
+            (
+                self.sphere_rgb,
+                self.sphere_depth_mm,
+                self.sphere_gray,
+                self._depth_undistorted_m,
+                stats,
+            ) = fused_frame_program(
+                self.rgb,
+                self.depth_raw_mm,
+                mults,
+                counts,
+                rt_inv,
+                cam,
+                ship_labels=ship_labels,
+                bin_width=geom.bin_width,
+                bin_height=geom.bin_height,
+                bin_depth=geom.bin_depth,
+            )
+        return stats
+
     def build_sphere_cloud_from_image(self):
         """Spherical point cloud from the stitched panorama
         (reference include/Frame360.h:555-612)."""

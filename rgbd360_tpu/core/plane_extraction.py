@@ -494,6 +494,44 @@ def extract_frame_planes(frame, need_inliers: bool = True) -> Tuple[PbMap, List[
     return _fit_from_stats_buffer(frame, buf, need_inliers)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ship_labels", "bin_width", "bin_height", "bin_depth"),
+)
+def fused_frame_program(
+    rgb,
+    depth_raw_mm,
+    mults,
+    counts,
+    rt_inv,
+    cam,
+    *,
+    ship_labels: bool,
+    bin_width: int,
+    bin_height: int,
+    bin_depth: float,
+):
+    """The whole per-frame device pipeline as ONE program: CLAMS undistort +
+    spherical stitch (+ gray) + plane-stats. Each stage is the same jitted
+    function the step-by-step path runs (inlined here), so outputs are
+    identical; fusing them turns 3-4 per-frame dispatches (each an axon RPC
+    with issue/transfer latency) into one. The SLAM pipeline path uses this
+    via Frame360.build_device_fused; the step-by-step methods remain for
+    every other caller."""
+    from rgbd360_tpu.ops.image import gray_f32
+    from rgbd360_tpu.ops.stitch import stitch_spherical
+    from rgbd360_tpu.ops.undistort import undistort_depth_mm
+
+    depth_und = undistort_depth_mm(
+        depth_raw_mm, mults, counts,
+        bin_width=bin_width, bin_height=bin_height, bin_depth=bin_depth,
+    )
+    sphere_rgb, sphere_depth_mm = stitch_spherical(rgb, depth_raw_mm, rt_inv, cam)
+    sphere_gray = gray_f32(sphere_rgb)
+    stats = build_sensor_plane_stats(depth_und, rgb, ship_labels=ship_labels)
+    return sphere_rgb, sphere_depth_mm, sphere_gray, depth_und, stats
+
+
 def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     """One-frame-lookahead plane extraction over a (frame_no, frame)
     iterator: frame N+1's device program is dispatched BEFORE frame N's
@@ -512,9 +550,16 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     from rgbd360_tpu.utils.timing import stage
 
     def dispatch(frame):
-        fut = build_sensor_plane_stats(
-            frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
-        )
+        if getattr(frame, "sphere_rgb", None) is None and getattr(
+            frame, "depth_raw_mm", None
+        ) is not None:
+            # deferred-build frame (sequence_frames(defer_device=True)):
+            # undistort + stitch + stats run as ONE device program
+            fut = frame.build_device_fused(ship_labels=need_inliers)
+        else:
+            fut = build_sensor_plane_stats(
+                frame.depth_undistorted_m, frame.rgb, ship_labels=need_inliers
+            )
         # Enqueue the device->host copy NOW, right behind the stats program:
         # the axon backend serializes transfers with compute on one queue, so
         # a fetch first issued at collect() time waits behind everything

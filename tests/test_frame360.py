@@ -115,3 +115,42 @@ def test_build_sphere_cloud_fast(calib, reference_root):
         cam_t = calib.Rt[s][:3, 3]
         z_cam = (pts[s][valid] - cam_t) @ calib.Rt[s][:3, 2]
         np.testing.assert_allclose(z_cam, depth[s][valid], rtol=1e-4, atol=1e-4)
+
+
+def test_fused_frame_program_matches_stepwise(calib, reference_root):
+    """Frame360.build_device_fused (one device program: undistort + stitch +
+    gray + plane stats — the SLAM pipeline path) must produce exactly the
+    step-by-step pipeline's outputs: byte-equal panoramas, equal undistorted
+    depth, and an identical extracted plane set."""
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.core.plane_extraction import (
+        _fit_from_stats_buffer,
+        build_sensor_plane_stats,
+    )
+
+    path = os.path.join(reference_root, "samples", "sphere_images_1.bin")
+
+    step = Frame360(calib, 0).build(path)  # load + undistort + stitch
+    step_stats = np.asarray(
+        build_sensor_plane_stats(step.depth_undistorted_m, step.rgb, ship_labels=False)
+    )
+    step.planes, _ = _fit_from_stats_buffer(step, step_stats, False)
+
+    fused = Frame360(calib, 0)
+    fused.load_frame(path)
+    fut = fused.build_device_fused(ship_labels=False)
+    fused_stats = np.asarray(fut)
+    fused.planes, _ = _fit_from_stats_buffer(fused, fused_stats, False)
+
+    np.testing.assert_array_equal(np.asarray(fused.sphere_rgb), np.asarray(step.sphere_rgb))
+    np.testing.assert_array_equal(
+        np.asarray(fused.sphere_depth_mm), np.asarray(step.sphere_depth_mm)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.sphere_gray), np.asarray(step.sphere_gray)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.depth_undistorted_m), np.asarray(step.depth_undistorted_m)
+    )
+    np.testing.assert_array_equal(fused_stats, step_stats)
+    assert len(fused.planes.planes) == len(step.planes.planes)

@@ -81,7 +81,7 @@ def main():
     times, kinds = [], []
     t_prev = time.perf_counter()
     for frame_no, frame in profiled_pipeline(
-        timed_frames(sequence_frames(calib, seq, 1, 1)),
+        timed_frames(sequence_frames(calib, seq, 1, 1, defer_device=True)),
         pre_collect=slam.prefetch_align if spec else None,
     ):
         with stage("process_frame"):
