@@ -38,6 +38,13 @@ from rgbd360_tpu.core.graph_optimizer import GraphOptimizer
 from rgbd360_tpu.core.map360 import Map360
 from rgbd360_tpu.core.matcher import PLANAR_3DOF
 from rgbd360_tpu.core.register_photoicp import PHOTO_DEPTH, RegisterPhotoICP
+
+# (method, occlusion, full_coverage) of the dense tracking alignment — the
+# SINGLE source for prefetch_align's speculative dispatch, _dense_align's
+# synchronous call AND the reuse-key comparison, so the speculative result
+# can never be reused by a differently-configured alignment (changing the
+# tracking config here changes all three together).
+_TRACK_CFG = (PHOTO_DEPTH, 0, False)
 from rgbd360_tpu.core.register_rgbd360 import RegisterRGBD360
 from rgbd360_tpu.core.topological import TopologicalMap360
 
@@ -94,7 +101,9 @@ class KFSphereSLAM:
         speculative_align: bool = True,
     ):
         self.speculative_align = speculative_align
-        self._spec = None  # (frame id, kf id, seed) of an in-flight dispatch
+        self._spec = None  # (frame token, kf id, seed, cfg) of an in-flight dispatch
+        self._spec_seq = 0  # monotone token stamped on prefetched frames
+        self._spec_hits = 0  # reuse count (tests assert the path actually fires)
         self._last_kind = ""
         self.world = world if world is not None else Map360()
         # a resumed map must bring its topological SSO state along
@@ -149,13 +158,21 @@ class KFSphereSLAM:
         kf = self.world.frames[self.nearest_kf]
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
         self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
-        self.aligner.dispatch_frames360(self.seed_ref.astype(np.float32), PHOTO_DEPTH)
-        # the key records the full dispatch configuration, not just
-        # (frame, kf, seed): _dense_align must never "reuse" a result from
-        # a differently-configured program (method/occlusion/full_coverage)
+        self.aligner.dispatch_frames360(
+            self.seed_ref.astype(np.float32), _TRACK_CFG[0],
+            occlusion=_TRACK_CFG[1], full_coverage=_TRACK_CFG[2],
+        )
+        # the frame is identified by a monotone token stamped on the object,
+        # NOT id(): a frame that is prefetched but never reaches process_frame
+        # (e.g. the app catches a collect-time exception and continues) could
+        # be GC'd and a NEW frame allocated at the same address — the token
+        # attribute does not exist on the new object, so it can never match.
+        # The key also records the dispatch configuration (_TRACK_CFG is the
+        # single source for both the dispatch above and _dense_align's call).
+        self._spec_seq += 1
+        frame._spec_token = self._spec_seq
         self._spec = (
-            id(frame), self.nearest_kf, self.seed_ref.copy(),
-            (PHOTO_DEPTH, 0, False),
+            self._spec_seq, self.nearest_kf, self.seed_ref.copy(), _TRACK_CFG,
         )
 
     def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray,
@@ -167,19 +184,23 @@ class KFSphereSLAM:
         self._spec = None
         if (
             spec is not None
-            and spec[0] == id(frame)
+            and spec[0] == getattr(frame, "_spec_token", None)
             and spec[1] == kf_id
             and np.array_equal(spec[2], seed_sphere)
-            and spec[3] == (PHOTO_DEPTH, 0, False)  # this call's exact config
+            and spec[3] == _TRACK_CFG  # this call's exact config (used below)
         ):
             # the speculative dispatch IS this alignment — just read it
+            self._spec_hits += 1
             ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
             return ref_pose, self.off_inv @ ref_pose @ self.off
         kf = self.world.frames[kf_id]
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
         if not reuse_source:
             self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
-        self.aligner.align_frames360(seed_sphere.astype(np.float32), PHOTO_DEPTH)
+        self.aligner.align_frames360(
+            seed_sphere.astype(np.float32), _TRACK_CFG[0],
+            occlusion=_TRACK_CFG[1], full_coverage=_TRACK_CFG[2],
+        )
         ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
         rel_cloud = self.off_inv @ ref_pose @ self.off
         return ref_pose, rel_cloud

@@ -1006,11 +1006,6 @@ def align_frames360_packed(
         ]
     )
     return res, flat
-build_pyramid_set_jit = functools.partial(
-    jax.jit, static_argnames=("n_levels", "is_target", "sphere_seam_mask")
-)(build_pyramid_set)
-
-
 def build_pyramid_set_raw(
     rgb_bgr_u8: jnp.ndarray,
     depth: jnp.ndarray,

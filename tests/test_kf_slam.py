@@ -88,7 +88,7 @@ class FakeAligner:
     def set_source_frame(self, rgb, depth):
         self._source = rgb
 
-    def align_frames360(self, seed, method):
+    def align_frames360(self, seed, method, occlusion=0, full_coverage=False):
         key = (self._target, self._source)
         assert key in self.script, f"unscripted dense align {key}"
         self._resid, rel_cloud = self.script[key]
@@ -286,10 +286,15 @@ def test_speculative_align_is_outcome_identical(calib, monkeypatch):
             if spec:
                 slam.prefetch_align(f)  # what planes_pipeline's hook does
             kinds.append(slam.process_frame(f))
-        return kinds, [np.asarray(p).copy() for p in slam.world.trajectory_poses]
+        traj = [np.asarray(p).copy() for p in slam.world.trajectory_poses]
+        return (kinds, traj, slam._spec_hits) if spec else (kinds, traj)
 
     kinds_plain, traj_plain = run(False)
-    kinds_spec, traj_spec = run(True)
+    kinds_spec, traj_spec, hits = run(True)
     assert kinds_plain == kinds_spec
     assert "skip_tracked" in kinds_plain or "keyframe" in kinds_plain  # non-vacuous
+    # the reuse path must actually FIRE: outcome identity alone cannot detect
+    # a regressed spec key (the fallback recomputes identical results, so the
+    # feature could be silently dead while every assert stays green)
+    assert hits > 0, "speculative reuse never fired — spec key regressed"
     np.testing.assert_array_equal(np.stack(traj_plain), np.stack(traj_spec))

@@ -189,10 +189,10 @@ def run_clams(model, depth_m: np.ndarray, workdir: str = "/tmp") -> np.ndarray:
     return np.frombuffer(open(out_path, "rb").read(), np.float32).reshape(h, w)
 
 
-def run(input_path: str) -> dict:
-    """Run the oracle and parse its stdout into a dict."""
+def run(input_path: str, binary: str = None) -> dict:
+    """Run the oracle (or an alternate build of it) and parse its stdout."""
     out = subprocess.run(
-        [build(), input_path], check=True, capture_output=True, text=True
+        [binary or build(), input_path], check=True, capture_output=True, text=True
     ).stdout
     res: dict = {"levels": []}
     for line in out.splitlines():
