@@ -58,8 +58,13 @@ def profiled_pipeline(frames_iter, pre_collect=None):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--no-spec"]
+    flags = ("--no-spec", "--stepwise")
+    args = [a for a in sys.argv[1:] if a not in flags]
     spec = "--no-spec" not in sys.argv
+    # --stepwise: per-frame device work as separate undistort/stitch/stats
+    # dispatches (the pre-52bf9b4 schedule) instead of the fused single
+    # program — the A/B knob for fused_frame_program
+    fused = "--stepwise" not in sys.argv
     seq = args[0] if args else "/tmp/room_seq"
     limit = int(args[1]) if len(args) > 1 else 10**9
 
@@ -76,12 +81,12 @@ def main():
         matcher_config=default_matcher_config(None), speculative_align=spec
     )
     slam.aligner.prewarm()
-    print(f"speculative_align={spec}")
+    print(f"speculative_align={spec} fused_frame_program={fused}")
 
     times, kinds = [], []
     t_prev = time.perf_counter()
     for frame_no, frame in profiled_pipeline(
-        timed_frames(sequence_frames(calib, seq, 1, 1, defer_device=True)),
+        timed_frames(sequence_frames(calib, seq, 1, 1, defer_device=fused)),
         pre_collect=slam.prefetch_align if spec else None,
     ):
         with stage("process_frame"):
