@@ -13,7 +13,7 @@ instead of the reference's one-pair-at-a-time loop. PbMap matching and graph
 bookkeeping stay on host.
 
 Usage: python -m rgbd360_tpu.apps.register_graph_sphere <dataset_dir>
-       [--first 1] [--sample 1] [--max-frames 16] [--batch 4] [--out DIR]
+       [--first 1] [--sample 1] [--max-frames 16] [--batch 8] [--out DIR]
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ TRACK_BACK = 5  # numCheckRegistration (:936)
 LC_SKIP_BACK = 6  # don't LC against the immediate chain neighbourhood
 
 
-def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=print):
+def register_graph(frames, batch_size: int = 8, matcher_config=None, progress=print):
     """Returns (poses, edges, sso, partition_labels). frames: list of
     Frame360 with planes extracted."""
     import jax.numpy as jnp
@@ -108,11 +108,18 @@ def register_graph(frames, batch_size: int = 4, matcher_config=None, progress=pr
     progress(f"{len(pairs)} pairs selected ({n - 1} chain, {len(pairs) - n + 1} LC)")
 
     # --- batched dense registration of ALL pairs on device ------------------
+    # cache the per-frame conversions: each is an eager dispatch (~30 ms
+    # RPC over the axon tunnel) and a frame recurs across chain + LC chunks
+    _pano_cache = {}
+
     def panorama(f):
-        return (
-            jnp.asarray(f.sphere_gray),
-            f.sphere_depth_mm.astype(jnp.float32) * 0.001,
-        )
+        key = id(f)
+        if key not in _pano_cache:
+            _pano_cache[key] = (
+                jnp.asarray(f.sphere_gray),
+                f.sphere_depth_mm.astype(jnp.float32) * 0.001,
+            )
+        return _pano_cache[key]
 
     results = [None] * len(pairs)
     for c0 in range(0, len(pairs), batch_size):
@@ -196,7 +203,9 @@ def main(argv=None) -> int:
     ap.add_argument("--first", type=int, default=1)
     ap.add_argument("--sample", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=4)
+    # default 8: the round-4 on-chip batch ladder (PERF.md: b4 53.68 ->
+    # b8 55.21 pairs/s at K=4) moved the chained-align optimum to 8
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--calib-root", default=None)
     args = ap.parse_args(argv)
