@@ -82,6 +82,49 @@ def sanity_check(pose, error, ill_posed, num_iterations, golden=None, kernel_pat
     return (not reasons), reasons
 
 
+def _start_watchdog(seconds: float, _exit=None):
+    """Bound the whole measurement against a tunnel flap MID-run.
+
+    The probe only proves the tunnel was up at t=0; axon has been observed
+    to drop mid-session (tools/tpu_session_r4d.sh exists because it did),
+    and a device transfer on a dead tunnel blocks forever — which would
+    hang the driver's bench capture instead of recording an honest failure.
+    A daemon thread waits on an Event; if the run hasn't signalled
+    completion in `seconds`, it prints the standard failure JSON line and
+    hard-exits (the blocked transfer can't be interrupted in-process).
+
+    Returns the Event to .set() on completion. `_exit` is injectable for
+    tests (tests/test_bench_gate.py::test_watchdog_*)."""
+    import threading
+
+    done = threading.Event()
+    exit_fn = _exit if _exit is not None else os._exit
+
+    def _fire():
+        if not done.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": "sphere_photoicp_pairs_per_sec",
+                        "value": 0.0,
+                        "unit": "pairs/s",
+                        "vs_baseline": 0.0,
+                        "sane": False,
+                        "error": (
+                            f"watchdog: measurement did not complete within "
+                            f"{seconds:.0f} s after a successful probe — "
+                            "axon tunnel likely dropped mid-run"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            exit_fn(1)
+
+    threading.Thread(target=_fire, daemon=True, name="bench-watchdog").start()
+    return done
+
+
 def _probe_device(timeout_s: float = 240.0):
     """The axon tunnel can be down for hours (CLAUDE.md); a trivial op that
     never completes would otherwise hang the whole bench silently. Probe in
@@ -160,6 +203,13 @@ def main():
             )
         )
         return 1
+
+    # From here on every step can block forever if the tunnel drops mid-run
+    # (frame build, compiles, the timed transfers). Default budget: cold
+    # compiles are 10-30 s each and "occasionally minutes" (CLAUDE.md), so
+    # 1800 s covers a fully cold cache with margin while still bounding the
+    # driver's capture.
+    watchdog_done = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")))
 
     # persistent compile cache: first-run XLA compiles over the device tunnel
     # are slow (tens of seconds) and occasionally much slower
@@ -267,6 +317,7 @@ def main():
     }
     if reasons:
         out["sanity_failures"] = reasons
+    watchdog_done.set()
     print(json.dumps(out))
     return 0 if ok else 1
 

@@ -130,3 +130,28 @@ def test_injected_finest_early_stop_flips_sane(golden, monkeypatch):
     )
     assert not ok, "injected L0 early stop passed the bench gate"
     assert any("signature" in r for r in reasons), reasons
+
+
+def test_watchdog_fires_on_hang(capsys):
+    """A mid-run tunnel flap blocks a device transfer forever; the watchdog
+    must emit the standard failure JSON line and hard-exit so the driver's
+    capture never hangs."""
+    import json
+    import threading
+
+    fired = threading.Event()
+    bench._start_watchdog(0.05, _exit=lambda code: fired.set())
+    assert fired.wait(5.0), "watchdog did not fire on timeout"
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["sane"] is False and out["value"] == 0.0
+    assert "watchdog" in out["error"]
+
+
+def test_watchdog_silent_on_completion(capsys):
+    import time
+
+    done = bench._start_watchdog(0.1, _exit=lambda code: (_ for _ in ()).throw(SystemExit))
+    done.set()
+    time.sleep(0.3)
+    assert capsys.readouterr().out.strip() == ""
