@@ -82,6 +82,26 @@ def sanity_check(pose, error, ill_posed, num_iterations, golden=None, kernel_pat
     return (not reasons), reasons
 
 
+# Exit code the inner measurement process uses for "the run died under it —
+# a fresh process may succeed" (tunnel flap mid-run, watchdog fire). The
+# outer orchestrator retries ONLY this code: sanity failures (exit 1) are
+# semantics, not flaps, and re-rolling them would be dishonest.
+RETRYABLE_EXIT = 3
+
+
+def _failure_line(detail: str) -> str:
+    return json.dumps(
+        {
+            "metric": "sphere_photoicp_pairs_per_sec",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "sane": False,
+            "error": detail,
+        }
+    )
+
+
 def _start_watchdog(seconds: float, _exit=None):
     """Bound the whole measurement against a tunnel flap MID-run.
 
@@ -103,26 +123,31 @@ def _start_watchdog(seconds: float, _exit=None):
     def _fire():
         if not done.wait(seconds):
             print(
-                json.dumps(
-                    {
-                        "metric": "sphere_photoicp_pairs_per_sec",
-                        "value": 0.0,
-                        "unit": "pairs/s",
-                        "vs_baseline": 0.0,
-                        "sane": False,
-                        "error": (
-                            f"watchdog: measurement did not complete within "
-                            f"{seconds:.0f} s after a successful probe — "
-                            "axon tunnel likely dropped mid-run"
-                        ),
-                    }
+                _failure_line(
+                    f"watchdog: measurement did not complete within "
+                    f"{seconds:.0f} s after a successful probe — "
+                    "axon tunnel likely dropped mid-run"
                 ),
                 flush=True,
             )
-            exit_fn(1)
+            exit_fn(RETRYABLE_EXIT)
 
     threading.Thread(target=_fire, daemon=True, name="bench-watchdog").start()
     return done
+
+
+def _bench_force_cpu() -> bool:
+    """BENCH_FORCE_CPU=1 deliberately benches the CPU backend (implies
+    BENCH_ALLOW_CPU): the sanctioned drive during axon outages, and the
+    plumbing smoke in CI. NOTE the JAX_PLATFORMS env var does NOT work on
+    this machine even for fresh processes (the environment pre-imports jax;
+    verified 2026-08-19) — only jax.config.update('jax_platforms', ...)
+    before the first device op takes effect, which is what this knob does."""
+    return os.environ.get("BENCH_FORCE_CPU", "").strip().lower() not in ("", "0", "false", "no")
+
+
+def _force_cpu_stmt() -> str:
+    return "jax.config.update('jax_platforms','cpu');" if _bench_force_cpu() else ""
 
 
 def _probe_device(timeout_s: float = 240.0):
@@ -139,7 +164,8 @@ def _probe_device(timeout_s: float = 240.0):
 
     code = (
         "import numpy as np, jax, jax.numpy as jnp;"
-        "np.asarray(jnp.zeros(2) + 1.0);"
+        + _force_cpu_stmt()
+        + "np.asarray(jnp.zeros(2) + 1.0);"
         "print('BACKEND=' + jax.default_backend())"
     )
     try:
@@ -156,7 +182,9 @@ def _probe_device(timeout_s: float = 240.0):
     for line in (proc.stdout or "").splitlines():
         if line.startswith("BACKEND="):
             backend = line[len("BACKEND="):].strip()
-    allow_cpu = os.environ.get("BENCH_ALLOW_CPU", "").strip().lower() not in ("", "0", "false", "no")
+    allow_cpu = (
+        os.environ.get("BENCH_ALLOW_CPU", "").strip().lower() not in ("", "0", "false", "no")
+    ) or _bench_force_cpu()
     if backend == "cpu" and not allow_cpu:
         return False, (
             "probe ran on the CPU fallback backend — refusing to publish a "
@@ -165,14 +193,11 @@ def _probe_device(timeout_s: float = 240.0):
     return True, backend
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    # Retry through a tunnel flap: the axon outages sometimes clear within
-    # minutes, and the driver benches once per round — a retry is cheap
-    # insurance against publishing a 0.0 for a transient blip. An honest
-    # outage still reports as one after the retries.
+def _probe_phase():
+    """Probe with retries through a tunnel flap: the axon outages sometimes
+    clear within minutes, and the driver benches once per round — a retry is
+    cheap insurance against publishing a 0.0 for a transient blip. An honest
+    outage still reports as one after the retries. Returns (ok, detail)."""
     retries = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
     for attempt in range(retries + 1):
         probe_ok, probe_detail = _probe_device()
@@ -189,27 +214,39 @@ def main():
             file=sys.stderr,
         )
         time.sleep(120)
-    if not probe_ok:
-        print(
-            json.dumps(
-                {
-                    "metric": "sphere_photoicp_pairs_per_sec",
-                    "value": 0.0,
-                    "unit": "pairs/s",
-                    "vs_baseline": 0.0,
-                    "sane": False,
-                    "error": probe_detail,
-                }
-            )
-        )
-        return 1
+    return probe_ok, probe_detail
 
-    # From here on every step can block forever if the tunnel drops mid-run
-    # (frame build, compiles, the timed transfers). Default budget: cold
-    # compiles are 10-30 s each and "occasionally minutes" (CLAUDE.md), so
-    # 1800 s covers a fully cold cache with margin while still bounding the
-    # driver's capture.
+
+def _inner_main():
+    # The whole measurement runs in THIS dedicated process (spawned by main()
+    # below): after a tunnel flap the in-process TPU client is poisoned
+    # (every later op returns FAILED_PRECONDITION), so recovery must be a
+    # fresh process — the outer orchestrator retries on RETRYABLE_EXIT.
+    #
+    # Watchdog: from here on every step can block forever if the tunnel
+    # drops mid-run (frame build, compiles, the timed transfers). Default
+    # budget: cold compiles are 10-30 s each and "occasionally minutes"
+    # (CLAUDE.md), so 1800 s covers a fully cold cache with margin while
+    # still bounding the driver's capture.
     watchdog_done = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")))
+    try:
+        out, ok = _measure()
+    except Exception as e:  # noqa: BLE001 — any crash here is a dead run
+        print(_failure_line(f"measurement crashed: {type(e).__name__}: {e}"), flush=True)
+        return RETRYABLE_EXIT
+    watchdog_done.set()
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+def _measure():
+    """Build the frames, run the timed chained alignment, sanity-check.
+    Returns (result_dict, sane). Raises on a mid-run tunnel flap."""
+    import jax
+    import jax.numpy as jnp
+
+    if _bench_force_cpu():
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: first-run XLA compiles over the device tunnel
     # are slow (tens of seconds) and occasionally much slower
@@ -317,9 +354,91 @@ def main():
     }
     if reasons:
         out["sanity_failures"] = reasons
-    watchdog_done.set()
-    print(json.dumps(out))
-    return 0 if ok else 1
+    return out, ok
+
+
+def _extract_json_line(stdout: str):
+    """Last stdout line that parses as the bench JSON dict, or None."""
+    for line in reversed((stdout or "").splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and obj.get("metric"):
+            return line
+    return None
+
+
+def _run_attempts(run_once, reprobe, attempts, sleep_s=60.0, _print=print, _sleep=time.sleep):
+    """Measurement orchestration (unit-tested in tests/test_bench_gate.py).
+
+    run_once() -> (json_line_or_None, returncode). Retries ONLY on
+    RETRYABLE_EXIT or a missing JSON line (a flap-killed process); a sanity
+    failure (exit 1 with a JSON line) is deterministic semantics and is
+    published as-is. Between attempts the tunnel is re-probed — if it's
+    still down, report that honestly rather than burning another watchdog
+    budget. Exactly one JSON line reaches stdout."""
+    last_line = None
+    for attempt in range(attempts):
+        line, code = run_once()
+        if line is not None and code != RETRYABLE_EXIT:
+            _print(line)
+            return code
+        last_line = line or last_line
+        if attempt == attempts - 1:
+            break
+        print(
+            f"# measurement attempt {attempt + 1}/{attempts} died "
+            f"(retryable); re-probing in {sleep_s:.0f} s",
+            file=sys.stderr,
+        )
+        _sleep(sleep_s)
+        probe_ok, probe_detail = reprobe()
+        if not probe_ok:
+            _print(_failure_line(f"tunnel down after a mid-run flap: {probe_detail}"))
+            return 1
+    _print(last_line or _failure_line(f"measurement died on all {attempts} attempts"))
+    return 1
+
+
+def main():
+    if "--inner" in sys.argv:
+        return _inner_main()
+
+    probe_ok, probe_detail = _probe_phase()
+    if not probe_ok:
+        print(_failure_line(probe_detail))
+        return 1
+
+    import subprocess
+
+    # Subprocess budget: the inner watchdog fires at BENCH_WATCHDOG_S and
+    # prints its own failure line; the outer timeout is a backstop for the
+    # watchdog thread itself dying with the process wedged.
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "1800")) + 180.0
+
+    def run_once():
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            return None, RETRYABLE_EXIT
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)  # surface inner diagnostics
+        return _extract_json_line(proc.stdout), proc.returncode
+
+    return _run_attempts(
+        run_once,
+        _probe_phase,
+        attempts=int(os.environ.get("BENCH_ATTEMPTS", "2")),
+    )
 
 
 if __name__ == "__main__":

@@ -134,18 +134,21 @@ def test_injected_finest_early_stop_flips_sane(golden, monkeypatch):
 
 def test_watchdog_fires_on_hang(capsys):
     """A mid-run tunnel flap blocks a device transfer forever; the watchdog
-    must emit the standard failure JSON line and hard-exit so the driver's
+    must emit the standard failure JSON line and hard-exit with the
+    RETRYABLE code (a flap is worth a fresh-process retry) so the driver's
     capture never hangs."""
     import json
     import threading
 
     fired = threading.Event()
-    bench._start_watchdog(0.05, _exit=lambda code: fired.set())
+    codes = []
+    bench._start_watchdog(0.05, _exit=lambda code: (codes.append(code), fired.set()))
     assert fired.wait(5.0), "watchdog did not fire on timeout"
     line = capsys.readouterr().out.strip().splitlines()[-1]
     out = json.loads(line)
     assert out["sane"] is False and out["value"] == 0.0
     assert "watchdog" in out["error"]
+    assert codes == [bench.RETRYABLE_EXIT]
 
 
 def test_watchdog_silent_on_completion(capsys):
@@ -155,3 +158,100 @@ def test_watchdog_silent_on_completion(capsys):
     done.set()
     time.sleep(0.3)
     assert capsys.readouterr().out.strip() == ""
+
+
+# --- measurement retry orchestration (_run_attempts) -----------------------
+# A mid-run tunnel flap poisons the in-process TPU client (observed
+# 2026-08-19: FAILED_PRECONDITION on every op after a flap), so bench.py
+# runs the measurement in a subprocess and retries the whole process. The
+# policy lives in bench._run_attempts with injectable callables.
+
+
+def _lines(capsys):
+    return [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+
+
+def test_retry_success_first_try(capsys):
+    code = bench._run_attempts(
+        lambda: ('{"metric": "m", "value": 1.0}', 0),
+        lambda: (True, ""),
+        attempts=2,
+        _sleep=lambda s: None,
+    )
+    assert code == 0
+    assert _lines(capsys) == ['{"metric": "m", "value": 1.0}']
+
+
+def test_retry_after_flap_then_success(capsys):
+    calls = {"n": 0}
+
+    def run_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, bench.RETRYABLE_EXIT  # process died, no JSON
+        return ('{"metric": "m", "value": 2.0}', 0)
+
+    code = bench._run_attempts(run_once, lambda: (True, ""), attempts=2, _sleep=lambda s: None)
+    assert code == 0 and calls["n"] == 2
+    assert _lines(capsys) == ['{"metric": "m", "value": 2.0}']
+
+
+def test_sanity_failure_is_not_retried(capsys):
+    """Exit 1 with a JSON line is deterministic semantics (a failed sanity
+    rail), never a flap — re-rolling it would be dishonest."""
+    calls = {"n": 0}
+
+    def run_once():
+        calls["n"] += 1
+        return ('{"metric": "m", "sane": false}', 1)
+
+    code = bench._run_attempts(run_once, lambda: (True, ""), attempts=3, _sleep=lambda s: None)
+    assert code == 1 and calls["n"] == 1
+
+
+def test_all_attempts_dead_reports_failure(capsys):
+    import json
+
+    code = bench._run_attempts(
+        lambda: (None, bench.RETRYABLE_EXIT),
+        lambda: (True, ""),
+        attempts=2,
+        _sleep=lambda s: None,
+    )
+    assert code == 1
+    out = json.loads(_lines(capsys)[-1])
+    assert out["sane"] is False and "attempts" in out["error"]
+
+
+def test_reprobe_failure_short_circuits(capsys):
+    """If the tunnel is still down between attempts, report that instead of
+    burning another full watchdog budget."""
+    import json
+
+    calls = {"n": 0}
+
+    def run_once():
+        calls["n"] += 1
+        return None, bench.RETRYABLE_EXIT
+
+    code = bench._run_attempts(
+        run_once, lambda: (False, "still down"), attempts=3, _sleep=lambda s: None
+    )
+    assert code == 1 and calls["n"] == 1
+    out = json.loads(_lines(capsys)[-1])
+    assert "still down" in out["error"]
+
+
+def test_extract_json_line_picks_last_metric_dict():
+    stdout = "\n".join(
+        [
+            "# noise",
+            '{"metric": "m", "value": 1.0}',
+            "WARNING: something",
+            '{"not_metric": 1}',
+            '{"metric": "m", "value": 2.0}',
+            "trailing noise",
+        ]
+    )
+    assert bench._extract_json_line(stdout) == '{"metric": "m", "value": 2.0}'
+    assert bench._extract_json_line("no json here\n") is None
