@@ -228,10 +228,28 @@ def _inner_main():
     # budget: cold compiles are 10-30 s each and "occasionally minutes"
     # (CLAUDE.md), so 1800 s covers a fully cold cache with margin while
     # still bounding the driver's capture.
+    # Deterministic preconditions (bad env values, missing sample files)
+    # fail BEFORE the watchdog with a non-retryable exit: retrying them just
+    # burns a reprobe + a full measurement process on a failure that can
+    # never succeed.
+    try:
+        int(os.environ.get("BENCH_BATCH", "8"))
+        int(os.environ.get("BENCH_ITERS", "10"))
+        for rel in ("samples/sphere_images_1.bin", "samples/sphere_images_10.bin"):
+            p = os.path.join(REFERENCE_ROOT, rel)
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+    except (ValueError, FileNotFoundError) as e:
+        print(_failure_line(f"bad bench preconditions: {type(e).__name__}: {e}"), flush=True)
+        return 1
+
     watchdog_done = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")))
     try:
         out, ok = _measure()
-    except Exception as e:  # noqa: BLE001 — any crash here is a dead run
+    except Exception as e:  # noqa: BLE001 — a crash past the precondition
+        # gate is a dead device run (the observed flap class surfaces as
+        # jax.errors.JaxRuntimeError, but grpc/tunnel deaths have shown
+        # several faces) — worth one fresh-process retry
         print(_failure_line(f"measurement crashed: {type(e).__name__}: {e}"), flush=True)
         return RETRYABLE_EXIT
     watchdog_done.set()
@@ -335,7 +353,6 @@ def _measure():
     ill = bool(np.asarray(res.ill_posed).any())
     golden_path = os.path.join(os.path.dirname(__file__), "tests", "golden", "pair_1_10.npz")
     golden = np.load(golden_path) if os.path.exists(golden_path) else None
-    from rgbd360_tpu.ops import photoicp
 
     ok, reasons = sanity_check(
         pose, err, ill, np.asarray(res.num_iterations[0]),
