@@ -62,7 +62,14 @@ def sequence_frames(calib, path: str, first: int, sample: int,
     for (frame_no, _), raw in zip(numbered, raws):
         frame = Frame360(calib, frame_no)
         frame.set_raw(raw)
-        if not defer_device:
+        if defer_device:
+            # explicit marker: planes_pipeline routes ONLY frames tagged here
+            # through the fused device program (undistort+stitch+stats in one
+            # dispatch). Attribute sniffing (depth_raw_mm set, sphere_rgb
+            # unset) would also match rawlog-style frames whose depth must
+            # NOT be CLAMS-undistorted (io/load_rawlog.py).
+            frame._deferred_build = True
+        else:
             frame.undistort()
             frame.stitch_spherical_image()
         yield frame_no, frame

@@ -158,9 +158,14 @@ class KFSphereSLAM:
         kf = self.world.frames[self.nearest_kf]
         self.aligner.set_target_frame(kf.sphere_rgb, kf.sphere_depth_mm)
         self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
+        # capture the ACTUAL values handed to dispatch (not the module
+        # constant) so the spec key records what was dispatched; _dense_align
+        # compares them against the values IT is about to use — a future edit
+        # that parameterizes either site's config is caught by the guard
+        cfg = (_TRACK_CFG[0], _TRACK_CFG[1], _TRACK_CFG[2])
         self.aligner.dispatch_frames360(
-            self.seed_ref.astype(np.float32), _TRACK_CFG[0],
-            occlusion=_TRACK_CFG[1], full_coverage=_TRACK_CFG[2],
+            self.seed_ref.astype(np.float32), cfg[0],
+            occlusion=cfg[1], full_coverage=cfg[2],
         )
         # the frame is identified by a monotone token stamped on the object,
         # NOT id(): a frame that is prefetched but never reaches process_frame
@@ -172,7 +177,7 @@ class KFSphereSLAM:
         self._spec_seq += 1
         frame._spec_token = self._spec_seq
         self._spec = (
-            self._spec_seq, self.nearest_kf, self.seed_ref.copy(), _TRACK_CFG,
+            self._spec_seq, self.nearest_kf, self.seed_ref.copy(), cfg,
         )
 
     def _dense_align(self, kf_id: int, frame, seed_sphere: np.ndarray,
@@ -182,12 +187,16 @@ class KFSphereSLAM:
         (the source pyramid build is a full jitted dispatch per call)."""
         spec = self._spec
         self._spec = None
+        # the config THIS call will align with (mirrors prefetch_align's
+        # capture — compare dispatched values vs about-to-use values, so the
+        # guard is live if either site's config is ever parameterized)
+        cfg = (_TRACK_CFG[0], _TRACK_CFG[1], _TRACK_CFG[2])
         if (
             spec is not None
             and spec[0] == getattr(frame, "_spec_token", None)
             and spec[1] == kf_id
             and np.array_equal(spec[2], seed_sphere)
-            and spec[3] == _TRACK_CFG  # this call's exact config (used below)
+            and spec[3] == cfg
         ):
             # the speculative dispatch IS this alignment — just read it
             self._spec_hits += 1
@@ -198,8 +207,8 @@ class KFSphereSLAM:
         if not reuse_source:
             self.aligner.set_source_frame(frame.sphere_rgb, frame.sphere_depth_mm)
         self.aligner.align_frames360(
-            seed_sphere.astype(np.float32), _TRACK_CFG[0],
-            occlusion=_TRACK_CFG[1], full_coverage=_TRACK_CFG[2],
+            seed_sphere.astype(np.float32), cfg[0],
+            occlusion=cfg[1], full_coverage=cfg[2],
         )
         ref_pose = self.aligner.get_optimal_pose().astype(np.float64)
         rel_cloud = self.off_inv @ ref_pose @ self.off

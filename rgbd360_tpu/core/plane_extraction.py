@@ -550,11 +550,13 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     from rgbd360_tpu.utils.timing import stage
 
     def dispatch(frame):
-        if getattr(frame, "sphere_rgb", None) is None and getattr(
-            frame, "depth_raw_mm", None
-        ) is not None:
-            # deferred-build frame (sequence_frames(defer_device=True)):
-            # undistort + stitch + stats run as ONE device program
+        if getattr(frame, "_deferred_build", False):
+            # deferred-build frame (sequence_frames(defer_device=True) sets
+            # the explicit marker): undistort + stitch + stats run as ONE
+            # device program. The marker — not attribute sniffing — gates
+            # this path so rawlog-style frames (depth must not be CLAMS-
+            # undistorted, calib may lack intrinsic models) can never route
+            # here by accident.
             fut = frame.build_device_fused(ship_labels=need_inliers)
         else:
             fut = build_sensor_plane_stats(

@@ -70,9 +70,16 @@ class RegisterPhotoICP:
         return pyr
 
     def set_source_frame(self, rgb_bgr_u8, depth) -> None:
+        """Contract: the arrays must not be mutated in place after this call.
+        Pyramids are cached by array IDENTITY (`is`), so re-filling the same
+        host buffer (e.g. a streaming capture ring) and re-setting it would
+        silently reuse the stale pyramids — pass a fresh array per frame
+        (jnp arrays and freshly-decoded numpy frames, as all in-repo callers
+        do, satisfy this for free)."""
         self._src = self._pyramids(rgb_bgr_u8, depth, is_target=False)
 
     def set_target_frame(self, rgb_bgr_u8, depth) -> None:
+        """Same no-in-place-mutation contract as set_source_frame."""
         self._trg = self._pyramids(rgb_bgr_u8, depth, is_target=True)
 
     def align_frames360(
