@@ -1,0 +1,122 @@
+"""Error-vs-motion envelope for the kernel's out-of-window masking
+(VERDICT r4 #5: pin the deviation with a curve, not one data point).
+
+The Mosaic warp kernel masks targets outside its per-tile gather window
+(ops/warp_gather.py:26-29) — a deviation from the reference, which gathers
+everywhere (RegisterPhotoICP.h:2678-2687). These gates pin the envelope on
+synthetic box-room panoramas with exact ground truth at controlled motion
+magnitudes, using the routing-faithful window-mask emulation (tied
+bit-exactly to the hardware mask by
+tests/test_warp_kernel.py::test_kernel_mask_matches_emulation_on_tpu).
+
+Measured curve (tools/sweep_window_mask_motion.py, 192x768, 4 levels,
+recorded in PERF.md):
+
+  |t|    coverage   masked terr   exact terr   masked-vs-exact
+  5 cm    0.9880      0.96 mm       0.90 mm        0.10 mm
+  10 cm   0.9691      0.30 mm       0.28 mm        0.10 mm
+  20 cm   0.9311      0.42 mm       0.37 mm        0.11 mm
+  30 cm   0.8778      0.31 mm       0.26 mm        0.10 mm
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.ops import photoicp, se3
+from rgbd360_tpu.ops.sphere import sphere_project, sphere_xyz_lut
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from sweep_window_mask_motion import motion_pose, render_sphere  # noqa: E402
+
+H, W = 192, 768  # L0 147k px, L1 37k px >= WARP_KERNEL_MIN_PIXELS: two
+# masked levels, same routing shape as the full-res pipeline's L0-L2
+N_LEVELS = 4
+MOTIONS = (0.05, 0.10, 0.20, 0.30)
+
+
+@pytest.fixture(scope="module")
+def target():
+    g, d = render_sphere(np.eye(4), H, W)
+    return jnp.asarray(g), jnp.asarray(d)
+
+
+def _coverage(depth_src, pose_true):
+    """Finest-level kernel-window coverage of visible warped pixels at the
+    true pose (the same mirror the device path uses)."""
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    xyz, valid = sphere_xyz_lut(depth_src, photoicp.MIN_DEPTH, photoicp.MAX_DEPTH)
+    p = xyz @ jnp.asarray(pose_true[:3, :3].T, jnp.float32) + jnp.asarray(
+        pose_true[:3, 3], jnp.float32
+    )
+    _, ri, ci, inb = sphere_project(p, H, W)
+    vis = (valid & inb).reshape(H, W)
+    src_r = np.broadcast_to(np.arange(H, dtype=np.int32)[:, None], (H, W))
+    src_c = np.broadcast_to(np.arange(W, dtype=np.int32)[None, :], (H, W))
+    r2d = jnp.where(vis, jnp.clip(ri, 0, H - 1).reshape(H, W), jnp.asarray(src_r))
+    c2d = jnp.where(vis, jnp.clip(ci, 0, W - 1).reshape(H, W), jnp.asarray(src_c))
+    mask = np.asarray(window_mask_reference(r2d, c2d))
+    return float(mask[np.asarray(vis)].mean())
+
+
+def _align(gs, ds, gt, dt, masked: bool):
+    old = photoicp.EMULATE_KERNEL_WINDOW_MASK
+    photoicp.EMULATE_KERNEL_WINDOW_MASK = masked
+    try:
+        @jax.jit  # fresh wrapper: retraces under the current mask flag
+        def run():
+            return photoicp.align_spheres_jit.__wrapped__(
+                gs, ds, gt, dt, jnp.eye(4),
+                method=photoicp.PHOTO_DEPTH, n_levels=N_LEVELS,
+            )
+
+        return run()
+    finally:
+        photoicp.EMULATE_KERNEL_WINDOW_MASK = old
+
+
+def test_coverage_monotone_and_high_at_tracking_motion(target):
+    """Coverage decreases monotonically with motion and stays >= 0.95 at
+    tracking-scale motions (<= 10 cm); even at the 30 cm LC-scale extreme
+    it stays above the bundled pair's measured 76%."""
+    _, dt = target
+    covs = []
+    for t_mag in MOTIONS:
+        pose = motion_pose(t_mag)
+        src_g, src_d = render_sphere(pose, H, W)
+        covs.append(_coverage(jnp.asarray(src_d), pose))
+    assert all(covs[i] >= covs[i + 1] for i in range(len(covs) - 1)), covs
+    assert covs[0] > 0.98 and covs[1] > 0.95, covs
+    assert covs[-1] > 0.80, covs
+
+
+@pytest.mark.parametrize("t_mag", [0.05, 0.30])
+def test_masked_pose_error_envelope(target, t_mag):
+    """At both ends of the motion range the kernel-masked alignment must
+    recover ground truth within 5 mm / 0.1 deg, and sit within 2 mm of the
+    full-coverage path (measured: ~0.1 mm at every motion — the masked-out
+    parallax band is information-sparse for the GN system)."""
+    gt_g, gt_d = target
+    pose_true = motion_pose(t_mag)
+    src_g, src_d = render_sphere(pose_true, H, W)
+    gs, ds = jnp.asarray(src_g), jnp.asarray(src_d)
+
+    res_m = _align(gs, ds, gt_g, gt_d, masked=True)
+    res_e = _align(gs, ds, gt_g, gt_d, masked=False)
+    assert not bool(res_m.ill_posed) and not bool(res_e.ill_posed)
+
+    p_m = np.asarray(res_m.pose, np.float64)
+    p_e = np.asarray(res_e.pose, np.float64)
+    t_err = np.linalg.norm(p_m[:3, 3] - pose_true[:3, 3])
+    r_err = float(
+        se3.rot_angle_deg(jnp.asarray(p_m[:3, :3]), jnp.asarray(pose_true[:3, :3]))
+    )
+    assert t_err < 5e-3, f"masked terr {t_err * 1000:.2f} mm at |t|={t_mag}"
+    assert r_err < 0.1, f"masked rerr {r_err:.3f} deg at |t|={t_mag}"
+    dvs = np.linalg.norm(p_m[:3, 3] - p_e[:3, 3])
+    assert dvs < 2e-3, f"masked-vs-exact {dvs * 1000:.2f} mm at |t|={t_mag}"
