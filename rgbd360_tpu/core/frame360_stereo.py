@@ -40,11 +40,15 @@ def _stereo_device_stats_impl(depth, rgb, start_phi, max_depth):
     d = jnp.where(valid, depth, jnp.nan)
     xyz = jnp.stack([sth * cph * d, sph * d, cth * cph * d], axis=-1)
     normals = organized_normals(xyz, max_depth_change=_MAX_DEPTH_CHANGE)
-    labels = segment_planes(
+    labels_pre = segment_planes(
         xyz, normals, angular_threshold=_ANGULAR, distance_threshold=_DIST
     )
-    labels = refine_plane_labels(labels, xyz, normals, distance_threshold=_DIST)
-    st = sensor_plane_stats(xyz, rgb, labels)
+    # min_inliers=40: the stereo variant's acceptance threshold (:865) also
+    # gates which regions may grow in the refinement
+    labels = refine_plane_labels(
+        labels_pre, xyz, normals, distance_threshold=_DIST, min_inliers=40
+    )
+    st = sensor_plane_stats(xyz, rgb, labels, labels_pre)
     return st, xyz
 
 

@@ -248,6 +248,13 @@ class Plane:
     n_pts: int = 0
     cov: Optional[np.ndarray] = None  # (3,3) centered covariance
     hist_counts: Optional[np.ndarray] = None  # (HIST_H_BINS,) raw counts
+    # centroid OF THE SUFFICIENT STATISTICS (refined members) when it differs
+    # from the reported center: the reported center/normal/curvature of an
+    # unmerged plane are the segment-stage (pre-refine) fit, PCL-style, while
+    # n_pts/cov describe the refined member set — a moment merge must pair
+    # cov with ITS OWN centroid or the parallel-axis combination is wrong.
+    # None = center and suffstat centroid coincide (merged planes, host path).
+    ss_center: Optional[np.ndarray] = None
 
     # -- derived geometry ----------------------------------------------------
     def plane_basis(self):
@@ -320,6 +327,8 @@ class Plane:
         R, t = rt[:3, :3], rt[:3, 3]
         self.normal = R @ self.normal
         self.center = R @ self.center + t
+        if self.ss_center is not None:
+            self.ss_center = R @ self.ss_center + t
         if self.ppal_dir is not None:
             self.ppal_dir = R @ self.ppal_dir
         self.d = float(-self.normal @ self.center)
@@ -380,15 +389,21 @@ class Plane:
         if use_moments:
             n1, n2 = self.n_pts, other.n_pts
             n = n1 + n2
-            center = (n1 * self.center + n2 * other.center) / n
-            d1 = self.center - center
-            d2 = other.center - center
+            c1 = self.ss_center if self.ss_center is not None else self.center
+            c2 = other.ss_center if other.ss_center is not None else other.center
+            center = (n1 * c1 + n2 * c2) / n
+            d1 = c1 - center
+            d2 = c2 - center
             cov = (
                 n1 * (self.cov + np.outer(d1, d1))
                 + n2 * (other.cov + np.outer(d2, d2))
             ) / n
             self.n_pts = n
             self.cov = cov
+            # the merged plane is refit from the refined-member union
+            # (reference mergePlane2 semantics): reported and suffstat
+            # centroids coincide from here on
+            self.ss_center = None
         else:
             pts = np.concatenate([self.points, other.points], axis=0)
             if self.colors is not None and other.colors is not None:
@@ -500,6 +515,14 @@ def save_pbmap(pbmap: PbMap, path: str) -> None:
                 for p in pbmap.planes
             ]
         ) if n else np.zeros((0, HIST_H_BINS)),
+        # suffstat centroid where it differs from the reported (pre-refine)
+        # center; NaN = coincides (merged planes / host path)
+        ss_centers=np.stack(
+            [
+                p.ss_center if p.ss_center is not None else np.full(3, np.nan)
+                for p in pbmap.planes
+            ]
+        ) if n else np.zeros((0, 3)),
     )
 
 
@@ -536,6 +559,11 @@ def load_pbmap(path: str) -> PbMap:
                 hist_counts=(
                     a["hist_counts"][i]
                     if "hist_counts" in a and int(a["n_pts"][i]) > 0
+                    else None
+                ),
+                ss_center=(
+                    a["ss_centers"][i]
+                    if "ss_centers" in a and np.isfinite(a["ss_centers"][i]).all()
                     else None
                 ),
             )

@@ -48,9 +48,9 @@ def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
         zf = fast_bilateral_z(xyz2[..., 2])
         xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
         normals = organized_normals(xyz2)
-        labels = segment_planes(xyz2, normals)
+        labels_pre = segment_planes(xyz2, normals)
         # PCL segmentAndRefine's boundary refinement (Frame360.h:977)
-        labels = refine_plane_labels(labels, xyz2, normals)
+        labels = refine_plane_labels(labels_pre, xyz2, normals)
         return xyz2, rgb2, normals, labels
 
     return jax.vmap(one)(depth_undist_m, rgb)
@@ -64,9 +64,12 @@ def build_sensor_clouds(depth_undist_m: jnp.ndarray, rgb: jnp.ndarray):
 #      ~5% octagon-boundary pixels cross the wire instead of the full cloud
 #   C: per-label stats f32 (8, MAX_LABELS, _NF):
 #      [label_id, count, mean(3), cov6(6), evals(3), normal(3), curvature,
-#       hist(74), sum_rgb(3)]
+#       hist(74), sum_rgb(3), mean_pre(3)]
+#      count/mean/cov6: REFINED members (merge suffstats);
+#      evals/normal/curvature/mean_pre: segment-stage fit (reported params —
+#      PCL fits models pre-refine; Frame360.h:979-1002)
 #   D: per-sensor candidate counts (8,) i32 (overflow detection)
-_NF = 95
+_NF = 98
 MAX_CANDIDATES = 4096  # ~2.5x the max observed on the bundled frames (1607)
 
 
@@ -88,9 +91,9 @@ def build_sensor_plane_stats(
         zf = fast_bilateral_z(xyz2[..., 2])
         xyz2 = jnp.concatenate([xyz2[..., :2], zf[..., None]], axis=-1)
         normals = organized_normals(xyz2)
-        labels = segment_planes(xyz2, normals)
-        labels = refine_plane_labels(labels, xyz2, normals)
-        st = sensor_plane_stats(xyz2, rgb2, labels)
+        labels_pre = segment_planes(xyz2, normals)
+        labels = refine_plane_labels(labels_pre, xyz2, normals)
+        st = sensor_plane_stats(xyz2, rgb2, labels, labels_pre)
         return st, xyz2
 
     st, xyz2 = jax.vmap(one)(depth_undist_m, rgb)
@@ -136,6 +139,7 @@ def build_sensor_plane_stats(
             st.curvature[..., None],
             st.hist,
             st.sum_rgb,
+            st.mean_pre,
         ],
         axis=-1,
     )  # (8, K, _NF)
@@ -231,19 +235,25 @@ def _planes_from_stats(
 
     label_id = stats[:, 0].astype(np.int64)
     count = stats[:, 1].astype(np.int64)
-    mean = stats[:, 2:5].astype(np.float64)
+    mean = stats[:, 2:5].astype(np.float64)  # refined members (suffstats)
     cov6 = stats[:, 5:11].astype(np.float64)
     evals = stats[:, 11:14].astype(np.float64)
     normal = stats[:, 14:17].astype(np.float64)
     curvature = stats[:, 17].astype(np.float64)
     hist = stats[:, 18:92].astype(np.float64)
     sum_rgb = stats[:, 92:95].astype(np.float64)
+    mean_pre = stats[:, 95:98].astype(np.float64)  # reported center (pre fit)
 
     planes: List[Plane] = []
-    for k in range(len(label_id)):
+    # ascending label order = PCL's region discovery (scan) order, which is
+    # the order the reference's getPlanesSensor loop visits regions in —
+    # local_same_plane_merge absorbs into the FIRST earlier match, so plane
+    # ORDER changes merge pairings (the top-K rows arrive count-sorted; a
+    # count-ordered walk produced different local merges than the oracle)
+    for k in sorted(range(len(label_id)), key=lambda i: label_id[i]):
         n = int(count[k])
         if n < MIN_INLIERS:
-            break  # counts are sorted descending
+            continue  # top-K rows are count-sorted, but we walk label order
         if labels is not None:
             a = np.searchsorted(sorted_lab, label_id[k], side="left")
             b = np.searchsorted(sorted_lab, label_id[k], side="right")
@@ -257,11 +267,12 @@ def _planes_from_stats(
         plane = Plane(
             id=len(planes),
             normal=normal[k].copy(),
-            center=mean[k].copy(),
+            center=mean_pre[k].copy(),  # reported params: segment-stage fit
             curvature=float(curvature[k]),
             inliers=inl,
             n_pts=n,
             cov=cov,
+            ss_center=mean[k].copy(),  # merge suffstats: refined members
         )
         ca = np.searchsorted(sorted_cl, label_id[k], side="left")
         cb = np.searchsorted(sorted_cl, label_id[k], side="right")

@@ -44,17 +44,29 @@ _OCT_EPS = 1e-5  # conservative inside-test margin (m^2 cross-product units)
 
 
 class SensorPlaneStats(NamedTuple):
-    labels: jnp.ndarray  # (H, W) i32, -1 invalid
+    """Two fit bases ride in one row (reference semantics: PCL fits
+    model/centroid/curvature in segment(), BEFORE refinement, and Frame360
+    reads regions[i] from those pre-refine fits, while the inlier
+    set/hull/colors come from the REFINED labels; a merge then refits from
+    the union of refined inliers — pbmap mergePlane2):
+
+      * mean/cov/count: REFINED (post-refine) members — the sufficient
+        statistics merges combine;
+      * mean_pre/evals/normal/curvature: the segment-stage (pre-refine)
+        fit — the reported plane parameters of unmerged planes."""
+
+    labels: jnp.ndarray  # (H, W) i32 refined labels, -1 invalid
     candidate: jnp.ndarray  # (H, W) bool hull-candidate mask
     label_id: jnp.ndarray  # (K,) i32 original label of each selected row
-    count: jnp.ndarray  # (K,) i32 inlier count (0 = empty slot)
-    mean: jnp.ndarray  # (K, 3) f32 centroid
-    cov: jnp.ndarray  # (K, 3, 3) f32 covariance (centered)
-    evals: jnp.ndarray  # (K, 3) f32 descending eigenvalues
-    normal: jnp.ndarray  # (K, 3) f32 unit normal oriented toward the sensor
-    curvature: jnp.ndarray  # (K,) f32 lambda_min / trace
-    hist: jnp.ndarray  # (K, 74) f32 raw hue-histogram counts
-    sum_rgb: jnp.ndarray  # (K, 3) f32 sums of RGB inlier colors
+    count: jnp.ndarray  # (K,) i32 refined inlier count (0 = empty slot)
+    mean: jnp.ndarray  # (K, 3) f32 refined-member centroid
+    cov: jnp.ndarray  # (K, 3, 3) f32 refined-member covariance (centered)
+    evals: jnp.ndarray  # (K, 3) f32 descending eigenvalues (pre-refine fit)
+    normal: jnp.ndarray  # (K, 3) f32 unit normal toward sensor (pre-refine)
+    curvature: jnp.ndarray  # (K,) f32 lambda_min / trace (pre-refine)
+    hist: jnp.ndarray  # (K, 74) f32 raw hue-histogram counts (refined)
+    sum_rgb: jnp.ndarray  # (K, 3) f32 sums of RGB inlier colors (refined)
+    mean_pre: jnp.ndarray  # (K, 3) f32 segment-stage centroid (reported)
 
 
 def _eigh3x3(cov: jnp.ndarray):
@@ -179,7 +191,10 @@ _OCT_DIRS = np.array(
 def sensor_plane_stats(
     xyz: jnp.ndarray,  # (H, W, 3) f32, NaN-invalid
     rgb_bgr: jnp.ndarray,  # (H, W, 3) u8 BGR
-    labels: jnp.ndarray,  # (H, W) i32 from segment_planes/refine (-1 invalid)
+    labels: jnp.ndarray,  # (H, W) i32 REFINED labels (-1 invalid)
+    labels_pre: jnp.ndarray,  # (H, W) i32 segment-stage labels (-1 invalid);
+    # pre ids are a subset of refined ids (refine only grows model regions
+    # and keeps their root ids), so both bin into the same top-K slots
 ) -> SensorPlaneStats:
     h, w = labels.shape
     hw = h * w
@@ -187,9 +202,12 @@ def sensor_plane_stats(
     labf = labels.reshape(-1)
     labeled = labf >= 0
     bin_ = jnp.where(labeled, labf, hw)
+    labf_pre = labels_pre.reshape(-1)
+    labeled_pre = labf_pre >= 0
+    bin_pre = jnp.where(labeled_pre, labf_pre, hw)
     p = jnp.where(jnp.isfinite(xyz), xyz, 0.0).reshape(-1, 3)
 
-    # pass 1: counts + coordinate sums
+    # pass 1 (refined): counts + coordinate sums — the merge suffstats basis
     feat1 = jnp.concatenate([jnp.ones((hw, 1), jnp.float32), p], axis=-1)
     feat1 = jnp.where(labeled[:, None], feat1, 0.0)
     s1 = jnp.zeros((hw + 1, 4), jnp.float32).at[bin_].add(feat1)
@@ -202,45 +220,66 @@ def sensor_plane_stats(
     # inverse table: label -> selected slot (K = not selected / invalid)
     inv = jnp.full((hw + 1,), K, jnp.int32).at[topi].set(jnp.arange(K, dtype=jnp.int32))
     pix_k = jnp.take(inv, bin_)  # (N,)
+    pix_k_pre = jnp.take(inv, bin_pre)
 
-    # pass 2: centered second moments
+    # pass 1b (pre): the segment-stage centroid (the reported center)
+    feat1p = jnp.where(labeled_pre[:, None], feat1, 0.0)
+    s1p = jnp.zeros((K + 1, 4), jnp.float32).at[pix_k_pre].add(feat1p)[:K]
+    cnt_pre = s1p[:, 0]
+    mean_pre = s1p[:, 1:4] / jnp.maximum(cnt_pre[:, None], 1.0)
+
+    # pass 2 (refined): centered second moments — merge suffstats
     mean_pad = jnp.concatenate([mean, jnp.zeros((1, 3), jnp.float32)], axis=0)
     d = p - jnp.take(mean_pad, pix_k, axis=0)
     d = jnp.where((labeled & (pix_k < K))[:, None], d, 0.0)
-    prods = jnp.stack(
-        [
-            d[:, 0] * d[:, 0],
-            d[:, 0] * d[:, 1],
-            d[:, 0] * d[:, 2],
-            d[:, 1] * d[:, 1],
-            d[:, 1] * d[:, 2],
-            d[:, 2] * d[:, 2],
-        ],
-        axis=-1,
-    )
-    s2 = jnp.zeros((K + 1, 6), jnp.float32).at[pix_k].add(prods)[:K]
-    s2 = s2 / jnp.maximum(topc[:, None], 1.0)
-    cov = jnp.stack(
-        [
-            jnp.stack([s2[:, 0], s2[:, 1], s2[:, 2]], axis=-1),
-            jnp.stack([s2[:, 1], s2[:, 3], s2[:, 4]], axis=-1),
-            jnp.stack([s2[:, 2], s2[:, 4], s2[:, 5]], axis=-1),
-        ],
-        axis=-2,
-    )
 
-    evals, n_min = _eigh3x3(cov)
+    def _second_moments(dc, pk, cnts):
+        prods = jnp.stack(
+            [
+                dc[:, 0] * dc[:, 0],
+                dc[:, 0] * dc[:, 1],
+                dc[:, 0] * dc[:, 2],
+                dc[:, 1] * dc[:, 1],
+                dc[:, 1] * dc[:, 2],
+                dc[:, 2] * dc[:, 2],
+            ],
+            axis=-1,
+        )
+        s2 = jnp.zeros((K + 1, 6), jnp.float32).at[pk].add(prods)[:K]
+        s2 = s2 / jnp.maximum(cnts[:, None], 1.0)
+        return jnp.stack(
+            [
+                jnp.stack([s2[:, 0], s2[:, 1], s2[:, 2]], axis=-1),
+                jnp.stack([s2[:, 1], s2[:, 3], s2[:, 4]], axis=-1),
+                jnp.stack([s2[:, 2], s2[:, 4], s2[:, 5]], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    cov = _second_moments(d, pix_k, topc)
+
+    # pass 2b (pre): the segment-stage fit — reported normal/curvature
+    # (reference: PCL fits models in segment(), Frame360.h:979-1002 reads
+    # regions[i]/model_coefficients[i] from those pre-refine fits)
+    mean_pre_pad = jnp.concatenate([mean_pre, jnp.zeros((1, 3), jnp.float32)], axis=0)
+    d_pre = p - jnp.take(mean_pre_pad, pix_k_pre, axis=0)
+    d_pre = jnp.where((labeled_pre & (pix_k_pre < K))[:, None], d_pre, 0.0)
+    cov_pre = _second_moments(d_pre, pix_k_pre, cnt_pre)
+
+    evals, n_min = _eigh3x3(cov_pre)
     # orient toward the sensor (reference Frame360.h:988-992)
-    flip = jnp.sum(n_min * mean, axis=-1) > 0
+    flip = jnp.sum(n_min * mean_pre, axis=-1) > 0
     normal = jnp.where(flip[:, None], -n_min, n_min)
     curvature = evals[:, 2] / jnp.maximum(evals.sum(axis=-1), 1e-12)
 
-    # octagon-of-extremes candidate mask
+    # octagon-of-extremes candidate mask over the REFINED members, in the
+    # reported (pre-fit) plane basis — the same frame the host hull uses
     u, v = _plane_basis(normal)
     u_pad = jnp.concatenate([u, jnp.zeros((1, 3), jnp.float32)], axis=0)
     v_pad = jnp.concatenate([v, jnp.zeros((1, 3), jnp.float32)], axis=0)
-    du = jnp.sum(d * jnp.take(u_pad, pix_k, axis=0), axis=-1)
-    dv = jnp.sum(d * jnp.take(v_pad, pix_k, axis=0), axis=-1)
+    d_oct = p - jnp.take(mean_pre_pad, pix_k, axis=0)
+    du = jnp.sum(d_oct * jnp.take(u_pad, pix_k, axis=0), axis=-1)
+    dv = jnp.sum(d_oct * jnp.take(v_pad, pix_k, axis=0), axis=-1)
     p2 = jnp.stack([du, dv], axis=-1)  # (N, 2) in-plane coordinates
     dots = p2 @ _OCT_DIRS.T  # (N, 8)
     in_sel = labeled & (pix_k < K)
@@ -292,4 +331,5 @@ def sensor_plane_stats(
         curvature=curvature,
         hist=hist,
         sum_rgb=sum_rgb,
+        mean_pre=mean_pre,
     )

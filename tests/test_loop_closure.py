@@ -57,7 +57,11 @@ def test_loop_closure_softened_gates_bookkeeping(lc_world):
     import rgbd360_tpu.core.loop_closure as lc_mod
 
     old = lc_mod.MIN_AREA_MATCHED, lc_mod.MIN_MATCHES
-    lc_mod.MIN_AREA_MATCHED, lc_mod.MIN_MATCHES = 3.0, 3
+    # gates are STRICTLY greater-than (reference :297-298); the pair matches
+    # exactly 3 planes at the round-5 oracle-forced refine semantics (the
+    # PCL-faithful model-gated fixed-point absorption reshapes the office
+    # pair's plane sets: 15 -> 14 / 9 local planes), so soften to 2
+    lc_mod.MIN_AREA_MATCHED, lc_mod.MIN_MATCHES = 3.0, 2
     try:
         n = lc.process_new_keyframe(1)
     finally:

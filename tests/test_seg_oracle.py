@@ -1,0 +1,177 @@
+"""Region-growing segmenter parity vs the independent scalar C++ oracle
+(VERDICT r4 #2 — the last self-gated device stage).
+
+tools/cpp_oracle/planes_oracle.cpp's segment mode re-derives PCL's
+OrganizedMultiPlaneSegmentation semantics as a sequential scalar program:
+union-find connected components over the PlaneCoefficientComparator
+predicate, segment-stage least-squares models, model-gated boundary
+refinement, then the same downstream statistics the legacy oracle mode
+executes. These tests pin the device chain
+(segment_planes -> refine_plane_labels -> sensor_plane_stats ->
+_planes_from_stats) to it:
+
+  * pre-refine labels must be EXACT (both implementations label components
+    by their minimum pixel index, the predicate arithmetic is f32 in both,
+    and connected components of a symmetric predicate are
+    schedule-independent);
+  * post-refine labels must be EXACT (same growth gating — only
+    >= min_inliers segment-stage regions grow — same fixed-point
+    absorption, same largest-label tie-break);
+  * the per-sensor local plane sets must match in count, order and
+    parameters (probe measured: ndot >= 0.999999, centers 0.00 mm,
+    areas <= 0.08%, inlier counts equal on all 16 bundled sensor images).
+
+Round-5 re-fits this comparison forced on the device path (documented in
+PARITY_AUDIT.md): model-gated fixed-point refinement (was: any-label
+growth capped at 8 dilation sweeps), segment-stage fit as the reported
+center/normal/curvature (was: refined-member fit), scan-order plane
+emission (was: count order, which changed local-merge pairings).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import planes_oracle  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def device_and_oracle(sample_frames, calib):
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.plane_extraction import (
+        MAX_ELONGATION, MIN_AREA, build_sensor_clouds, extract_frame_planes,
+    )
+    from rgbd360_tpu.ops.planes_seg import (
+        ANGULAR_THRESHOLD, DISTANCE_THRESHOLD, MIN_INLIERS, segment_planes,
+    )
+
+    out = []
+    for frame in sample_frames:
+        xyz2, rgb2, normals, labels_ref = build_sensor_clouds(
+            frame.depth_undistorted_m, jnp.asarray(frame.rgb)
+        )
+        xyz2 = np.asarray(xyz2, np.float32)
+        rgb2 = np.asarray(rgb2, np.uint8)
+        normals = np.asarray(normals, np.float32)
+        pre_dev = np.stack(
+            [
+                np.asarray(segment_planes(jnp.asarray(xyz2[s]), jnp.asarray(normals[s])))
+                for s in range(8)
+            ]
+        )
+        sensors = [
+            dict(
+                H=xyz2.shape[1], W=xyz2.shape[2],
+                Rt=np.asarray(calib.Rt[s], np.float64),
+                xyz=xyz2[s], rgb=rgb2[s], normals=normals[s],
+            )
+            for s in range(8)
+        ]
+        inp = "/tmp/test_seg_oracle_in.bin"
+        side = "/tmp/test_seg_oracle_labels.bin"
+        planes_oracle.pack_seg(
+            inp, sensors, MIN_INLIERS, MIN_AREA, MAX_ELONGATION,
+            0.0013, ANGULAR_THRESHOLD, DISTANCE_THRESHOLD,
+        )
+        res = planes_oracle.run(inp, labels_path=side)
+        sides = planes_oracle.read_labels_sidecar(
+            side, [(xyz2.shape[1], xyz2.shape[2])] * 8
+        )
+        _pbmap, local_dev = extract_frame_planes(frame)
+        out.append(
+            dict(
+                pre_dev=pre_dev,
+                post_dev=np.asarray(labels_ref),
+                sides=sides,
+                oracle_local=res["local"],
+                local_dev=local_dev,
+            )
+        )
+    return out
+
+
+def test_segment_partition_exact(device_and_oracle):
+    """The flood fill's fixed point == the scalar union-find CCL, bit-equal,
+    on all 16 bundled sensor images."""
+    for d in device_and_oracle:
+        for s in range(8):
+            pre_orc, _ = d["sides"][s]
+            np.testing.assert_array_equal(d["pre_dev"][s], pre_orc)
+
+
+def test_refined_labels_exact(device_and_oracle):
+    """Model-gated fixed-point refinement == the scalar oracle's, bit-equal."""
+    for d in device_and_oracle:
+        for s in range(8):
+            _, post_orc = d["sides"][s]
+            np.testing.assert_array_equal(d["post_dev"][s], post_orc)
+
+
+def test_local_plane_sets_match(device_and_oracle):
+    """Count, order and parameters of every per-sensor local plane set."""
+    for d in device_and_oracle:
+        for s in range(8):
+            dev = d["local_dev"][s]
+            orc = d["oracle_local"].get(s, [])
+            assert len(dev) == len(orc), f"sensor {s}: {len(dev)} vs {len(orc)}"
+            for k, (dp, op) in enumerate(zip(dev, orc)):
+                nd = float(np.dot(dp.normal, op["normal"]))
+                assert nd > 0.9999, (s, k, nd)
+                dc = float(np.linalg.norm(dp.center - op["center"]))
+                assert dc < 5e-3, (s, k, dc)
+                assert dp.n_pts == op["n"], (s, k, dp.n_pts, op["n"])
+                assert abs(dp.area_hull - op["area"]) <= 0.01 * max(op["area"], 1e-9) + 1e-6
+                assert abs(dp.curvature - op["curvature"]) < 5e-5 + 0.05 * op["curvature"]
+
+
+def test_synthetic_scene_partition_exact(rng):
+    """Randomized synthetic organized scene (plane patches + noise + NaN
+    holes + a curved region): partitions and refined labels exact."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.ops.normals import organized_normals
+    from rgbd360_tpu.ops.planes_seg import (
+        ANGULAR_THRESHOLD, DISTANCE_THRESHOLD, refine_plane_labels,
+        segment_planes,
+    )
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # three slabs at different depths + a spherical bump + speckle holes
+    z = np.where(xx < 40, 2.0, np.where(xx < 80, 2.6, 3.1)).astype(np.float32)
+    z = z + 0.002 * np.sin(yy / 7.0)  # mild tilt-noise within thresholds
+    bump = ((xx - 100.0) ** 2 + (yy - 30.0) ** 2) < 15.0**2
+    z = np.where(bump, z - 0.3 * np.sqrt(np.maximum(15.0**2 - (xx - 100) ** 2 - (yy - 30) ** 2, 0.0)) / 15.0, z)
+    x = (xx - w / 2) * z / 200.0
+    y = (yy - h / 2) * z / 200.0
+    xyz = np.stack([x, y, z], axis=-1).astype(np.float32)
+    holes = rng.random((h, w)) < 0.02
+    xyz[holes] = np.nan
+    normals = np.asarray(organized_normals(jnp.asarray(xyz)), np.float32)
+
+    pre_dev = np.asarray(segment_planes(jnp.asarray(xyz), jnp.asarray(normals)))
+    post_dev = np.asarray(
+        refine_plane_labels(jnp.asarray(pre_dev), jnp.asarray(xyz), jnp.asarray(normals))
+    )
+
+    sensors = [
+        dict(H=h, W=w, Rt=np.eye(4), xyz=xyz, rgb=np.zeros((h, w, 3), np.uint8),
+             normals=normals)
+    ]
+    inp = "/tmp/test_seg_oracle_syn.bin"
+    side = "/tmp/test_seg_oracle_syn_labels.bin"
+    planes_oracle.pack_seg(
+        inp, sensors, 80, 0.12, 6.0, 0.0013, ANGULAR_THRESHOLD, DISTANCE_THRESHOLD,
+    )
+    planes_oracle.run(inp, labels_path=side)
+    pre_orc, post_orc = planes_oracle.read_labels_sidecar(side, [(h, w)])[0]
+    np.testing.assert_array_equal(pre_dev, pre_orc)
+    np.testing.assert_array_equal(post_dev, post_orc)
+    # sanity: the scene actually produced multiple regions and real growth
+    assert len(np.unique(pre_dev[pre_dev >= 0])) >= 3
+    assert (post_dev >= 0).sum() > (pre_dev >= 0).sum()

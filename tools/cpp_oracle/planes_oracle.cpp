@@ -427,6 +427,215 @@ void print_plane(const char *tag, int sensor, int idx, const Plane &p) {
               p.normal.z, p.d, p.curvature, p.area, p.elongation);
 }
 
+// =================== segment mode (magic "PLNT") ===================
+//
+// Sequential scalar region growing re-derived from the semantics of PCL's
+// OrganizedMultiPlaneSegmentation at the reference's configuration
+// (/root/reference/include/Frame360.h:958-977; PCL itself is not in this
+// image, so this is a documented best-effort reconstruction — VERDICT r4
+// #2).  It independently executes the stage ops/planes_seg.py redesigns as
+// a parallel flood fill:
+//
+//   * connectivity: two 4-adjacent valid pixels are connected when their
+//     normals agree within the angular threshold (dot > cos(0.039812)) and
+//     their plane offsets d = n.p differ by < 0.02 m (PCL's
+//     PlaneCoefficientComparator; predicate evaluated in f32 like the
+//     device path so borderline pixels cannot split the gate);
+//   * labeling: classic sequential union-find over row-major left/up edges
+//     (PCL's OrganizedConnectedComponentSegmentation is a sequential
+//     scanline CCL; the predicate is symmetric, so component SETS are
+//     schedule-independent and must match the scan-based flood fill
+//     EXACTLY).  Roots are component-minimum pixel indices — the same
+//     label convention segment_planes emits, so labels compare bit-equal;
+//   * models: components with >= min_inliers PRE-refine pixels are fit by
+//     centroid + covariance eigendecomposition (smallest-eigenvector
+//     normal, toward-sensor flip, curvature = l0/trace) — PCL fits models
+//     in segment(), BEFORE refinement, and Frame360 reads regions[i] from
+//     those pre-refine fits;
+//   * segment-stage curvature gate: PCL's segment() drops regions with
+//     curvature >= maximum_curvature_ (default believed 0.001; the
+//     reference never calls setMaximumCurvature).  UNVERIFIABLE in this
+//     image — the gate is a parameter here (the test passes +inf to mirror
+//     the in-repo pipeline, which gates curvature only at the merge
+//     layers; tests/test_seg_oracle.py measures what a 0.001 gate would
+//     change on the bundled frames and records the answer);
+//   * refine: unlabeled valid-xyz pixels 4-adjacent to a MODEL region are
+//     absorbed when their point fits that region's plane within the
+//     distance threshold (PCL's PlaneRefinementComparator tests against
+//     the model coefficients, and only accepted models grow).  Schedule:
+//     synchronized dilation sweeps to a fixed point with largest-label
+//     tie-break on contested pixels — PCL's own in-place scan order is
+//     implementation-defined, so the in-repo tie-break is mirrored to keep
+//     the comparison about SEMANTICS (who may grow, against which model,
+//     within what threshold), not scan order.
+
+struct SegModel {
+  int label;          // pre-refine component root (min pixel index)
+  V3 center, normal;  // segment-stage eigen fit
+  double curvature;
+};
+
+int uf_find(std::vector<int32_t> &par, int i) {
+  while (par[i] != i) {
+    par[i] = par[par[i]];  // path halving; min-union keeps roots at minima
+    i = par[i];
+  }
+  return i;
+}
+
+void segment_ccl(const std::vector<float> &xyz, const std::vector<float> &nrm,
+                 int H, int W, float cos_thr, float dist_thr,
+                 std::vector<int32_t> &labels) {
+  size_t HW = (size_t)H * W;
+  std::vector<char> valid(HW);
+  std::vector<float> dpix(HW, 0.f);
+  for (size_t i = 0; i < HW; ++i) {
+    const float *p = &xyz[3 * i], *n = &nrm[3 * i];
+    bool ok = std::isfinite(p[0]) && std::isfinite(p[1]) &&
+              std::isfinite(p[2]) && std::isfinite(n[0]) &&
+              std::isfinite(n[1]) && std::isfinite(n[2]);
+    valid[i] = ok;
+    // f32 with the device's (a*b + c*d) + e*f association
+    if (ok) dpix[i] = (n[0] * p[0] + n[1] * p[1]) + n[2] * p[2];
+  }
+  auto connected = [&](size_t a, size_t b) {
+    const float *na = &nrm[3 * a], *nb = &nrm[3 * b];
+    float dotn = (na[0] * nb[0] + na[1] * nb[1]) + na[2] * nb[2];
+    return dotn > cos_thr && std::fabs(dpix[a] - dpix[b]) < dist_thr;
+  };
+  std::vector<int32_t> par(HW);
+  for (size_t i = 0; i < HW; ++i) par[i] = (int32_t)i;
+  auto unite = [&](int a, int b) {
+    int ra = uf_find(par, a), rb = uf_find(par, b);
+    if (ra == rb) return;
+    if (ra < rb)
+      par[rb] = ra;
+    else
+      par[ra] = rb;
+  };
+  for (int r = 0; r < H; ++r)
+    for (int c = 0; c < W; ++c) {
+      size_t i = (size_t)r * W + c;
+      if (!valid[i]) continue;
+      if (c > 0 && valid[i - 1] && connected(i, i - 1))
+        unite((int)i, (int)(i - 1));
+      if (r > 0 && valid[i - W] && connected(i, i - W))
+        unite((int)i, (int)(i - W));
+    }
+  labels.assign(HW, -1);
+  for (size_t i = 0; i < HW; ++i)
+    if (valid[i]) labels[i] = uf_find(par, (int)i);
+}
+
+std::vector<SegModel> fit_models(const std::vector<float> &xyz,
+                                 const std::vector<int32_t> &labels,
+                                 int min_inliers, double seg_max_curv) {
+  // members per root, ascending root id
+  std::vector<std::pair<int, int>> lab_px;
+  for (size_t i = 0; i < labels.size(); ++i)
+    if (labels[i] >= 0) lab_px.push_back({labels[i], (int)i});
+  std::sort(lab_px.begin(), lab_px.end());
+  std::vector<SegModel> models;
+  size_t a = 0;
+  while (a < lab_px.size()) {
+    size_t b = a;
+    while (b < lab_px.size() && lab_px[b].first == lab_px[a].first) ++b;
+    int n = (int)(b - a);
+    if (n >= min_inliers) {
+      V3 c{0, 0, 0};
+      for (size_t k = a; k < b; ++k) {
+        const float *p = &xyz[3 * (size_t)lab_px[k].second];
+        c = c + V3{p[0], p[1], p[2]};
+      }
+      c = (1.0 / n) * c;
+      double A[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+      for (size_t k = a; k < b; ++k) {
+        const float *p = &xyz[3 * (size_t)lab_px[k].second];
+        V3 r = V3{p[0], p[1], p[2]} - c;
+        double rr[3] = {r.x, r.y, r.z};
+        for (int u = 0; u < 3; ++u)
+          for (int v = 0; v < 3; ++v) A[u][v] += rr[u] * rr[v];
+      }
+      for (int u = 0; u < 3; ++u)
+        for (int v = 0; v < 3; ++v) A[u][v] /= n;
+      double w[3], V[3][3];
+      eigh3(A, w, V);
+      V3 nr{V[0][0], V[1][0], V[2][0]};
+      if (dot(nr, c) > 0) nr = -1.0 * nr;
+      double curv = w[0] / std::max(w[0] + w[1] + w[2], 1e-12);
+      if (curv < seg_max_curv)
+        models.push_back({lab_px[a].first, c, nr, curv});
+    }
+    a = b;
+  }
+  return models;
+}
+
+void refine_labels(const std::vector<float> &xyz, int H, int W,
+                   std::vector<int32_t> &labels,
+                   const std::vector<SegModel> &models, float dist_thr) {
+  size_t HW = (size_t)H * W;
+  // model lookup by label; fit test in f32 like the device path
+  std::vector<int> midx;  // parallel arrays: label -> (n, d)
+  std::vector<float> mn, md;
+  std::vector<int32_t> model_of(HW, -1);  // per-pixel model index or -1
+  for (size_t m = 0; m < models.size(); ++m) {
+    midx.push_back(models[m].label);
+    mn.push_back((float)models[m].normal.x);
+    mn.push_back((float)models[m].normal.y);
+    mn.push_back((float)models[m].normal.z);
+    md.push_back((float)dot(models[m].normal, models[m].center));
+  }
+  auto model_index = [&](int lab) {
+    for (size_t m = 0; m < midx.size(); ++m)
+      if (midx[m] == lab) return (int)m;
+    return -1;
+  };
+  for (size_t i = 0; i < HW; ++i)
+    if (labels[i] >= 0) model_of[i] = model_index(labels[i]);
+
+  std::vector<char> valid(HW);
+  for (size_t i = 0; i < HW; ++i) {
+    const float *p = &xyz[3 * i];
+    valid[i] = std::isfinite(p[0]) && std::isfinite(p[1]) &&
+               std::isfinite(p[2]);
+  }
+  const int drc[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    std::vector<std::pair<size_t, int>> grow;  // (pixel, model idx)
+    for (int r = 0; r < H; ++r)
+      for (int c = 0; c < W; ++c) {
+        size_t i = (size_t)r * W + c;
+        if (labels[i] >= 0 || !valid[i]) continue;
+        int best_m = -1, best_lab = -1;
+        for (auto &d4 : drc) {
+          int rr = r + d4[0], cc = c + d4[1];
+          if (rr < 0 || rr >= H || cc < 0 || cc >= W) continue;
+          size_t j = (size_t)rr * W + cc;
+          int m = model_of[j];
+          if (m < 0) continue;  // unlabeled or non-model region
+          const float *p = &xyz[3 * i];
+          float fit = std::fabs(
+              ((mn[3 * m] * p[0] + mn[3 * m + 1] * p[1]) +
+               mn[3 * m + 2] * p[2]) -
+              md[m]);
+          if (fit < dist_thr && labels[j] > best_lab) {
+            best_lab = labels[j];
+            best_m = m;
+          }
+        }
+        if (best_m >= 0) grow.push_back({i, best_m});
+      }
+    for (auto &g : grow) {
+      labels[g.first] = midx[g.second];
+      model_of[g.first] = g.second;
+      changed = true;
+    }
+  }
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -449,7 +658,8 @@ int main(int argc, char **argv) {
   rd(&magic, 4);
   rd(&n_sensors, 4);
   rd(&min_inliers, 4);
-  if (magic != 0x504C4E53) {
+  const bool seg_mode = (magic == 0x504C4E54);  // "PLNT": labels computed here
+  if (magic != 0x504C4E53 && !seg_mode) {
     std::fprintf(stderr, "bad magic\n");
     return 2;
   }
@@ -457,6 +667,14 @@ int main(int argc, char **argv) {
   rd(&min_area, 8);
   rd(&max_elong, 8);
   rd(&max_curv, 8);
+  double angular = 0.0, distance = 0.0, seg_max_curv = 0.0;
+  FILE *labf = nullptr;  // label sidecar: per sensor, pre- then post-refine
+  if (seg_mode) {
+    rd(&angular, 8);
+    rd(&distance, 8);
+    rd(&seg_max_curv, 8);
+    if (argc >= 3) labf = std::fopen(argv[2], "wb");
+  }
 
   std::vector<std::vector<Plane>> local(n_sensors);
   for (int s = 0; s < n_sensors; ++s) {
@@ -466,11 +684,30 @@ int main(int argc, char **argv) {
     double Rt[16];
     rd(Rt, sizeof(Rt));
     std::vector<double> xyz((size_t)H * W * 3);
-    rd(xyz.data(), xyz.size() * 8);
+    std::vector<float> xyzf;
     std::vector<uint8_t> rgb((size_t)H * W * 3);
-    rd(rgb.data(), rgb.size());
     std::vector<int32_t> labels((size_t)H * W);
-    rd(labels.data(), labels.size() * 4);
+    std::vector<SegModel> models;  // seg_mode: per-model pre-refine fits
+    if (seg_mode) {
+      // f32 xyz + normals (the device path's types, so the connectivity
+      // predicate evaluates the same arithmetic)
+      xyzf.resize((size_t)H * W * 3);
+      rd(xyzf.data(), xyzf.size() * 4);
+      for (size_t i = 0; i < xyzf.size(); ++i) xyz[i] = xyzf[i];
+      rd(rgb.data(), rgb.size());
+      std::vector<float> nrm((size_t)H * W * 3);
+      rd(nrm.data(), nrm.size() * 4);
+      float cos_thr = (float)std::cos(angular);
+      segment_ccl(xyzf, nrm, H, W, cos_thr, (float)distance, labels);
+      if (labf) std::fwrite(labels.data(), 4, labels.size(), labf);
+      models = fit_models(xyzf, labels, min_inliers, seg_max_curv);
+      refine_labels(xyzf, H, W, labels, models, (float)distance);
+      if (labf) std::fwrite(labels.data(), 4, labels.size(), labf);
+    } else {
+      rd(xyz.data(), xyz.size() * 8);
+      rd(rgb.data(), rgb.size());
+      rd(labels.data(), labels.size() * 4);
+    }
 
     // group pixels by label (ascending label id, like the per-region loop)
     int max_lab = -1;
@@ -479,7 +716,19 @@ int main(int argc, char **argv) {
     for (size_t i = 0; i < labels.size(); ++i)
       if (labels[i] >= 0) members[labels[i]].push_back((int)i);
 
-    for (int lab = 0; lab <= max_lab; ++lab) {
+    // seg_mode: only accepted models become planes (PCL's segment() keeps
+    // the region list to models; refine may only have GROWN their member
+    // sets), and their center/normal/curvature are the PRE-refine fits
+    // (Frame360 reads regions[i] / model_coefficients[i] from segment()).
+    std::vector<int> lab_order;
+    if (seg_mode) {
+      for (auto &m : models) lab_order.push_back(m.label);
+    } else {
+      for (int lab = 0; lab <= max_lab; ++lab) lab_order.push_back(lab);
+    }
+
+    for (size_t oi = 0; oi < lab_order.size(); ++oi) {
+      int lab = lab_order[oi];
       const auto &px = members[lab];
       int n = (int)px.size();
       if (n < min_inliers) continue;
@@ -515,6 +764,11 @@ int main(int argc, char **argv) {
       p.center = c;
       p.normal = nrm;
       p.curvature = w[0] / std::max(w[0] + w[1] + w[2], 1e-12);
+      if (seg_mode) {
+        p.center = models[oi].center;
+        p.normal = models[oi].normal;
+        p.curvature = models[oi].curvature;
+      }
       compute_hull_area(p, p.pts);
       if (p.area < min_area) continue;  // :1034
       p.d = -dot(p.normal, p.center);
@@ -621,5 +875,6 @@ int main(int argc, char **argv) {
     std::printf("\n");
   }
   std::fclose(f);
+  if (labf) std::fclose(labf);
   return 0;
 }

@@ -59,13 +59,14 @@ def main():
                 normals = organized_normals(xyz2)
                 out = out + jnp.nansum(normals)
             if stage >= 2:
-                labels = segment_planes(xyz2, normals)
+                labels_pre = segment_planes(xyz2, normals)
+                labels = labels_pre
                 out = out + jnp.sum(labels)
             if stage >= 3:
-                labels = refine_plane_labels(labels, xyz2, normals)
+                labels = refine_plane_labels(labels_pre, xyz2, normals)
                 out = out + jnp.sum(labels)
             if stage >= 4:
-                st = sensor_plane_stats(xyz2, rgb2, labels)
+                st = sensor_plane_stats(xyz2, rgb2, labels, labels_pre)
                 out = out + jnp.sum(st.count) + jnp.nansum(st.mean)
             if stage >= 5:
                 # the production compaction (prefix-sum + scatter, what
