@@ -226,33 +226,25 @@ WARP_KERNEL_MIN_PIXELS = 30_000
 # loop-closure-scale motion without TPU hardware (tests/test_warp_kernel.py).
 EMULATE_KERNEL_WINDOW_MASK = False
 
-# Exact-final banded re-gather as ONE dual-anchored kernel pass instead of
-# the sequential min- then max-anchored passes (warp_gather_masked_dual —
-# one grid traversal, one out-array write, no where-merge). Coverage is the
-# union of both anchors over the full miss set; the sequential form anchors
-# the max pass on the post-min residue, so the two can differ on the rare
-# pixels only a residue-anchored window reaches — stats stay exact over
-# whatever is covered either way. ON by default since the round-3 on-chip
-# A/B: 52.35 vs 50.82 pairs/s at the faithful-landscape iteration profile,
-# with on-chip stats parity avDepth 0.30810 vs 0.30808 / SSO 0.75503 vs
-# 0.75516 on the bundled pair (tools/tpu_revalidate.sh) and the
-# interpret-mode union gate (tests/test_warp_kernel_interpret.py).
-# Env-overridable (RGBD360_EXACT_FINAL_DUAL=0) for A/B reruns.
-EXACT_FINAL_DUAL = os.environ.get("RGBD360_EXACT_FINAL_DUAL", "1") == "1"
-
-# full_coverage sweeps (LC refinement, relocalization verify) as ONE
-# triple-anchored kernel pass (warp_gather_masked_full: mean+min+max
-# windows, identical-origin anchors sharing one DMA'd slot) instead of
-# default + two sequential masked re-gathers — one traversal per GN sweep
-# instead of three. Same union-vs-residue coverage caveat as
-# EXACT_FINAL_DUAL. ON since the round-4 on-chip A/B: 37.53 vs 30.58
-# full-coverage aligns/s at batch 4 with identical iteration signature
-# [0,7,10,10,10] and in-basin pose (|t| 0.2587 vs 0.2605 — PERF.md);
-# gated by the interpret-mode union test and the on-chip pose-agreement
-# tests (tests/test_warp_kernel.py). RGBD360_FULL_COVERAGE_FUSED=0 keeps
-# the sequential composition reachable for A/B.
-FULL_COVERAGE_FUSED = os.environ.get("RGBD360_FULL_COVERAGE_FUSED", "1") == "1"
-
+# Exact-final banded re-gather runs as ONE dual-anchored kernel pass
+# (warp_gather_masked_dual — min+max windows per tile in one grid
+# traversal, one out-array write, no where-merge). Coverage is the union
+# of both anchors over the full miss set. Sole path since round 5: the
+# sequential min- then max-anchored composition lost its final on-chip
+# A/B (53.87 vs 55.37 pairs/s at HEAD, after round-3's 50.82 vs 52.35)
+# and was deleted; its stats parity stays pinned by the interpret-mode
+# composition test (tests/test_warp_kernel_interpret.py), which rebuilds
+# the sequential form from the primitive masked gathers.
+#
+# full_coverage sweeps (LC refinement, relocalization verify) likewise run
+# as ONE triple-anchored kernel pass per GN sweep (warp_gather_masked_full:
+# mean+min+max windows, identical-origin anchors sharing one DMA'd slot).
+# Sole path since round 5: the sequential default-plus-two-re-gathers
+# composition lost 29.52 vs 37.67 full-coverage aligns/s at HEAD (after
+# round-4's 30.58 vs 37.53) at identical iteration signature and in-basin
+# pose, and was deleted; gated by the interpret-mode union test and the
+# on-chip pose-agreement test (tests/test_warp_kernel.py).
+#
 # (EXACT_FINAL_FULLPASS — a third exact-final variant recomputing the
 # finest level's stats with one triple-anchored stats-only sweep — was
 # retired in round 4 after losing its deduped-DMA re-A/B on chip:
@@ -442,7 +434,6 @@ def fused_sweep_sphere(
     occlusion: int = 0,
     two_pass: bool = False,
     stats_only: bool = False,
-    force_fused: bool = False,
 ):
     """One fused pass: error + Hessian + gradient + stats at `pose`.
 
@@ -482,33 +473,17 @@ def fused_sweep_sphere(
         src_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         r2d = jnp.where(visible.reshape(h, w), rc.reshape(h, w), src_rows)
         c2d = jnp.where(visible.reshape(h, w), cc.reshape(h, w), src_cols)
-        if two_pass and (FULL_COVERAGE_FUSED or force_fused):
+        if two_pass:
             from rgbd360_tpu.ops.warp_gather import warp_gather_masked_full
 
             # one triple-anchored traversal (mean+min+max windows per tile)
-            # replaces the default pass plus both sequential re-gathers
+            # covers the union of all three window policies over the full
+            # visible set — full coverage in a single grid pass
             planes_out, in_window = warp_gather_masked_full(
                 target_packed, r2d, c2d, visible.reshape(h, w)
             )
         else:
             planes_out, in_window = warp_gather(target_packed, r2d, c2d)
-        if two_pass and not (FULL_COVERAGE_FUSED or force_fused):
-            from rgbd360_tpu.ops.warp_gather import (
-                warp_gather_masked,
-                warp_gather_masked_max,
-            )
-
-            # re-gather the missed pixels with min- then max-anchored
-            # windows: the two extra passes peel the lowest and highest
-            # remaining parallax bands, recovering nearly all of the
-            # mean-centred pass's coverage deviation
-            for gather_k in (warp_gather_masked, warp_gather_masked_max):
-                miss = visible.reshape(h, w) & ~in_window
-                out_k, hit_k = gather_k(target_packed, r2d, c2d, miss)
-                # integer select is bit-exact for the packed layout; for the
-                # 8xf32 layout the values are true f32s so float select is fine
-                planes_out = jnp.where(in_window[None], planes_out, out_k)
-                in_window = in_window | hit_k
         # 8xf32 channel planes (the only kernel layout since the packed
         # 4-channel retirement; _prep_operands asserts cdim == 8)
         gray2 = planes_out[0].reshape(-1)
@@ -540,7 +515,7 @@ def fused_sweep_sphere(
             vis2d = visible.reshape(h, w)
             r2d = jnp.where(vis2d, jnp.clip(r_int, 0, h - 1).reshape(h, w), src_rows)
             c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
-            if two_pass and (FULL_COVERAGE_FUSED or force_fused):
+            if two_pass:
                 # mirror the fused triple-anchored pass: all three window
                 # policies placed from the SAME (full visible) active set
                 mask = jnp.zeros_like(vis2d)
@@ -551,19 +526,6 @@ def fused_sweep_sphere(
                 mask = mask & vis2d
             else:
                 mask = window_mask_reference(r2d, c2d)
-            if two_pass and not (FULL_COVERAGE_FUSED or force_fused):
-                # banded re-gather coverage: the min- and max-anchored
-                # passes place their windows from the still-missed subset,
-                # exactly like warp_gather_masked/_masked_max (the values an
-                # XLA gather produces are exact wherever covered)
-                for policy in ("min", "max"):
-                    miss = vis2d & ~mask
-                    mask = mask | (
-                        window_mask_reference(
-                            r2d, c2d, active=miss, row_policy=policy
-                        )
-                        & miss
-                    )
             visible = visible & mask.reshape(-1)
 
     if occlusion:
@@ -650,17 +612,17 @@ def _exact_final_missed_stats(
     """Residual statistics of ONLY the pixels the kernel's windows missed at
     `pose`: the in-window mask is recomputed in pure XLA
     (warp_gather.window_mask_reference mirrors the kernel's window selection
-    exactly), then the min- and max-anchored masked kernel passes re-gather
-    just the missed set. Combined with the optimization sweep's own windowed
-    sums (already evaluated at the accepted pose), this reproduces the
-    three-pass exact-final stats at two kernel passes instead of three.
+    exactly), then ONE dual-anchored masked kernel pass (min+max windows per
+    tile, warp_gather_masked_dual) re-gathers just the missed set. Combined
+    with the optimization sweep's own windowed sums (already evaluated at
+    the accepted pose), this reproduces the three-pass exact-final stats at
+    one extra kernel pass instead of two (sequential-composition parity
+    pinned by tests/test_warp_kernel_interpret.py).
 
     Returns (photo_err2, n_photo, depth_err2, n_depth, n_extra_visible).
     """
     from rgbd360_tpu.ops.warp_gather import (
-        warp_gather_masked,
         warp_gather_masked_dual,
-        warp_gather_masked_max,
         window_mask_reference,
     )
 
@@ -677,21 +639,8 @@ def _exact_final_missed_stats(
     c2d = jnp.where(vis2d, jnp.clip(c_int, 0, w - 1).reshape(h, w), src_cols)
 
     in_window = window_mask_reference(r2d, c2d)
-    if EXACT_FINAL_DUAL:
-        miss = vis2d & ~in_window
-        planes_out, covered = warp_gather_masked_dual(packed, r2d, c2d, miss)
-    else:
-        planes_out = None
-        for gather_k in (warp_gather_masked, warp_gather_masked_max):
-            miss = vis2d & ~in_window
-            out_k, hit_k = gather_k(packed, r2d, c2d, miss)
-            if planes_out is None:
-                planes_out = out_k
-                covered = hit_k
-            else:
-                planes_out = jnp.where(covered[None], planes_out, out_k)
-                covered = covered | hit_k
-            in_window = in_window | hit_k
+    miss = vis2d & ~in_window
+    planes_out, covered = warp_gather_masked_dual(packed, r2d, c2d, miss)
 
     # 8xf32 channel planes (cdim == 8 asserted in _prep_operands)
     gray2 = planes_out[0].reshape(-1)

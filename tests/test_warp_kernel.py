@@ -263,7 +263,7 @@ def test_two_pass_sweep_stats_near_exact_on_tpu():
     assert (n_e - n_2) <= 0.35 * (n_e - n_1) + 0.005 * n_e, (n_e, n_2, n_1)
 
 
-def _exact_vs_full_coverage(pair, fused: bool):
+def _exact_vs_full_coverage(pair):
     """exact-path vs full-coverage-masked alignment, per backend:
 
     * CPU: exact = plain XLA align; masked = XLA align with the window-mask
@@ -283,49 +283,26 @@ def _exact_vs_full_coverage(pair, fused: bool):
             res_exact = _align(pair)
         finally:
             photoicp._use_warp_kernel = orig
-        old_fused = photoicp.FULL_COVERAGE_FUSED
-        photoicp.FULL_COVERAGE_FUSED = fused
-        try:
-            res_masked = _align(pair, full_coverage=True)
-        finally:
-            photoicp.FULL_COVERAGE_FUSED = old_fused
+        res_masked = _align(pair, full_coverage=True)
         return res_exact, res_masked
     res_exact = _align(pair)
     old = photoicp.EMULATE_KERNEL_WINDOW_MASK
-    old_fused = photoicp.FULL_COVERAGE_FUSED
     photoicp.EMULATE_KERNEL_WINDOW_MASK = True
-    photoicp.FULL_COVERAGE_FUSED = fused
     try:
         res_masked = _align(pair, full_coverage=True)
     finally:
         photoicp.EMULATE_KERNEL_WINDOW_MASK = old
-        photoicp.FULL_COVERAGE_FUSED = old_fused
     return res_exact, res_masked
 
 
 def test_full_coverage_pose_agreement_at_large_motion(pair):
-    """With full_coverage (banded min/max re-gathers inside every GN sweep —
-    the LC/relocalization configuration) the kernel-masked alignment must
-    track the exact path to <=0.5 deg / 2 cm even at the bundled pair's
-    LC-scale 27 cm motion (VERDICT r2 #3: tightened from the 2.0-deg
-    single-window gate above)."""
-    res_exact, res_masked = _exact_vs_full_coverage(pair, fused=False)
-
-    assert not bool(res_masked.ill_posed)
-    p_e = np.asarray(res_exact.pose)
-    p_m = np.asarray(res_masked.pose)
-    assert np.linalg.norm(p_e[:3, 3] - p_m[:3, 3]) < 0.02
-    ang = float(se3.rot_angle_deg(jnp.asarray(p_e[:3, :3]), jnp.asarray(p_m[:3, :3])))
-    assert ang <= 0.5, f"rotation drift {ang:.3f} deg"
-
-
-def test_full_coverage_fused_pose_agreement_at_large_motion(pair):
-    """FULL_COVERAGE_FUSED (one triple-anchored kernel pass per GN sweep
-    instead of default + two sequential re-gathers) must hold the same
-    <=0.5 deg / 2 cm gate vs the exact path — the union-anchored coverage
-    may differ from the sequential residue-anchored coverage on rare
-    pixels, and this pins that the accepted pose doesn't care."""
-    res_exact, res_masked = _exact_vs_full_coverage(pair, fused=True)
+    """With full_coverage (one triple-anchored kernel pass per GN sweep —
+    the LC/relocalization configuration, sole path since the sequential
+    re-gather composition lost its final on-chip A/B in round 5) the
+    kernel-masked alignment must track the exact path to <=0.5 deg / 2 cm
+    even at the bundled pair's LC-scale 27 cm motion (VERDICT r2 #3:
+    tightened from the 2.0-deg single-window gate above)."""
+    res_exact, res_masked = _exact_vs_full_coverage(pair)
 
     assert not bool(res_masked.ill_posed)
     p_e = np.asarray(res_exact.pose)

@@ -220,14 +220,19 @@ def test_dual_anchored_pass_is_union_of_min_and_max(interpret_kernel):
     )
 
 
-def test_exact_final_dual_flag_matches_sequential_stats(interpret_kernel, monkeypatch):
-    """ops/photoicp._exact_final_missed_stats under EXACT_FINAL_DUAL must
-    reproduce the sequential two-pass composition's sums/counts on a
-    realistic small spherical level (the sequential max pass anchors on the
-    post-min residue; whenever the residue's extreme coincides with the full
-    miss set's — every band-structured miss pattern — the two compositions
-    cover identical pixels and the stats are EQUAL)."""
+def test_exact_final_dual_matches_sequential_stats(interpret_kernel, monkeypatch):
+    """ops/photoicp._exact_final_missed_stats (dual-anchored, the sole path
+    since the sequential arm lost its final on-chip A/B in round 5) must
+    reproduce the retired sequential two-pass composition's sums/counts on
+    a realistic small spherical level. The sequential form — min-anchored
+    pass, then a max-anchored pass over the post-min residue — is rebuilt
+    here from the primitive masked gathers and substituted for the dual
+    kernel, so both variants run the IDENTICAL downstream stats code
+    (whenever the residue's extreme coincides with the full miss set's —
+    every band-structured miss pattern — the two compositions cover
+    identical pixels and the stats are EQUAL)."""
     from rgbd360_tpu.ops import photoicp as pi
+    from rgbd360_tpu.ops import warp_gather as wg_mod
     from rgbd360_tpu.ops.sphere import sphere_xyz_lut
 
     rng = np.random.default_rng(23)
@@ -250,17 +255,29 @@ def test_exact_final_dual_flag_matches_sequential_stats(interpret_kernel, monkey
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = (0.25, -0.4, 0.55)
 
+    real_dual = wg_mod.warp_gather_masked_dual
+
+    def sequential_dual(packed_in, r2d, c2d, miss):
+        # the retired sequential arm: min-anchored pass over the full miss
+        # set, then a max-anchored pass over the post-min residue
+        out_min, hit_min = wg_mod.warp_gather_masked(packed_in, r2d, c2d, miss)
+        out_max, hit_max = wg_mod.warp_gather_masked_max(
+            packed_in, r2d, c2d, miss & ~hit_min
+        )
+        out = jnp.where(hit_min[None], out_min, out_max)
+        return out, hit_min | hit_max
+
     outs = {}
-    for flag in (False, True):
-        monkeypatch.setattr(pi, "EXACT_FINAL_DUAL", flag)
-        outs[flag] = [
+    for name, gather in (("seq", sequential_dual), ("dual", real_dual)):
+        monkeypatch.setattr(wg_mod, "warp_gather_masked_dual", gather)
+        outs[name] = [
             np.asarray(x)
             for x in pi._exact_final_missed_stats(
                 level.gray_src.reshape(-1), packed, (h, w), xyz, valid,
                 jnp.asarray(pose), pi.PHOTO_DEPTH,
             )
         ]
-    seq, dual = outs[False], outs[True]
+    seq, dual = outs["seq"], outs["dual"]
     assert seq[4] > 0  # the scene exercises the re-gather (n_extra > 0)
     for a, b, name in zip(
         seq, dual, ["photo_err2", "n_photo", "depth_err2", "n_depth", "n_extra"]
@@ -302,7 +319,7 @@ def test_full_triple_anchored_pass_is_union_of_three(interpret_kernel):
     np.testing.assert_array_equal(out[ch][:, hit], direct[ch][:, hit])
 
 
-@pytest.mark.parametrize("variant", ["plain", "two_pass", "fused"])
+@pytest.mark.parametrize("variant", ["plain", "two_pass"])
 def test_fused_sweep_kernel_branch_matches_xla_branch(
     interpret_kernel, monkeypatch, variant
 ):
@@ -334,7 +351,6 @@ def test_fused_sweep_kernel_branch_matches_xla_branch(
     pose[:3, 3] = (0.01, -0.02, 0.03)  # tracking-scale: near-full coverage
 
     two_pass = variant != "plain"
-    force_fused = variant == "fused"
     xla_out = [
         np.asarray(x)
         for x in pi.fused_sweep_sphere(
@@ -348,7 +364,7 @@ def test_fused_sweep_kernel_branch_matches_xla_branch(
         for x in pi.fused_sweep_sphere(
             gray_flat, pi.pack_target_planes8(level), (h, w), xyz, valid,
             jnp.asarray(pose), pi.PHOTO_DEPTH, 0,
-            two_pass=two_pass, force_fused=force_fused,
+            two_pass=two_pass,
         )
     ]
     # state = (error, H, g, sso, pe2, n_photo, de2, n_depth)

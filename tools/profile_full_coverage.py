@@ -1,14 +1,12 @@
-"""On-chip A/B for FULL_COVERAGE_FUSED — the last remaining flag variant.
+"""On-chip throughput check for full-coverage sweeps (LC refinement /
+relocalization verify): one triple-anchored kernel traversal per GN sweep,
+the sole path since the sequential default-plus-two-re-gathers composition
+lost its final on-chip A/B in round 5 (29.52 vs 37.67 aligns/s at HEAD —
+TPU_TESTS.md round 5). Times k chained full-coverage batch-4 alignments on
+the bundled pair, same methodology as bench.py (value-carrying fori_loop +
+host-transfer sync).
 
-full_coverage sweeps (LC refinement / relocalization verify) run the banded
-min/max re-gathers inside EVERY GN sweep; the fused option replaces the
-three kernel traversals (default + two masked re-gathers) with one
-triple-anchored traversal sharing identical-origin window DMAs. Times k
-chained full-coverage batch-4 alignments on the bundled pair, same
-methodology as bench.py (value-carrying fori_loop + host-transfer sync).
-
-Usage: python tools/profile_full_coverage.py  (run once per flag state:
-RGBD360_FULL_COVERAGE_FUSED=0/1 — the flag is read at import).
+Usage: python tools/profile_full_coverage.py
 """
 
 import os
@@ -69,7 +67,7 @@ def main():
     dt_s = time.perf_counter() - t0
     pose = np.asarray(last.pose[0])
     print(
-        f"FULL_COVERAGE_FUSED={photoicp.FULL_COVERAGE_FUSED}: "
+        f"full-coverage (fused triple-anchored): "
         f"{batch * iters / dt_s:.2f} full-coverage aligns/s  "
         f"|t|={np.linalg.norm(pose[:3, 3]):.4f} "
         f"iters={np.asarray(last.num_iterations[0]).tolist()}"

@@ -58,13 +58,13 @@ def profiled_pipeline(frames_iter, pre_collect=None):
 
 
 def main():
-    flags = ("--no-spec", "--stepwise")
-    args = [a for a in sys.argv[1:] if a not in flags]
-    spec = "--no-spec" not in sys.argv
-    # --stepwise: per-frame device work as separate undistort/stitch/stats
-    # dispatches (the pre-52bf9b4 schedule) instead of the fused single
-    # program — the A/B knob for fused_frame_program
-    fused = "--stepwise" not in sys.argv
+    # the profiler measures the SHIPPED schedule only: fused per-frame
+    # device program + speculative align dispatch. The --stepwise and
+    # --no-spec A/B arms were retired in round 5 after their final on-chip
+    # losses (92.1 vs 102.5 ms/frame median; dense align 57 vs 672 ms mean
+    # — TPU_TESTS.md round 5); outcome identity of the speculative path
+    # stays gated by test_speculative_align_is_outcome_identical.
+    args = list(sys.argv[1:])
     seq = args[0] if args else "/tmp/room_seq"
     limit = int(args[1]) if len(args) > 1 else 10**9
 
@@ -77,17 +77,14 @@ def main():
     RegisterRGBD360.register_pbmap = reg_wrapped
 
     calib = load_calib(None)
-    slam = KFSphereSLAM(
-        matcher_config=default_matcher_config(None), speculative_align=spec
-    )
+    slam = KFSphereSLAM(matcher_config=default_matcher_config(None))
     slam.aligner.prewarm()
-    print(f"speculative_align={spec} fused_frame_program={fused}")
 
     times, kinds = [], []
     t_prev = time.perf_counter()
     for frame_no, frame in profiled_pipeline(
-        timed_frames(sequence_frames(calib, seq, 1, 1, defer_device=fused)),
-        pre_collect=slam.prefetch_align if spec else None,
+        timed_frames(sequence_frames(calib, seq, 1, 1, defer_device=True)),
+        pre_collect=slam.prefetch_align,
     ):
         with stage("process_frame"):
             kind = slam.process_frame(frame)

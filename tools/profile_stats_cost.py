@@ -151,15 +151,25 @@ def main():
         )
         return pe2 + de2 + n_x
 
-    # EXACT_FINAL_DUAL defaults ON since 2920e26 — force it OFF here so C
-    # prices the sequential min+max path and the C-vs-F comparison stays a
-    # real A/B instead of timing the dual graph twice.
-    _dual_orig = photoicp.EXACT_FINAL_DUAL
-    photoicp.EXACT_FINAL_DUAL = False
+    # C prices the SEQUENTIAL min+max composition (the arm retired in round
+    # 5) by substituting it for the dual gather, so C-vs-F stays a real A/B
+    # of the compositions rather than timing the dual graph twice.
+    from rgbd360_tpu.ops import warp_gather as _wg
+
+    _dual_orig = _wg.warp_gather_masked_dual
+
+    def _sequential_dual(packed_in, r, c, miss):
+        out_min, hit_min = _wg.warp_gather_masked(packed_in, r, c, miss)
+        out_max, hit_max = _wg.warp_gather_masked_max(
+            packed_in, r, c, miss & ~hit_min
+        )
+        return jnp.where(hit_min[None], out_min, out_max), hit_min | hit_max
+
+    _wg.warp_gather_masked_dual = _sequential_dual
     try:
-        chain_time(full_stats, gray_flat, pose, k=k, label="C _exact_final_missed_stats")
+        chain_time(full_stats, gray_flat, pose, k=k, label="C _exact_final_missed_stats (sequential)")
     finally:
-        photoicp.EXACT_FINAL_DUAL = _dual_orig
+        _wg.warp_gather_masked_dual = _dual_orig
 
     # D: a plain L0 optimization sweep for scale
     def plain_sweep(g, pose_):
@@ -181,15 +191,11 @@ def main():
         label="E dual-anchored single kernel pass",
     )
 
-    # F: the full missed-stats path with EXACT_FINAL_DUAL on
-    photoicp.EXACT_FINAL_DUAL = True
-    try:
-        chain_time(
-            full_stats, gray_flat, pose, k=k,
-            label="F _exact_final_missed_stats (dual)",
-        )
-    finally:
-        photoicp.EXACT_FINAL_DUAL = _dual_orig
+    # F: the shipped missed-stats path (dual-anchored single pass)
+    chain_time(
+        full_stats, gray_flat, pose, k=k,
+        label="F _exact_final_missed_stats (dual)",
+    )
     return 0
 
 
