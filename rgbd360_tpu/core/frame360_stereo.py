@@ -146,22 +146,32 @@ class Frame360Stereo(Frame360):
         sum_rgb = st.sum_rgb.astype(np.float64)
         label_id = st.label_id
 
+        mean_pre = st.mean_pre.astype(np.float64)
         flat = labels.reshape(-1)
         candf = cand.reshape(-1)
         planes = []
-        for k in range(len(label_id)):
+        # ascending label order = PCL's region discovery (scan) order, the
+        # order getPlanesStereo's loop visits regions in — the downstream
+        # local_same_plane_merge absorbs into the FIRST earlier match, so
+        # walking the count-sorted stat rows directly changed merge pairings
+        # (same rationale as _planes_from_stats)
+        for k in sorted(range(len(label_id)), key=lambda i: label_id[i]):
             n = int(count[k])
             if n < MIN_INLIERS_STEREO:
-                break  # counts sorted descending
+                continue  # rows are count-sorted, but we walk label order
             inl = np.flatnonzero(flat == label_id[k])
             plane = Plane(
                 id=len(planes),
+                # reported params are the segment-stage fit (PCL fits models
+                # in segment(), before refinement — see SensorPlaneStats);
+                # the refined-member centroid rides along as merge suffstats
                 normal=normal[k].copy(),
-                center=mean[k].copy(),
+                center=mean_pre[k].copy(),
                 curvature=float(curvature[k]),
                 inliers=inl,
                 n_pts=n,
                 cov=cov[k].copy(),
+                ss_center=mean[k].copy(),
             )
             plane.compute_hull_area(xyzf[inl[candf[inl]]].astype(np.float64))
             if plane.area_hull < default_params.min_area_plane:  # :938

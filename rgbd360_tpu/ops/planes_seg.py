@@ -38,9 +38,11 @@ def segment_planes(
     # most serpentine region path, not the grid diameter; 4-9 rounds on real
     # frames. The while_loop exits on convergence (labels are monotone
     # non-increasing ints, so convergence is guaranteed); the cap is only a
-    # runaway backstop and costs nothing when converged — keep it far above
-    # any physical scene's bend count so a region is never silently split
-    max_sweeps: int = 512,
+    # runaway backstop and costs nothing when converged. None (default) uses
+    # h*w — above the step count of ANY pixel path, so no input can be
+    # silently truncated short of its fixed point (a maximally serpentine
+    # region needs ~one round per bend, and a path has at most h*w pixels)
+    max_sweeps: int | None = None,
     # thresholds default to the QVGA Frame360 configuration; the stereo
     # variant passes its own (reference Frame360_stereo.h:865-867)
     angular_threshold: float = ANGULAR_THRESHOLD,
@@ -55,6 +57,8 @@ def segment_planes(
     """Returns labels (H, W) int32: -1 invalid, else the component id (the
     smallest flat pixel index in the component)."""
     h, w = xyz.shape[:2]
+    if max_sweeps is None:
+        max_sweeps = h * w
     valid = jnp.all(jnp.isfinite(xyz), axis=-1) & jnp.all(jnp.isfinite(normals), axis=-1)
     n = jnp.where(valid[..., None], normals, 0.0)
     p = jnp.where(valid[..., None], xyz, 0.0)
@@ -140,9 +144,12 @@ def refine_plane_labels(
     xyz: jnp.ndarray,  # (H, W, 3) NaN-invalid
     normals: jnp.ndarray,  # unused (kept for API stability; the PCL-faithful
     # models are least-squares point fits, not normal averages)
-    max_sweeps: int = 512,  # runaway backstop only: the while_loop exits at
-    # the fixed point (absorbed bands on real frames converge in tens of
-    # sweeps — the front advances one pixel per sweep)
+    max_sweeps: int | None = None,  # runaway backstop only: the while_loop
+    # exits at the fixed point (absorbed bands on real frames converge in
+    # tens of sweeps — the front advances one pixel per sweep). None = h*w,
+    # above any pixel path length, so no input (even a stereo panorama with
+    # a serpentine band longer than any fixed constant) is truncated short
+    # of the oracle's unbounded fixed point
     distance_threshold: float = DISTANCE_THRESHOLD,
     min_inliers: int = MIN_INLIERS,
 ):
@@ -173,12 +180,21 @@ def refine_plane_labels(
     """
     h, w = labels.shape
     hw = h * w
+    if max_sweeps is None:
+        max_sweeps = hw
     valid_xyz = jnp.all(jnp.isfinite(xyz), axis=-1)
     p = jnp.where(valid_xyz[..., None], xyz, 0.0)
 
-    # segment-stage least-squares models per label: two scatter-add passes
-    # (sums -> centroid, centered second moments -> covariance), then the
-    # closed-form smallest eigenvector (ops/plane_stats._eigh3x3)
+    # segment-stage least-squares models per label: one full-hw scatter-add
+    # for counts + coordinate sums, then — when the grid admits it — a
+    # REBIN into KP = hw/min_inliers + 1 top-count slots for the second
+    # moments and the eigendecomposition (pigeonhole: no label with
+    # >= min_inliers pixels can fall outside the top-KP by count, so the
+    # model SET is exactly the full-bin path's; measured on chip: the model
+    # build drops 11.5 -> 7.0 ms, mostly the (hw+1)-row _eigh3x3).
+    # The full-(hw+1)-bin path remains for grids where KP would be large
+    # (e.g. a stereo panorama at min_inliers=40), where the top_k would
+    # cost more than the eigh saves.
     from rgbd360_tpu.ops.plane_stats import _eigh3x3
 
     labf = labels.reshape(-1)
@@ -186,10 +202,28 @@ def refine_plane_labels(
     pf = p.reshape(-1, 3)
     feat = jnp.concatenate([pf, jnp.ones((hw, 1), jnp.float32)], axis=-1)
     sums = jnp.zeros((hw + 1, 4), jnp.float32).at[bin_].add(feat)
-    cnt = sums[:, 3]
-    centroid = sums[:, :3] / jnp.maximum(cnt[:, None], 1.0)
-    d = pf - jnp.take(centroid, bin_, axis=0)
-    d = jnp.where((labf >= 0)[:, None], d, 0.0)
+    cnt_all = sums[:, 3]
+
+    KP = hw // max(min_inliers, 1) + 1
+    if KP <= 512:
+        topc, topi = jax.lax.top_k(cnt_all[:hw], KP)
+        inv = jnp.full((hw + 1,), KP, jnp.int32).at[topi].set(
+            jnp.arange(KP, dtype=jnp.int32)
+        )
+        pix_k = jnp.take(inv, bin_)  # (hw,) slot of each pixel's label
+        cnt = topc
+        centroid = sums[topi, :3] / jnp.maximum(cnt[:, None], 1.0)
+        cpad = jnp.concatenate([centroid, jnp.zeros((1, 3), jnp.float32)], axis=0)
+        d = pf - jnp.take(cpad, pix_k, axis=0)
+        d = jnp.where(((labf >= 0) & (pix_k < KP))[:, None], d, 0.0)
+        s2_bins, s2_idx, nb = KP + 1, pix_k, KP
+    else:
+        pix_k = bin_
+        cnt = cnt_all
+        centroid = sums[:, :3] / jnp.maximum(cnt[:, None], 1.0)
+        d = pf - jnp.take(centroid, bin_, axis=0)
+        d = jnp.where((labf >= 0)[:, None], d, 0.0)
+        s2_bins, s2_idx, nb = hw + 1, bin_, hw + 1
     prods = jnp.stack(
         [
             d[:, 0] * d[:, 0], d[:, 0] * d[:, 1], d[:, 0] * d[:, 2],
@@ -197,8 +231,8 @@ def refine_plane_labels(
         ],
         axis=-1,
     )
-    s2 = jnp.zeros((hw + 1, 6), jnp.float32).at[bin_].add(prods)
-    s2 = s2 / jnp.maximum(cnt[:, None], 1.0)
+    s2 = jnp.zeros((s2_bins, 6), jnp.float32).at[s2_idx].add(prods)[:nb]
+    s2 = s2 / jnp.maximum(cnt[:nb, None], 1.0)
     cov = jnp.stack(
         [
             jnp.stack([s2[:, 0], s2[:, 1], s2[:, 2]], axis=-1),
@@ -208,11 +242,10 @@ def refine_plane_labels(
         axis=-2,
     )
     _, n_min = _eigh3x3(cov)
-    flip = jnp.sum(n_min * centroid, axis=-1) > 0  # toward-sensor (:988-992)
+    flip = jnp.sum(n_min * centroid[:nb], axis=-1) > 0  # toward-sensor (:988-992)
     n_model = jnp.where(flip[:, None], -n_min, n_min)
-    d_model = jnp.sum(n_model * centroid, axis=-1)
-    is_model = cnt >= min_inliers  # (hw+1,); the pad bin count is the
-    # unlabeled total but models index only real labels below
+    d_model = jnp.sum(n_model * centroid[:nb], axis=-1)
+    is_model = cnt[:nb] >= min_inliers
 
     NOLAB = jnp.int32(-1)
 
@@ -223,10 +256,13 @@ def refine_plane_labels(
     # elementwise work) instead of per-candidate gathers into the model
     # tables, which dominated this function's device time (4 candidate
     # labels x 2 gathers x 8 sweeps)
-    own = jnp.clip(jnp.where(labf >= 0, labf, 0), 0, hw - 1)
-    grows = (jnp.take(is_model, own) & (labf >= 0)).reshape(h, w)
-    mod_n = jnp.take(n_model, own, axis=0).reshape(h, w, 3)
-    mod_d = jnp.take(d_model, own, axis=0).reshape(h, w)
+    own = jnp.clip(pix_k, 0, nb - 1)
+    in_tbl = (labf >= 0) & (pix_k < nb)
+    grows = (jnp.take(is_model, own) & in_tbl).reshape(h, w)
+    mod_n = jnp.where(
+        in_tbl[:, None], jnp.take(n_model, own, axis=0), 0.0
+    ).reshape(h, w, 3)
+    mod_d = jnp.where(in_tbl, jnp.take(d_model, own), 0.0).reshape(h, w)
     # non-model pixels must never seed growth: mark them with the NOLAB
     # sentinel in the label plane the sweeps read
     lab_grow0 = jnp.where(grows, labels, NOLAB)

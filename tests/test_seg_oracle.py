@@ -95,6 +95,36 @@ def device_and_oracle(sample_frames, calib):
     return out
 
 
+def _assert_labels_equal(dev, orc, ctx=""):
+    """Bit-equality with a borderline-precision diagnostic: the post-refine
+    gate compares a device model fit accumulated in f32 (scatter-add tree)
+    against an oracle fit accumulated in f64 then cast to f32, so a pixel
+    whose |n.p - d| lands within an f32 ulp of DISTANCE_THRESHOLD under one
+    model but not the other CAN legitimately flip (and its flip can cascade
+    through the growth). The pinned inputs pass bit-exactly today; if a
+    future change (XLA reduction order, new fixture) turns this red, the
+    diagnostic below says whether the divergence is borderline-precision
+    (mismatches confined to refine-grown pixels) or a real semantics bug
+    (pre-refine labels disagree, or large mismatch fraction)."""
+    if np.array_equal(dev, orc):
+        return
+    mism = dev != orc
+    n = int(mism.sum())
+    frac = n / dev.size
+    import sys
+
+    print(
+        f"[seg-oracle diagnostic {ctx}] {n} mismatched px ({frac:.2%}); "
+        f"dev-side labels at mismatches: {np.unique(dev[mism])[:10]}; "
+        f"oracle-side: {np.unique(orc[mism])[:10]} — if every mismatch is a "
+        "refine-grown pixel (label >= 0 on one side, differing/absent on the "
+        "other) and the fraction is tiny, suspect the f32-vs-f64 model-fit "
+        "borderline (see docstring) before suspecting the semantics",
+        file=sys.stderr,
+    )
+    np.testing.assert_array_equal(dev, orc)
+
+
 def test_segment_partition_exact(device_and_oracle):
     """The flood fill's fixed point == the scalar union-find CCL, bit-equal,
     on all 16 bundled sensor images."""
@@ -109,7 +139,7 @@ def test_refined_labels_exact(device_and_oracle):
     for d in device_and_oracle:
         for s in range(8):
             _, post_orc = d["sides"][s]
-            np.testing.assert_array_equal(d["post_dev"][s], post_orc)
+            _assert_labels_equal(d["post_dev"][s], post_orc, f"sensor {s}")
 
 
 def test_local_plane_sets_match(device_and_oracle):
@@ -171,7 +201,7 @@ def test_synthetic_scene_partition_exact(rng):
     planes_oracle.run(inp, labels_path=side)
     pre_orc, post_orc = planes_oracle.read_labels_sidecar(side, [(h, w)])[0]
     np.testing.assert_array_equal(pre_dev, pre_orc)
-    np.testing.assert_array_equal(post_dev, post_orc)
+    _assert_labels_equal(post_dev, post_orc, "synthetic")
     # sanity: the scene actually produced multiple regions and real growth
     assert len(np.unique(pre_dev[pre_dev >= 0])) >= 3
     assert (post_dev >= 0).sum() > (pre_dev >= 0).sum()

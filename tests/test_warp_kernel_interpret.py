@@ -257,15 +257,13 @@ def test_exact_final_dual_matches_sequential_stats(interpret_kernel, monkeypatch
 
     real_dual = wg_mod.warp_gather_masked_dual
 
+    # the retired sequential arm — the ONE shared reference definition
+    # (tools/retired_ab.py), also used by tools/profile_stats_cost.py so the
+    # test gate and the profiler can never drift apart
+    from tools.retired_ab import sequential_dual as _seq_dual
+
     def sequential_dual(packed_in, r2d, c2d, miss):
-        # the retired sequential arm: min-anchored pass over the full miss
-        # set, then a max-anchored pass over the post-min residue
-        out_min, hit_min = wg_mod.warp_gather_masked(packed_in, r2d, c2d, miss)
-        out_max, hit_max = wg_mod.warp_gather_masked_max(
-            packed_in, r2d, c2d, miss & ~hit_min
-        )
-        out = jnp.where(hit_min[None], out_min, out_max)
-        return out, hit_min | hit_max
+        return _seq_dual(wg_mod, packed_in, r2d, c2d, miss)
 
     outs = {}
     for name, gather in (("seq", sequential_dual), ("dual", real_dual)):

@@ -25,13 +25,16 @@ import numpy as np
 import pytest
 
 from rgbd360_tpu.ops import photoicp, se3
-from rgbd360_tpu.ops.sphere import sphere_project, sphere_xyz_lut
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-from sweep_window_mask_motion import motion_pose, render_sphere  # noqa: E402
+from sweep_window_mask_motion import (  # noqa: E402
+    finest_coverage,
+    motion_pose,
+    render_sphere,
+)
 
 H, W = 192, 768  # L0 147k px, L1 37k px >= WARP_KERNEL_MIN_PIXELS: two
 # masked levels, same routing shape as the full-res pipeline's L0-L2
@@ -46,22 +49,11 @@ def target():
 
 
 def _coverage(depth_src, pose_true):
-    """Finest-level kernel-window coverage of visible warped pixels at the
-    true pose (the same mirror the device path uses)."""
-    from rgbd360_tpu.ops.warp_gather import window_mask_reference
-
-    xyz, valid = sphere_xyz_lut(depth_src, photoicp.MIN_DEPTH, photoicp.MAX_DEPTH)
-    p = xyz @ jnp.asarray(pose_true[:3, :3].T, jnp.float32) + jnp.asarray(
-        pose_true[:3, 3], jnp.float32
-    )
-    _, ri, ci, inb = sphere_project(p, H, W)
-    vis = (valid & inb).reshape(H, W)
-    src_r = np.broadcast_to(np.arange(H, dtype=np.int32)[:, None], (H, W))
-    src_c = np.broadcast_to(np.arange(W, dtype=np.int32)[None, :], (H, W))
-    r2d = jnp.where(vis, jnp.clip(ri, 0, H - 1).reshape(H, W), jnp.asarray(src_r))
-    c2d = jnp.where(vis, jnp.clip(ci, 0, W - 1).reshape(H, W), jnp.asarray(src_c))
-    mask = np.asarray(window_mask_reference(r2d, c2d))
-    return float(mask[np.asarray(vis)].mean())
+    """Finest-level kernel-window coverage — the tool's own definition
+    (tools/sweep_window_mask_motion.finest_coverage), imported rather than
+    re-implemented so this gate and the recorded PERF.md curve can never
+    desynchronize on what 'coverage' means."""
+    return finest_coverage(depth_src, pose_true, H, W)
 
 
 def _align(gs, ds, gt, dt, masked: bool):

@@ -37,8 +37,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_rgbd360"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the persistent compile cache (host-feature-keyed dir + min-compile-time)
+    # is configured by the package import below — a literal dir here would
+    # bypass the keying and reintroduce the cross-host AOT SIGILL hazard
 
     from rgbd360_tpu.core.frame360 import Frame360
     from rgbd360_tpu.io.calib import Calib360

@@ -68,27 +68,39 @@ def main():
             if stage >= 4:
                 st = sensor_plane_stats(xyz2, rgb2, labels, labels_pre)
                 out = out + jnp.sum(st.count) + jnp.nansum(st.mean)
+                cand = st.candidate
+            else:
+                cand = jnp.zeros(xyz2.shape[:2], bool)
+            return out.astype(jnp.float32), cand
+
+        def batched(v):
+            out, cand = jax.vmap(one)(v, rgb)
+            total = jnp.sum(out)
             if stage >= 5:
-                # the production compaction (prefix-sum + scatter, what
-                # plane_extraction.build_sensor_plane_stats ships) — NOT the
-                # k=4096 top_k it replaced (top_k measured 10.2 ms vs ~1 ms)
-                hw = labels.size
+                # the PRODUCTION compaction form, verbatim from
+                # plane_extraction.build_sensor_plane_stats: the batched 2D
+                # scatter OUTSIDE the vmap. (An earlier revision vmapped a
+                # per-sensor 1D scatter here, which lowers much worse and
+                # overstated this stage ~7x — 14.7 ms vs the ~2 ms the
+                # production form measures in tools/probe_compaction.py.)
+                hw = cand.shape[1] * cand.shape[2]
                 C = 4096
-                candf = st.candidate.reshape(hw)
-                pix = jax.lax.iota(jnp.int32, hw)
-                pos = jnp.cumsum(candf.astype(jnp.int32)) - 1
+                candf = cand.reshape(8, hw)
+                pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
+                pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
                 tgt = jnp.where(candf & (pos < C), pos, C)
-                cidx = (
-                    jnp.full((C + 1,), hw, jnp.int32).at[tgt].set(pix, mode="drop")[:C]
-                )
-                out = out + jnp.sum(cidx)
-            return out.astype(jnp.float32)
+                sensor = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 0)
+                cidx = jnp.full((8, C + 1), hw, jnp.int32).at[sensor, tgt].set(
+                    pix, mode="drop"
+                )[:, :C]
+                total = total + jnp.sum(cidx).astype(jnp.float32)
+            return total
 
         @jax.jit
         def chain(d, k):
             def body(_, carry):
                 v, acc = carry
-                out = jnp.sum(jax.vmap(one)(v, rgb)) * 1e-9
+                out = batched(v) * 1e-9
                 return depth + (out * 1e-12).astype(jnp.float32), acc + out
 
             _, acc = jax.lax.fori_loop(0, k, body, (d, jnp.float32(0)))

@@ -61,8 +61,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_rgbd360"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the persistent compile cache (host-feature-keyed dir + min-compile-time)
+    # is configured by the package import below — a literal dir here would
+    # bypass the keying and reintroduce the cross-host AOT SIGILL hazard
 
     from rgbd360_tpu.io.calib import Calib360
     from rgbd360_tpu.core.frame360 import Frame360
@@ -155,15 +156,14 @@ def main():
     # 5) by substituting it for the dual gather, so C-vs-F stays a real A/B
     # of the compositions rather than timing the dual graph twice.
     from rgbd360_tpu.ops import warp_gather as _wg
+    from tools.retired_ab import sequential_dual as _seq_dual
 
     _dual_orig = _wg.warp_gather_masked_dual
 
     def _sequential_dual(packed_in, r, c, miss):
-        out_min, hit_min = _wg.warp_gather_masked(packed_in, r, c, miss)
-        out_max, hit_max = _wg.warp_gather_masked_max(
-            packed_in, r, c, miss & ~hit_min
-        )
-        return jnp.where(hit_min[None], out_min, out_max), hit_min | hit_max
+        # ONE shared definition (tools/retired_ab.py) with the interpret-mode
+        # parity test, so test and profiler always measure the same arm
+        return _seq_dual(_wg, packed_in, r, c, miss)
 
     _wg.warp_gather_masked_dual = _sequential_dual
     try:

@@ -106,13 +106,37 @@ def motion_pose(t_mag: float, rot_deg: float = 1.5) -> np.ndarray:
     return pose
 
 
+def finest_coverage(depth_src, pose_true: np.ndarray, h: int, w: int) -> float:
+    """Finest-level kernel-window coverage of visible warped pixels at the
+    true pose — fraction the kernel's window (incl. wrap halo) would cover,
+    via the routing-faithful mask mirror the device path pins bit-exactly.
+    The ONE definition of 'coverage' for both the recorded PERF.md curve and
+    the gating test (tests/test_window_mask_motion.py imports this)."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.ops import photoicp
+    from rgbd360_tpu.ops.sphere import sphere_project, sphere_xyz_lut
+    from rgbd360_tpu.ops.warp_gather import window_mask_reference
+
+    xyz, valid = sphere_xyz_lut(depth_src, photoicp.MIN_DEPTH, photoicp.MAX_DEPTH)
+    p = xyz @ jnp.asarray(pose_true[:3, :3].T, jnp.float32) + jnp.asarray(
+        pose_true[:3, 3], jnp.float32
+    )
+    _, ri, ci, inb = sphere_project(p, h, w)
+    vis = (valid & inb).reshape(h, w)
+    src_r = np.broadcast_to(np.arange(h, dtype=np.int32)[:, None], (h, w))
+    src_c = np.broadcast_to(np.arange(w, dtype=np.int32)[None, :], (h, w))
+    r2d = jnp.where(vis, jnp.clip(ri, 0, h - 1).reshape(h, w), jnp.asarray(src_r))
+    c2d = jnp.where(vis, jnp.clip(ci, 0, w - 1).reshape(h, w), jnp.asarray(src_c))
+    mask = np.asarray(window_mask_reference(r2d, c2d))
+    return float(mask[np.asarray(vis)].mean())
+
+
 def sweep(h: int, w: int, n_levels: int, motions) -> list:
     import jax
     import jax.numpy as jnp
 
     from rgbd360_tpu.ops import photoicp, se3
-    from rgbd360_tpu.ops.sphere import sphere_project, sphere_xyz_lut
-    from rgbd360_tpu.ops.warp_gather import window_mask_reference
 
     gt_gray, gt_depth = render_sphere(np.eye(4), h, w)  # target at identity
 
@@ -141,21 +165,7 @@ def sweep(h: int, w: int, n_levels: int, motions) -> list:
         gs, ds = jnp.asarray(src_gray), jnp.asarray(src_depth)
         gt_j, dt_j = jnp.asarray(gt_gray), jnp.asarray(gt_depth)
 
-        # finest-level coverage at the TRUE pose: fraction of visible warped
-        # pixels the kernel's window (incl. wrap halo) would cover
-        xyz, valid = sphere_xyz_lut(ds, photoicp.MIN_DEPTH, photoicp.MAX_DEPTH)
-        p = xyz @ jnp.asarray(pose_true[:3, :3].T, jnp.float32) + jnp.asarray(
-            pose_true[:3, 3], jnp.float32
-        )
-        dist, ri, ci, inb = sphere_project(p, h, w)
-        vis = (valid & inb).reshape(h, w)
-        src_r = np.broadcast_to(np.arange(h, dtype=np.int32)[:, None], (h, w))
-        src_c = np.broadcast_to(np.arange(w, dtype=np.int32)[None, :], (h, w))
-        r2d = jnp.where(vis, jnp.clip(ri, 0, h - 1).reshape(h, w), jnp.asarray(src_r))
-        c2d = jnp.where(vis, jnp.clip(ci, 0, w - 1).reshape(h, w), jnp.asarray(src_c))
-        mask = np.asarray(window_mask_reference(r2d, c2d))
-        vis_np = np.asarray(vis)
-        coverage = float(mask[vis_np].mean())
+        coverage = finest_coverage(ds, pose_true, h, w)
 
         out = {}
         for name, masked in (("exact", False), ("masked", True)):
@@ -198,9 +208,11 @@ if __name__ == "__main__":
     ap.add_argument(
         "--motions", nargs="*", type=float, default=[0.05, 0.10, 0.20, 0.30]
     )
-    ap.add_argument("--cpu", action="store_true", default=True)
+    # CPU by default (the curve uses the routing-faithful mask mirror, which
+    # is backend-independent); --tpu runs the same sweep on the real chip
+    ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
+    if not args.tpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
