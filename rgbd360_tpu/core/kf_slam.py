@@ -150,7 +150,13 @@ class KFSphereSLAM:
 
         Adaptive: skipped right after a PbMap-tracked frame (streaks of
         strong PbMap tracking never reach step 2, and the wasted device
-        program would put the device on the critical path)."""
+        program would put the device on the conveyor's critical path).
+        A match-count hysteresis (also dispatch after MARGINAL pbmap
+        successes — a measured coin flip for the next frame per the
+        profile_slam_frame predictor table) was A/B'd on chip and is a
+        wash: it trades tracked-frame latency for pbmap-frame conveyor
+        waste ~1:1 on the 40-frame loop (PERF.md round-5 "spec predictor"
+        entry), so the simpler policy stands."""
         if len(self.world) == 0 or not self.speculative_align:
             return
         if self._last_kind == "skip_pbmap":

@@ -276,7 +276,21 @@ def _planes_from_stats(
         )
         ca = np.searchsorted(sorted_cl, label_id[k], side="left")
         cb = np.searchsorted(sorted_cl, label_id[k], side="right")
-        plane.compute_hull_area(sorted_cxyz[ca:cb])
+        cpts = sorted_cxyz[ca:cb]
+        # exact small-plane prefilter: the convex hull lies inside the
+        # candidate bounding box in the SAME in-plane basis the hull uses,
+        # so bbox area < MIN_AREA implies hull area < MIN_AREA — the same
+        # discard (:1034) without paying the hull chain + mass-center +
+        # elongation for the many sub-threshold clutter components
+        # (~60-70% of the per-frame hull calls on the bundled frames)
+        if len(cpts) >= 3:
+            u_b, v_b = plane.plane_basis()
+            rel = cpts - plane.center
+            pu = rel @ u_b
+            pv = rel @ v_b
+            if (pu.max() - pu.min()) * (pv.max() - pv.min()) < MIN_AREA:
+                continue
+        plane.compute_hull_area(cpts)
         if plane.area_hull < MIN_AREA:  # discard small planes (:1034)
             continue
         plane.d = float(-plane.normal @ plane.center)

@@ -19,15 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Sum over a (2r+1)^2 window via padded cumsum (integral image)."""
-    h, w = img.shape[:2]
+def _integral_image(img: jnp.ndarray) -> jnp.ndarray:
+    """Padded 2D cumulative sum (integral image)."""
     ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
-    ii = jnp.pad(ii, [(1, 0), (1, 0)] + [(0, 0)] * (img.ndim - 2))
-    y0 = jnp.clip(jnp.arange(h) - r, 0, h)
-    y1 = jnp.clip(jnp.arange(h) + r + 1, 0, h)
-    x0 = jnp.clip(jnp.arange(w) - r, 0, w)
-    x1 = jnp.clip(jnp.arange(w) + r + 1, 0, w)
+    return jnp.pad(ii, [(1, 0), (1, 0)] + [(0, 0)] * (img.ndim - 2))
+
+
+def _box_from_ii(ii: jnp.ndarray, r: int, h: int, w: int) -> jnp.ndarray:
+    """Sum over a (2r+1)^2 window from a padded integral image."""
+    import numpy as _np
+
+    y0 = _np.clip(_np.arange(h) - r, 0, h)
+    y1 = _np.clip(_np.arange(h) + r + 1, 0, h)
+    x0 = _np.clip(_np.arange(w) - r, 0, w)
+    x1 = _np.clip(_np.arange(w) + r + 1, 0, w)
     a = ii[y1][:, x1]
     b = ii[y1][:, x0]
     c = ii[y0][:, x1]
@@ -35,26 +40,29 @@ def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
     return a - b - c + d
 
 
-def _box_sum_var(img: jnp.ndarray, r_px: jnp.ndarray) -> jnp.ndarray:
-    """Sum over a per-pixel (2*r_px+1)^2 window: one integral image + four
-    gathers at per-pixel corner offsets (PCL's variable smoothing window)."""
+def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Sum over a (2r+1)^2 window via padded cumsum (integral image)."""
     h, w = img.shape[:2]
-    ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
-    ii = jnp.pad(ii, [(1, 0), (1, 0)] + [(0, 0)] * (img.ndim - 2))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    y0 = jnp.clip(rows - r_px, 0, h)
-    y1 = jnp.clip(rows + r_px + 1, 0, h)
-    x0 = jnp.clip(cols - r_px, 0, w)
-    x1 = jnp.clip(cols + r_px + 1, 0, w)
-    flat = ii.reshape(-1, *ii.shape[2:])
+    return _box_from_ii(_integral_image(img), r, h, w)
 
-    def take(y, x):
-        return jnp.take(flat, (y * (w + 1) + x).reshape(-1), axis=0).reshape(
-            (h, w) + ii.shape[2:]
-        )
 
-    return take(y1, x1) - take(y1, x0) - take(y0, x1) + take(y0, x0)
+def _box_sum_var(
+    img: jnp.ndarray, r_px: jnp.ndarray, r_max: int, ii: jnp.ndarray = None
+) -> jnp.ndarray:
+    """Sum over a per-pixel (2*r_px+1)^2 window (PCL's variable smoothing
+    window), r_px in [1, r_max]. r_max is small and static, so this is
+    r_max STATIC box sums from one shared integral image + a select chain —
+    the per-pixel corner GATHERS this replaces were per-element priced on
+    TPU and dominated the normals stage. Bit-identical output (same corner
+    values from the same integral image, selected instead of gathered)."""
+    h, w = img.shape[:2]
+    if ii is None:
+        ii = _integral_image(img)
+    out = _box_from_ii(ii, 1, h, w)
+    for rr in range(2, r_max + 1):
+        sel = (r_px == rr)[..., None] if img.ndim == 3 else (r_px == rr)
+        out = jnp.where(sel, _box_from_ii(ii, rr, h, w), out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("smoothing",))
@@ -103,7 +111,8 @@ def organized_normals(
     # window not dominated by discontinuities can give; measured on the
     # bundled pair this beats pure window-shrinking, which fragments regions
     # near edges — see tests/test_planes.py::test_normals_edge_fillin).
-    box = _box_sum(feats, r)
+    ii = _integral_image(feats)  # shared by the primary + fill-in windows
+    box = _box_from_ii(ii, r, *feats.shape[:2])
     sum_gx, sum_gy, n_gx, n_gy = box[..., 0:3], box[..., 3:6], box[..., 6], box[..., 7]
     win = float((2 * r + 1) ** 2)
     normal = jnp.cross(sum_gx, sum_gy)
@@ -133,7 +142,7 @@ def organized_normals(
     for _ in range(r):
         dist = jnp.minimum(dist, min3x3(dist) + 1.0)
     r_px = jnp.clip(dist - 1.0, 1.0, float(r)).astype(jnp.int32)  # per-pixel radius
-    box_s = _box_sum_var(feats, r_px)
+    box_s = _box_sum_var(feats, r_px, r, ii=ii)
     sum_gx_s, sum_gy_s = box_s[..., 0:3], box_s[..., 3:6]
     n_gx_s, n_gy_s = box_s[..., 6], box_s[..., 7]
     normal_s = jnp.cross(sum_gx_s, sum_gy_s)
