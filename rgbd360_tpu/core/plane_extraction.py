@@ -18,6 +18,7 @@ Constants from include/Miscellaneous.h:51-76 via config.GlobalParams.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -557,7 +558,8 @@ def fused_frame_program(
     return sphere_rgb, sphere_depth_mm, sphere_gray, depth_und, stats
 
 
-def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
+def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None,
+                    threaded: Optional[bool] = None):
     """One-frame-lookahead plane extraction over a (frame_no, frame)
     iterator: frame N+1's device program is dispatched BEFORE frame N's
     buffer is collected and host-fitted, so the ~45 ms of device+transfer
@@ -570,9 +572,25 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
     planes not yet fitted) right before its stats buffer is collected —
     the SLAM loop uses it to speculatively dispatch frame N's tracking
     alignment so the device program overlaps the collect + host fit
-    (KFSphereSLAM.prefetch_align)."""
+    (KFSphereSLAM.prefetch_align).
+
+    threaded (default: env RGBD360_PIPELINE_THREAD, on): run each frame's
+    stats sync + host plane fit on ONE worker thread, submitted right after
+    that frame's device dispatch and joined at yield time — the ~26 ms
+    numpy/qhull fit and the transfer wait then overlap the consumer's
+    process_frame of the PREVIOUS frame and the next frame's load, instead
+    of sitting serially on the loop's critical path. The worker runs pure
+    host code (np.asarray on an already-enqueued async copy +
+    _fit_from_stats_buffer, numpy-only) and touches only its own frame's
+    attributes; every device-program dispatch — including the pre_collect
+    speculation hook — stays on the caller's thread in the sequential
+    order, so the device queue is identical and the yielded plane sets are
+    bit-identical (tests/test_planes.py pins threaded == sequential)."""
 
     from rgbd360_tpu.utils.timing import stage
+
+    if threaded is None:
+        threaded = os.environ.get("RGBD360_PIPELINE_THREAD", "1") == "1"
 
     def dispatch(frame):
         if getattr(frame, "_deferred_build", False):
@@ -615,6 +633,34 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None):
         if pre_collect is not None:
             with stage("speculative align dispatch"):
                 pre_collect(frame)
+
+    if threaded:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="planes-fit")
+        try:
+            pending = None
+            for frame_no, frame in frames_iter:
+                if pending is not None:
+                    hook(pending[1])
+                with stage("planes dispatch"):
+                    fut = dispatch(frame)
+                # the worker only WAITS (the device->host copy was enqueued
+                # at dispatch) and fits — all device dispatches stay here
+                task = ex.submit(collect, frame_no, frame, fut)
+                if pending is not None:
+                    with stage("planes join (thread)"):
+                        item = pending[2].result()
+                    yield item
+                pending = (frame_no, frame, task)
+            if pending is not None:
+                hook(pending[1])
+                with stage("planes join (thread)"):
+                    item = pending[2].result()
+                yield item
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        return
 
     pending = None
     for frame_no, frame in frames_iter:

@@ -16,6 +16,7 @@ completion inside the bracket when measuring device stages.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -23,6 +24,8 @@ from contextlib import contextmanager
 _enabled = os.environ.get("RGBD360_PRINT_TIMINGS") == "1"
 _totals = defaultdict(float)
 _counts = defaultdict(int)
+# planes_pipeline's threaded collector runs its brackets on a worker thread
+_acc_lock = threading.Lock()
 
 
 def stage_timing(on: bool) -> None:
@@ -48,8 +51,9 @@ def stage(name: str, sync=None):
         if sync is not None:
             sync()
         dt = (time.perf_counter() - t0) * 1000.0
-        _totals[name] += dt
-        _counts[name] += 1
+        with _acc_lock:
+            _totals[name] += dt
+            _counts[name] += 1
         print(f"{name} took {dt:.2f} ms")
 
 

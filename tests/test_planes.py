@@ -338,6 +338,66 @@ def test_planes_pipeline_matches_sequential(sample_frames):
             assert a.n_pts == b.n_pts
 
 
+def test_planes_pipeline_threaded_is_outcome_identical(sample_frames):
+    """The worker-thread collector (threaded=True, the default) must yield
+    bit-identical plane sets to the sequential schedule, call the
+    pre_collect hook in the same per-frame order (hooks dispatch device
+    programs and MUST stay on the caller's thread), and propagate worker
+    exceptions to the consumer."""
+    import threading
+
+    from rgbd360_tpu.core.plane_extraction import planes_pipeline
+
+    f1, f2 = sample_frames
+    f1.undistort()
+    f2.undistort()
+
+    def run(threaded):
+        hooks = []
+        main_thread = threading.get_ident()
+
+        def hook(frame):
+            assert threading.get_ident() == main_thread
+            hooks.append(id(frame))
+
+        out = list(
+            planes_pipeline(
+                iter([(1, f1), (10, f2)]), pre_collect=hook, threaded=threaded
+            )
+        )
+        return out, hooks
+
+    out_seq, hooks_seq = run(False)
+    out_thr, hooks_thr = run(True)
+    assert hooks_seq == hooks_thr == [id(f1), id(f2)]
+    assert [no for no, _ in out_thr] == [no for no, _ in out_seq] == [1, 10]
+    for (_, fa), (_, fb) in zip(out_thr, out_seq):
+        assert fa is fb  # same frame objects, fitted in place
+        assert len(fa.planes.planes) > 0
+    # identical plane sets across schedules (second run refits in place, so
+    # compare against a sequential refit of the same frames)
+    planes_thr = [[(p.normal.copy(), p.n_pts) for p in f.planes.planes] for _, f in out_thr]
+    out_seq2, _ = run(False)
+    for got, (_, f) in zip(planes_thr, out_seq2):
+        assert len(got) == len(f.planes.planes)
+        for (n, npts), p in zip(got, f.planes.planes):
+            np.testing.assert_array_equal(n, p.normal)
+            assert npts == p.n_pts
+
+    # a worker exception must surface at the consumer, not hang
+    class Boom(RuntimeError):
+        pass
+
+    def bad_frames():
+        yield 1, f1
+        raise Boom("source failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        list(planes_pipeline(bad_frames(), threaded=True))
+
+
 def test_get_vertical_planes_segments():
     """getVerticalPlanes parity (Miscellaneous.h:208-257): near-x-normal
     large planes yield a (y_r, z_r, y_l, z_l) wall segment from the hull
