@@ -74,6 +74,24 @@ _NF = 98
 MAX_CANDIDATES = 4096  # ~2.5x the max observed on the bundled frames (1607)
 
 
+def compact_candidate_indices(candf: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Stream-compact a (S, hw) bool candidate mask into the first-C pixel
+    indices per sensor (ascending order; hw marks an empty slot): prefix sum
+    + ONE batched 2D scatter. This is THE production compaction — the
+    profiler/probe tools (tools/profile_planes_device.py,
+    tools/probe_compaction.py 'scatter' arm) must price this definition,
+    not a copy (a vmapped per-sensor 1D variant lowers ~7x worse and once
+    misattributed 14.7 ms to this stage)."""
+    S, hw = candf.shape
+    pix = jax.lax.broadcasted_iota(jnp.int32, (S, hw), 1)
+    pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(candf & (pos < C), pos, C)  # slot C absorbs the rest
+    sensor = jax.lax.broadcasted_iota(jnp.int32, (S, hw), 0)
+    return (
+        jnp.full((S, C + 1), hw, jnp.int32).at[sensor, tgt].set(pix, mode="drop")[:, :C]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("ship_labels",))
 def build_sensor_plane_stats(
     depth_undist_m: jnp.ndarray, rgb: jnp.ndarray, ship_labels: bool = True
@@ -113,13 +131,7 @@ def build_sensor_plane_stats(
     # than the k=4096 top_k sort this replaces (10.5 -> ~1 ms measured)
     C = MAX_CANDIDATES
     candf = st.candidate.reshape(8, hw)
-    pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
-    pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
-    tgt = jnp.where(candf & (pos < C), pos, C)  # slot C absorbs the rest
-    sensor = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 0)
-    cidx = (
-        jnp.full((8, C + 1), hw, jnp.int32).at[sensor, tgt].set(pix, mode="drop")[:, :C]
-    )
+    cidx = compact_candidate_indices(candf, C)
     slot_ok = cidx < hw
     cidx_safe = jnp.minimum(cidx, hw - 1)
     cxyz = jnp.take_along_axis(xyz2.reshape(8, hw, 3), cidx_safe[..., None], axis=1)
@@ -568,11 +580,14 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None,
     Yields (frame_no, frame) with frame.planes / frame.local_planes set,
     exactly as the sequential frame.get_planes(need_inliers=...) would.
 
-    pre_collect(frame): optional hook called with frame N (panorama built,
-    planes not yet fitted) right before its stats buffer is collected —
+    pre_collect(frame): optional hook called with frame N (panorama built)
+    on the caller's thread, in frame order, before frame N is yielded —
     the SLAM loop uses it to speculatively dispatch frame N's tracking
     alignment so the device program overlaps the collect + host fit
-    (KFSphereSLAM.prefetch_align).
+    (KFSphereSLAM.prefetch_align). CONTRACT: the hook must not read
+    frame.planes / frame.local_planes — in the threaded default the
+    worker may already be fitting (or have fitted) them when the hook
+    runs; only in sequential mode is the hook strictly pre-fit.
 
     threaded (default: env RGBD360_PIPELINE_THREAD, on): run each frame's
     stats sync + host plane fit on ONE worker thread, submitted right after
@@ -635,9 +650,31 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None,
                 pre_collect(frame)
 
     if threaded:
-        from concurrent.futures import ThreadPoolExecutor
+        # A DAEMON worker, not a ThreadPoolExecutor: the worker blocks in
+        # np.asarray on the axon tunnel, which is documented to hang for
+        # hours when the tunnel drops. concurrent.futures' exit handler
+        # joins its (non-daemon) threads, so a stuck sync would make every
+        # SLAM app unkillable by normal exit; a daemon thread lets the
+        # process die with the tunnel still wedged.
+        import queue
+        import threading
+        from concurrent.futures import Future
 
-        ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="planes-fit")
+        q: "queue.Queue" = queue.Queue()
+
+        def worker():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                fut_out, frame_no, frame, fut_in = item
+                try:
+                    fut_out.set_result(collect(frame_no, frame, fut_in))
+                except BaseException as e:  # surfaced at .result()
+                    fut_out.set_exception(e)
+
+        th = threading.Thread(target=worker, name="planes-fit", daemon=True)
+        th.start()
         try:
             pending = None
             for frame_no, frame in frames_iter:
@@ -647,7 +684,8 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None,
                     fut = dispatch(frame)
                 # the worker only WAITS (the device->host copy was enqueued
                 # at dispatch) and fits — all device dispatches stay here
-                task = ex.submit(collect, frame_no, frame, fut)
+                task = Future()
+                q.put((task, frame_no, frame, fut))
                 if pending is not None:
                     with stage("planes join (thread)"):
                         item = pending[2].result()
@@ -659,7 +697,7 @@ def planes_pipeline(frames_iter, need_inliers: bool = False, pre_collect=None,
                     item = pending[2].result()
                 yield item
         finally:
-            ex.shutdown(wait=False, cancel_futures=True)
+            q.put(None)
         return
 
     pending = None

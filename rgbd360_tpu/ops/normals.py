@@ -40,12 +40,6 @@ def _box_from_ii(ii: jnp.ndarray, r: int, h: int, w: int) -> jnp.ndarray:
     return a - b - c + d
 
 
-def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Sum over a (2r+1)^2 window via padded cumsum (integral image)."""
-    h, w = img.shape[:2]
-    return _box_from_ii(_integral_image(img), r, h, w)
-
-
 def _box_sum_var(
     img: jnp.ndarray, r_px: jnp.ndarray, r_max: int, ii: jnp.ndarray = None
 ) -> jnp.ndarray:

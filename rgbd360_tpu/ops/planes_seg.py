@@ -204,7 +204,9 @@ def refine_plane_labels(
     sums = jnp.zeros((hw + 1, 4), jnp.float32).at[bin_].add(feat)
     cnt_all = sums[:, 3]
 
-    KP = hw // max(min_inliers, 1) + 1
+    # clamp to hw: at min_inliers=1 the pigeonhole bound is hw+1 but top_k
+    # can return at most hw slots (and all hw bins ARE the full set)
+    KP = min(hw, hw // max(min_inliers, 1) + 1)
     if KP <= 512:
         topc, topi = jax.lax.top_k(cnt_all[:hw], KP)
         inv = jnp.full((hw + 1,), KP, jnp.int32).at[topi].set(

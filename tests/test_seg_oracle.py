@@ -205,3 +205,29 @@ def test_synthetic_scene_partition_exact(rng):
     # sanity: the scene actually produced multiple regions and real growth
     assert len(np.unique(pre_dev[pre_dev >= 0])) >= 3
     assert (post_dev >= 0).sum() > (pre_dev >= 0).sum()
+
+
+def test_refine_min_inliers_one_small_grid():
+    """Regression: the top-K rebin's pigeonhole bound KP = hw//min_inliers+1
+    exceeds hw at min_inliers=1, which crashed jax.lax.top_k (k > axis size).
+    KP is clamped to hw (all bins = the full set, so the model set is
+    unchanged); min_inliers=1 on a tiny grid must run and keep every
+    labeled region."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.ops.planes_seg import refine_plane_labels
+
+    h, w = 8, 8
+    xyz = np.zeros((h, w, 3), np.float32)
+    xyz[..., 2] = 1.0
+    xyz[..., 0] = np.arange(w)[None, :] * 0.01
+    xyz[..., 1] = np.arange(h)[:, None] * 0.01
+    normals = np.zeros((h, w, 3), np.float32)
+    normals[..., 2] = -1.0
+    labels = np.zeros((h, w), np.int32)
+    out = np.asarray(
+        refine_plane_labels(
+            jnp.asarray(labels), jnp.asarray(xyz), jnp.asarray(normals), min_inliers=1
+        )
+    )
+    assert (out == 0).all()  # one planar region, label kept everywhere

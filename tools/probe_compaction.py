@@ -27,6 +27,53 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _frame_inputs():
+    """Bundled frame 1 as device-resident (depth_undistorted_m, rgb)."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.frame360 import Frame360
+    from rgbd360_tpu.io.calib import Calib360
+
+    ref = os.environ.get("RGBD360_REFERENCE", "/root/reference")
+    calib = Calib360.load(ref)
+    frame = Frame360(calib)
+    frame.load_frame(os.path.join(ref, "samples/sphere_images_1.bin"))
+    frame.undistort()
+    return jnp.asarray(frame.depth_undistorted_m), jnp.asarray(frame.rgb)
+
+
+def _make_timed(k: int):
+    """Chained-fori_loop probe harness (PERF.md methodology), SHARED by both
+    batteries so a methodology fix reaches every probe. fn(*inputs, eps) ->
+    f32 scalar; eps is a data-dependent scalar the body MUST mix into its
+    inputs — without it XLA hoists the loop-invariant computation out of the
+    fori_loop and the probe prices one evaluation amortized over k
+    (measured: every such probe reads ~1 ms regardless of content)."""
+    import jax
+    import jax.numpy as jnp
+
+    def timed(name, fn, *inputs):
+        @jax.jit
+        def chain(kk, *ins):
+            def body(_, carry):
+                eps, acc = carry
+                out = fn(*ins, eps)
+                return out * 1e-30, acc + out * 1e-9
+
+            _, acc = jax.lax.fori_loop(0, kk, body, (jnp.float32(0), jnp.float32(0)))
+            return acc
+
+        np.asarray(chain(k, *inputs))  # warm
+        np.asarray(jnp.zeros(()) + 1.0)
+        t0 = time.perf_counter()
+        np.asarray(chain(k, *inputs))
+        ms = (time.perf_counter() - t0) / k * 1e3
+        print(f"{name:16s}: {ms:7.2f} ms")
+        return ms
+
+    return timed
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=30)
@@ -35,21 +82,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rgbd360_tpu.core.frame360 import Frame360
-    from rgbd360_tpu.io.calib import Calib360
     from rgbd360_tpu.ops.bilateral import fast_bilateral_z
     from rgbd360_tpu.ops.normals import organized_normals
     from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
     from rgbd360_tpu.ops.planes_seg import refine_plane_labels, segment_planes
 
-    ref = os.environ.get("RGBD360_REFERENCE", "/root/reference")
-    calib = Calib360.load(ref)
-    frame = Frame360(calib)
-    frame.load_frame(os.path.join(ref, "samples/sphere_images_1.bin"))
-    frame.undistort()
-
-    depth = jnp.asarray(frame.depth_undistorted_m)
-    rgb = jnp.asarray(frame.rgb)
+    depth, rgb = _frame_inputs()
 
     # materialize the REAL segmentation inputs once (device-resident)
     @jax.jit
@@ -78,29 +116,7 @@ def main():
     print(f"grid (8,{h},{w}) hw={hw}  candidates/sensor:",
           np.asarray(jnp.sum(cand, axis=(1, 2))))
 
-    def timed(name, fn, *inputs):
-        """fn(*inputs, eps) -> f32 scalar. eps is a data-dependent scalar the
-        body MUST mix into its inputs — without it XLA hoists the whole
-        loop-invariant computation out of the fori_loop and the probe prices
-        one evaluation amortized over k (measured: every probe reads ~1 ms)."""
-
-        @jax.jit
-        def chain(k, *ins):
-            def body(_, carry):
-                eps, acc = carry
-                out = fn(*ins, eps)
-                return out * 1e-30, acc + out * 1e-9
-
-            _, acc = jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.float32(0)))
-            return acc
-
-        np.asarray(chain(args.k, *inputs))  # warm
-        np.asarray(jnp.zeros(()) + 1.0)
-        t0 = time.perf_counter()
-        np.asarray(chain(args.k, *inputs))
-        ms = (time.perf_counter() - t0) / args.k * 1e3
-        print(f"{name:14s}: {ms:7.2f} ms")
-        return ms
+    timed = _make_timed(args.k)
 
     candf = cand.reshape(8, hw)
     feat = jnp.concatenate(
@@ -116,26 +132,18 @@ def main():
         pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
         return jnp.sum(pos).astype(jnp.float32)
 
+    # the 'scatter' arm prices THE shipped compaction via its shared
+    # definition (plane_extraction.compact_candidate_indices) — never a copy
+    from rgbd360_tpu.core.plane_extraction import compact_candidate_indices
+
     def f_scatter(candf, eps):
         candf = candf ^ (eps > 1.0)
-        pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
-        pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
-        tgt = jnp.where(candf & (pos < C), pos, C)
-        sensor = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 0)
-        cidx = jnp.full((8, C + 1), hw, jnp.int32).at[sensor, tgt].set(
-            pix, mode="drop"
-        )[:, :C]
+        cidx = compact_candidate_indices(candf, C)
         return jnp.sum(cidx).astype(jnp.float32)
 
     def f_gathers(candf, xyz2, labels, eps):
         candf = candf ^ (eps > 1.0)
-        pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
-        pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
-        tgt = jnp.where(candf & (pos < C), pos, C)
-        sensor = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 0)
-        cidx = jnp.full((8, C + 1), hw, jnp.int32).at[sensor, tgt].set(
-            pix, mode="drop"
-        )[:, :C]
+        cidx = compact_candidate_indices(candf, C)
         slot_ok = cidx < hw
         cidx_safe = jnp.minimum(cidx, hw - 1)
         cxyz = jnp.take_along_axis(
@@ -248,20 +256,12 @@ def main():
     timed("segment", f_segment, xyz2, normals)
 
 
-def _run_main():
-    main()
-
-
 def more():
     """Second battery: refine-model sub-stages, the K'-slot rebin variant,
     and the stacked (2-scan) segment variant. Run via --more."""
     import jax
     import jax.numpy as jnp
 
-    # reuse main()'s data prep by re-running it is wasteful; inline a local
-    # copy of the setup instead
-    from rgbd360_tpu.core.frame360 import Frame360
-    from rgbd360_tpu.io.calib import Calib360
     from rgbd360_tpu.ops.bilateral import fast_bilateral_z
     from rgbd360_tpu.ops.normals import organized_normals
     from rgbd360_tpu.ops.pinhole import backproject_organized, downsample_median2
@@ -273,13 +273,7 @@ def more():
     ap.add_argument("--more", action="store_true")
     args = ap.parse_args()
 
-    ref = os.environ.get("RGBD360_REFERENCE", "/root/reference")
-    calib = Calib360.load(ref)
-    frame = Frame360(calib)
-    frame.load_frame(os.path.join(ref, "samples/sphere_images_1.bin"))
-    frame.undistort()
-    depth = jnp.asarray(frame.depth_undistorted_m)
-    rgb = jnp.asarray(frame.rgb)
+    depth, rgb = _frame_inputs()
 
     @jax.jit
     def prep(depth, rgb):
@@ -298,24 +292,7 @@ def more():
     h, w = labels_pre.shape[1:]
     hw = h * w
 
-    def timed(name, fn, *inputs):
-        @jax.jit
-        def chain(k, *ins):
-            def body(_, carry):
-                eps, acc = carry
-                out = fn(*ins, eps)
-                return out * 1e-30, acc + out * 1e-9
-
-            _, acc = jax.lax.fori_loop(0, k, body, (jnp.float32(0), jnp.float32(0)))
-            return acc
-
-        np.asarray(chain(args.k, *inputs))
-        np.asarray(jnp.zeros(()) + 1.0)
-        t0 = time.perf_counter()
-        np.asarray(chain(args.k, *inputs))
-        ms = (time.perf_counter() - t0) / args.k * 1e3
-        print(f"{name:16s}: {ms:7.2f} ms")
-        return ms
+    timed = _make_timed(args.k)
 
     # ---- refine-model sub-stages (full-hw bins, the shipped form) --------
     def upto_model(stage):

@@ -77,22 +77,18 @@ def main():
             out, cand = jax.vmap(one)(v, rgb)
             total = jnp.sum(out)
             if stage >= 5:
-                # the PRODUCTION compaction form, verbatim from
-                # plane_extraction.build_sensor_plane_stats: the batched 2D
-                # scatter OUTSIDE the vmap. (An earlier revision vmapped a
-                # per-sensor 1D scatter here, which lowers much worse and
-                # overstated this stage ~7x — 14.7 ms vs the ~2 ms the
-                # production form measures in tools/probe_compaction.py.)
+                # THE production compaction (shared definition — the batched
+                # 2D scatter outside the vmap; a vmapped per-sensor copy once
+                # overstated this stage ~7x, 14.7 ms vs ~2 ms)
+                from rgbd360_tpu.core.plane_extraction import (
+                    MAX_CANDIDATES,
+                    compact_candidate_indices,
+                )
+
                 hw = cand.shape[1] * cand.shape[2]
-                C = 4096
-                candf = cand.reshape(8, hw)
-                pix = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 1)
-                pos = jnp.cumsum(candf.astype(jnp.int32), axis=1) - 1
-                tgt = jnp.where(candf & (pos < C), pos, C)
-                sensor = jax.lax.broadcasted_iota(jnp.int32, (8, hw), 0)
-                cidx = jnp.full((8, C + 1), hw, jnp.int32).at[sensor, tgt].set(
-                    pix, mode="drop"
-                )[:, :C]
+                cidx = compact_candidate_indices(
+                    cand.reshape(8, hw), MAX_CANDIDATES
+                )
                 total = total + jnp.sum(cidx).astype(jnp.float32)
             return total
 
